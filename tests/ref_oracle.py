@@ -1,0 +1,461 @@
+"""Load the mounted read-only reference (vip_hci at /root/reference) as a
+numerical parity oracle.
+
+The test image lacks several of the reference's dependencies (astropy,
+skimage, photutils, bottleneck, numba, emcee, nestle, hciplot, corner,
+dataclass_builder). This module installs *functional stubs* for the pieces
+the reference actually executes on our test paths (e.g. skimage.draw.disk,
+bottleneck nan-reductions) and inert placeholders for the rest, then imports
+reference modules on demand.
+
+Only used by tests. Never imported by vip_tpu itself.
+"""
+
+import sys
+import types
+import numpy as np
+
+REF_SRC = "/root/reference/src"
+
+_installed = False
+
+
+def _mod(name):
+    m = types.ModuleType(name)
+    m.__version__ = "99.0.0"
+    m.__path__ = []  # mark as package so sub-imports resolve to stubs
+    sys.modules[name] = m
+    return m
+
+
+class _Placeholder:
+    """Inert stand-in for a stubbed symbol; raises only if actually used."""
+
+    def __init__(self, name):
+        self._name = name
+
+    def __call__(self, *a, **k):
+        raise NotImplementedError(f"oracle stub placeholder used: {self._name}")
+
+    def __getattr__(self, item):
+        return _Placeholder(f"{self._name}.{item}")
+
+    def __mro_entries__(self, bases):
+        return (object,)
+
+
+class _AutoModule(types.ModuleType):
+    """Module that fabricates placeholder attributes on demand."""
+
+    __version__ = "99.0.0"
+    __path__ = []
+
+    def __getattr__(self, item):
+        if item.startswith("__"):
+            raise AttributeError(item)
+        return _Placeholder(f"{self.__name__}.{item}")
+
+
+_STUB_ROOTS = ("astropy", "skimage", "photutils", "hciplot", "bottleneck",
+               "numba", "emcee", "nestle", "corner", "dataclass_builder",
+               "pyprind")
+
+
+class _StubLoader:
+    def create_module(self, spec):
+        m = _AutoModule(spec.name)
+        return m
+
+    def exec_module(self, module):
+        fullname = module.__name__
+        if "." in fullname:
+            parent, leaf = fullname.rsplit(".", 1)
+            if parent in sys.modules:
+                setattr(sys.modules[parent], leaf, module)
+
+
+class _StubFinder:
+    """Meta-path fallback: auto-create stub submodules under stub roots that
+    aren't explicitly provided above (e.g. astropy.io.fits.hdu.hdulist)."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        import importlib.util
+
+        root = fullname.split(".")[0]
+        if root in _STUB_ROOTS and fullname not in sys.modules:
+            return importlib.util.spec_from_loader(fullname, _StubLoader(),
+                                                   is_package=True)
+        return None
+
+
+def _install_stubs():
+    global _installed
+    if _installed:
+        return
+
+    # ------------------------------------------------------------------ astropy
+    if "astropy" not in sys.modules:
+        astropy = _mod("astropy")
+        stats = _mod("astropy.stats")
+        astropy.stats = stats
+        stats.gaussian_sigma_to_fwhm = 2.0 * np.sqrt(2.0 * np.log(2.0))
+        stats.gaussian_fwhm_to_sigma = 1.0 / stats.gaussian_sigma_to_fwhm
+
+        def sigma_clipped_stats(data, sigma=3.0, maxiters=5, cenfunc=np.nanmedian,
+                                stdfunc=np.nanstd, **kw):
+            d = np.asarray(data, dtype=float).ravel()
+            d = d[np.isfinite(d)]
+            for _ in range(maxiters or 5):
+                med = cenfunc(d)
+                std = stdfunc(d)
+                keep = np.abs(d - med) <= sigma * std
+                if keep.all():
+                    break
+                d = d[keep]
+            return np.nanmean(d), cenfunc(d), stdfunc(d)
+
+        def sigma_clip(data, sigma=3.0, maxiters=5, **kw):
+            d = np.ma.masked_invalid(np.asarray(data, dtype=float))
+            for _ in range(maxiters or 5):
+                med = np.ma.median(d)
+                std = np.ma.std(d)
+                newmask = np.abs(d - med) > sigma * std
+                if not np.any(newmask & ~d.mask):
+                    break
+                d = np.ma.masked_where(newmask, d)
+            return d
+
+        stats.sigma_clipped_stats = sigma_clipped_stats
+        stats.sigma_clip = sigma_clip
+
+        utils = _mod("astropy.utils")
+        astropy.utils = utils
+        exceptions = _mod("astropy.utils.exceptions")
+        utils.exceptions = exceptions
+
+        class AstropyWarning(Warning):
+            pass
+
+        class AstropyUserWarning(AstropyWarning):
+            pass
+
+        exceptions.AstropyWarning = AstropyWarning
+        exceptions.AstropyUserWarning = AstropyUserWarning
+
+        conv = _mod("astropy.convolution")
+        astropy.convolution = conv
+
+        class Gaussian2DKernel:
+            def __init__(self, x_stddev, y_stddev=None, **kw):
+                from scipy.signal.windows import gaussian
+
+                y_stddev = x_stddev if y_stddev is None else y_stddev
+                size = int(8 * max(x_stddev, y_stddev) + 1) | 1
+                gx = gaussian(size, x_stddev)
+                gy = gaussian(size, y_stddev)
+                arr = np.outer(gy, gx)
+                self.array = arr / arr.sum()
+
+        def convolve(image, kernel, **kw):
+            from scipy.ndimage import convolve as sconv
+
+            karr = kernel.array if hasattr(kernel, "array") else np.asarray(kernel)
+            im = np.asarray(image, dtype=float)
+            nanmask = ~np.isfinite(im)
+            im0 = np.where(nanmask, 0.0, im)
+            wt = sconv((~nanmask).astype(float), karr, mode="constant")
+            num = sconv(im0, karr, mode="constant")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / wt
+            return out
+
+        def convolve_fft(image, kernel, **kw):
+            return convolve(image, kernel)
+
+        def interpolate_replace_nans(image, kernel, **kw):
+            im = np.asarray(image, dtype=float)
+            filled = convolve(im, kernel)
+            out = im.copy()
+            bad = ~np.isfinite(im)
+            out[bad] = filled[bad]
+            return out
+
+        conv.Gaussian2DKernel = Gaussian2DKernel
+        conv.convolve = convolve
+        conv.convolve_fft = convolve_fft
+        conv.interpolate_replace_nans = interpolate_replace_nans
+
+        modeling = _mod("astropy.modeling")
+        astropy.modeling = modeling
+        modeling.models = _mod("astropy.modeling.models")
+        modeling.fitting = _mod("astropy.modeling.fitting")
+
+        io = _mod("astropy.io")
+        astropy.io = io
+        fits = _mod("astropy.io.fits")
+        io.fits = fits
+        convenience = _mod("astropy.io.fits.convenience")
+        fits.convenience = convenience
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError("astropy.io.fits stub")
+
+        convenience.writeto = _unavailable
+        fits.writeto = _unavailable
+        fits.open = _unavailable
+        fits.getheader = _unavailable
+        fits.getdata = _unavailable
+
+        class Header(dict):
+            pass
+
+        class PrimaryHDU:
+            def __init__(self, data=None, header=None):
+                self.data = data
+                self.header = header or Header()
+
+        fits.Header = Header
+        fits.PrimaryHDU = PrimaryHDU
+        fits.HDUList = list
+        fits.verify = _mod("astropy.io.fits.verify")
+        fits.verify.VerifyWarning = type("VerifyWarning", (Warning,), {})
+
+        units = _mod("astropy.units")
+        astropy.units = units
+        coords_m = _mod("astropy.coordinates")
+        astropy.coordinates = coords_m
+        time_m = _mod("astropy.time")
+        astropy.time = time_m
+
+    # ------------------------------------------------------------------ skimage
+    if "skimage" not in sys.modules:
+        skimage = _mod("skimage")
+        draw = _mod("skimage.draw")
+        skimage.draw = draw
+
+        def _ellipse_in_shape(shape, center, radii):
+            r_lim, c_lim = np.ogrid[0:float(shape[0]), 0:float(shape[1])]
+            r_org, c_org = center
+            r_rad, c_rad = radii
+            distances = ((r_lim - r_org) / r_rad) ** 2 + \
+                        ((c_lim - c_org) / c_rad) ** 2
+            return np.nonzero(distances < 1)
+
+        def disk(center, radius, shape=None):
+            # skimage.draw.disk semantics: strict '< 1' normalized distance
+            if shape is None:
+                cy, cx = center
+                size = int(np.ceil(max(cy, cx) + radius + 1))
+                shape = (size, size)
+            return _ellipse_in_shape(shape, center, (radius, radius))
+
+        def ellipse(r, c, r_radius, c_radius, shape=None, rotation=0.0):
+            if shape is None:
+                size = int(np.ceil(max(r + r_radius, c + c_radius) + 1))
+                shape = (size, size)
+            if rotation:
+                raise NotImplementedError
+            return _ellipse_in_shape(shape, (r, c), (r_radius, c_radius))
+
+        def polygon(r, c, shape=None):
+            from matplotlib.path import Path
+
+            r = np.asarray(r)
+            c = np.asarray(c)
+            if shape is None:
+                shape = (int(np.ceil(r.max())) + 1, int(np.ceil(c.max())) + 1)
+            rr, cc = np.mgrid[: shape[0], : shape[1]]
+            pts = np.column_stack([r, c])
+            mask = Path(pts).contains_points(
+                np.column_stack([rr.ravel(), cc.ravel()])
+            ).reshape(shape)
+            return np.nonzero(mask)
+
+        draw.disk = disk
+        draw.ellipse = ellipse
+        draw.polygon = polygon
+
+        transform = _mod("skimage.transform")
+        skimage.transform = transform
+
+        def rotate(image, angle, order=1, center=None, cval=0, mode="constant",
+                   **kw):
+            from scipy import ndimage
+
+            if center is not None:
+                raise NotImplementedError("stub rotate: center unsupported")
+            return ndimage.rotate(image, angle, reshape=False, order=order,
+                                  cval=cval, mode=mode)
+
+        def radon(image, theta=None, circle=True):
+            raise NotImplementedError("stub radon")
+
+        transform.rotate = rotate
+        transform.radon = radon
+
+        registration = _mod("skimage.registration")
+        skimage.registration = registration
+
+        def phase_cross_correlation(reference_image, moving_image,
+                                    upsample_factor=1, **kw):
+            # Guizar-Sicairos matrix-multiply DFT registration
+            ref_f = np.fft.fft2(reference_image)
+            mov_f = np.fft.fft2(moving_image)
+            shape = ref_f.shape
+            cross = ref_f * mov_f.conj()
+            cc = np.fft.ifft2(cross)
+            maxima = np.unravel_index(np.argmax(np.abs(cc)), shape)
+            midpoints = np.array([np.fix(s / 2) for s in shape])
+            shifts = np.array(maxima, dtype=np.float64)
+            shifts[shifts > midpoints] -= np.array(shape)[shifts > midpoints]
+            if upsample_factor > 1:
+                # refine by upsampled DFT around the peak
+                upsample_factor = int(upsample_factor)
+                upsampled_region_size = int(np.ceil(upsample_factor * 1.5))
+                dftshift = np.fix(upsampled_region_size / 2.0)
+                shifts = np.round(shifts * upsample_factor) / upsample_factor
+                sample_region_offset = dftshift - shifts * upsample_factor
+                data = _upsampled_dft(cross.conj(), upsampled_region_size,
+                                      upsample_factor, sample_region_offset
+                                      ).conj()
+                maxima = np.unravel_index(np.argmax(np.abs(data)), data.shape)
+                maxima = np.array(maxima, dtype=np.float64) - dftshift
+                shifts += maxima / upsample_factor
+            return shifts, None, None
+
+        def _upsampled_dft(data, upsampled_region_size, upsample_factor,
+                           axis_offsets):
+            upsampled_region_size = [upsampled_region_size] * data.ndim
+            im2pi = 1j * 2 * np.pi
+            dim_properties = list(zip(data.shape, upsampled_region_size,
+                                      axis_offsets))
+            for n_items, ups_size, ax_offset in dim_properties[::-1]:
+                kernel = (np.arange(ups_size) - ax_offset)[:, None] \
+                    * np.fft.fftfreq(n_items, upsample_factor)
+                kernel = np.exp(-im2pi * kernel)
+                data = np.tensordot(kernel, data, axes=(1, -1))
+            return data
+
+        registration.phase_cross_correlation = phase_cross_correlation
+
+        metrics_m = _mod("skimage.metrics")
+        skimage.metrics = metrics_m
+
+        def structural_similarity(a, b, **kw):
+            raise NotImplementedError("stub ssim")
+
+        metrics_m.structural_similarity = structural_similarity
+
+        restoration = _mod("skimage.restoration")
+        skimage.restoration = restoration
+
+        def richardson_lucy(image, psf, num_iter=50, clip=True):
+            from scipy.signal import convolve as sconvolve
+
+            im_deconv = np.full(image.shape, 0.5)
+            psf_mirror = psf[::-1, ::-1]
+            for _ in range(num_iter):
+                conv = sconvolve(im_deconv, psf, mode="same")
+                relative_blur = image / np.where(conv == 0, 1e-12, conv)
+                im_deconv *= sconvolve(relative_blur, psf_mirror, mode="same")
+            if clip:
+                im_deconv[im_deconv > 1] = 1
+                im_deconv[im_deconv < -1] = -1
+            return im_deconv
+
+        restoration.richardson_lucy = richardson_lucy
+
+        feature = _mod("skimage.feature")
+        skimage.feature = feature
+
+        def blob_log(*a, **k):
+            raise NotImplementedError
+
+        def blob_dog(*a, **k):
+            raise NotImplementedError
+
+        def peak_local_max(*a, **k):
+            raise NotImplementedError
+
+        feature.blob_log = blob_log
+        feature.blob_dog = blob_dog
+        feature.peak_local_max = peak_local_max
+
+    # ------------------------------------------------------------------ misc
+    if "hciplot" not in sys.modules:
+        hciplot = _mod("hciplot")
+        hciplot.plot_frames = lambda *a, **k: None
+        hciplot.plot_cubes = lambda *a, **k: None
+
+    if "bottleneck" not in sys.modules:
+        bn = _mod("bottleneck")
+        bn.nanmean = np.nanmean
+        bn.nanmedian = np.nanmedian
+        bn.nansum = np.nansum
+        bn.nanmax = np.nanmax
+        bn.nanmin = np.nanmin
+        bn.nanstd = np.nanstd
+        bn.median = np.median
+
+    if "numba" not in sys.modules:
+        numba = _mod("numba")
+
+        def njit(*args, **kwargs):
+            if args and callable(args[0]):
+                return args[0]
+            return lambda f: f
+
+        numba.njit = njit
+        numba.jit = njit
+
+    if "photutils" not in sys.modules:
+        photutils = _mod("photutils")
+        aperture = _mod("photutils.aperture")
+        photutils.aperture = aperture
+        from circ_overlap import (CircularAperture, CircularAnnulus,
+                                  aperture_photometry)
+
+        aperture.CircularAperture = CircularAperture
+        aperture.CircularAnnulus = CircularAnnulus
+        aperture.aperture_photometry = aperture_photometry
+        photutils.CircularAperture = CircularAperture
+        photutils.aperture_photometry = aperture_photometry
+        centroids = _mod("photutils.centroids")
+        photutils.centroids = centroids
+
+        def centroid_com(data, mask=None):
+            d = np.asarray(data, dtype=float)
+            if mask is not None:
+                d = np.where(mask, 0.0, d)
+            total = d.sum()
+            yy, xx = np.mgrid[: d.shape[0], : d.shape[1]]
+            return np.array([(d * xx).sum() / total, (d * yy).sum() / total])
+
+        centroids.centroid_com = centroid_com
+
+    for name in ("emcee", "nestle", "corner", "dataclass_builder", "pyprind"):
+        if name not in sys.modules:
+            m = _mod(name)
+            if name == "dataclass_builder":
+                def dataclass_builder(cls):  # noqa
+                    return cls
+
+                m.dataclass_builder = dataclass_builder
+
+    if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
+        sys.meta_path.append(_StubFinder())
+
+    _installed = True
+
+
+def load_ref(module_name):
+    """Import a reference module (e.g. 'vip_hci.preproc.derotation')."""
+    _install_stubs()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    here = "/root/repo/tests"
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    import importlib
+
+    return importlib.import_module(module_name)

@@ -1,0 +1,110 @@
+"""End-to-end parity of median_sub and full-frame pca vs the reference."""
+
+import numpy as np
+import pytest
+
+from conftest import make_adi_cube
+from ref_oracle import load_ref
+
+
+@pytest.fixture(scope="module")
+def cube_angles():
+    return make_adi_cube(n=25, size=61)
+
+
+@pytest.fixture(scope="module")
+def ref_psfsub():
+    return load_ref("vip_hci.psfsub")
+
+
+def test_median_sub_fullfr_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import median_sub
+
+    cube, angles = cube_angles
+    ref = ref_psfsub.median_sub(cube.copy(), angles, verbose=False)
+    got = median_sub(cube.copy(), angles, verbose=False)
+    assert np.max(np.abs(ref - got)) < 1e-8
+
+
+def test_median_sub_annular_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import median_sub
+
+    cube, angles = cube_angles
+    kwargs = dict(mode="annular", fwhm=4, asize=6, delta_rot=0.5, nframes=4,
+                  verbose=False)
+    ref = ref_psfsub.median_sub(cube.copy(), angles, **kwargs)
+    got = median_sub(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-8
+
+
+@pytest.mark.parametrize("svd_mode", ["lapack", "eigen"])
+@pytest.mark.parametrize("scaling", [None, "temp-mean", "temp-standard"])
+def test_pca_fullfr_parity(ref_psfsub, cube_angles, svd_mode, scaling):
+    from vip_tpu.psfsub import pca
+
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=7, svd_mode=svd_mode, scaling=scaling, verbose=False)
+    ref = ref_psfsub.pca(cube.copy(), angles, **kwargs)
+    got = pca(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_full_output_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import pca
+
+    cube, angles = cube_angles
+    ref = ref_psfsub.pca(cube.copy(), angles, ncomp=5, verbose=False,
+                         full_output=True)
+    got = pca(cube.copy(), angles, ncomp=5, verbose=False, full_output=True)
+    # frame, pcs, recon, residuals_cube, residuals_cube_
+    assert np.max(np.abs(ref[0] - got[0])) < 1e-7       # final frame
+    assert np.max(np.abs(np.abs(ref[1]) - np.abs(got[1]))) < 1e-6  # |pcs|
+    assert np.max(np.abs(ref[3] - got[3])) < 1e-7       # residuals cube
+
+
+def test_pca_rdi_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import pca
+
+    cube, angles = cube_angles
+    rng = np.random.default_rng(7)
+    cube_ref_arr = cube + 0.1 * rng.standard_normal(cube.shape)
+    ref = ref_psfsub.pca(cube.copy(), angles, cube_ref=cube_ref_arr.copy(),
+                         ncomp=5, verbose=False)
+    got = pca(cube.copy(), angles, cube_ref=cube_ref_arr.copy(), ncomp=5,
+              verbose=False)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_source_xy_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import pca
+
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=4, source_xy=(40, 35), fwhm=4, delta_rot=0.5,
+                  verbose=False)
+    ref = ref_psfsub.pca(cube.copy(), angles, **kwargs)
+    got = pca(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_cevr_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import pca
+
+    cube, angles = cube_angles
+    ref = ref_psfsub.pca(cube.copy(), angles, ncomp=0.95, verbose=False)
+    got = pca(cube.copy(), angles, ncomp=0.95, verbose=False)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_svd_wrapper_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub.svd import svd_wrapper
+
+    cube, _ = cube_angles
+    matrix = cube.reshape(cube.shape[0], -1)
+    for mode in ["lapack", "eigen"]:
+        ref_v = ref_psfsub.svd.svd_wrapper(matrix, mode, 6, False)
+        got_v = svd_wrapper(matrix, mode, 6, False)
+        # singular vectors have a sign ambiguity; compare projections
+        assert np.allclose(np.abs(ref_v), np.abs(got_v), atol=1e-7)
+        ref_proj = matrix @ ref_v.T @ ref_v
+        got_proj = matrix @ got_v.T @ got_v
+        assert np.max(np.abs(ref_proj - got_proj)) < 1e-7

@@ -1,0 +1,206 @@
+"""Runtime utilities: array checks, progress, persistence, device batching.
+
+TPU-native replacement of the reference's
+``vip_hci/config/utils_conf.py``. The reference's central abstraction is
+``pool_map`` — a fork-based ``multiprocessing.Pool`` map with BLAS-thread
+pinning (utils_conf.py:445-551). On TPU the equivalent of the whole process
+pool is *batched device computation*: every ``pool_map`` call site maps to a
+``jax.vmap`` (single chip) or ``jax.shard_map`` (multi chip) axis. A
+compatibility ``pool_map`` shim is still provided for host-side code paths
+(e.g. plotting or I/O loops) — it executes serially or vectorized, never
+forks.
+"""
+
+import os
+import sys
+from contextlib import contextmanager
+
+import numpy as np
+
+sep = "-" * 80
+
+__all__ = [
+    "sep",
+    "check_array",
+    "frame_or_shape",
+    "iterable",
+    "pool_map",
+    "make_chunks",
+    "Progressbar",
+    "Saveable",
+    "redirect_output",
+    "vip_figsize",
+    "vip_figdpi",
+]
+
+vip_figsize = (8, 5)
+vip_figdpi = 100
+
+
+# ---------------------------------------------------------------------------
+# array checking
+# ---------------------------------------------------------------------------
+def check_array(input_array, dim, msg=None):
+    """Check the dimensionality of an input array.
+
+    Parity with reference utils_conf.py:309-410: ``dim`` may be an int or a
+    tuple of accepted ndims. 1d inputs may be list/tuple as well.
+    """
+    if msg is None:
+        msg = "Input array"
+
+    error = False
+    if isinstance(dim, (int, np.integer)):
+        dims = (dim,)
+    else:
+        dims = tuple(int(d) for d in dim)
+
+    if 1 in dims and isinstance(input_array, (list, tuple)):
+        input_array = np.asarray(input_array)
+
+    if not isinstance(input_array, np.ndarray):
+        try:
+            import jax
+
+            if not isinstance(input_array, jax.Array):
+                error = True
+        except ImportError:
+            error = True
+    if not error and input_array.ndim not in dims:
+        error = True
+
+    if error:
+        dim_names = {1: "1d", 2: "2d", 3: "3d", 4: "4d"}
+        wanted = " or ".join(dim_names.get(d, f"{d}d") for d in dims)
+        raise TypeError(f"`{msg}` must be a {wanted} numpy ndarray")
+    return input_array
+
+
+def frame_or_shape(data):
+    """Accept a 2d frame or a shape tuple; return a 2d array (of zeros for a
+    shape). Mirrors reference utils_conf behavior used by ``var.shapes``."""
+    if isinstance(data, tuple):
+        return np.zeros(data)
+    data = np.asarray(data)
+    if data.ndim != 2:
+        raise TypeError("`data` must be a frame or a shape tuple")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# pool_map compatibility shim (host-side only; device code uses vmap)
+# ---------------------------------------------------------------------------
+class _Iterable:
+    """Marker wrapping the arguments of ``pool_map`` that vary per task
+    (reference utils_conf.py:413-442)."""
+
+    def __init__(self, it):
+        self.it = it
+
+
+def iterable(it):
+    return _Iterable(it)
+
+
+def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=False,
+             **kwargs):
+    """Serial map over the product of ``iterable``-wrapped args.
+
+    Compatibility shim for reference ``pool_map`` (utils_conf.py:445-551).
+    The TPU build never forks: hot paths are vmapped on device, and the rare
+    remaining host loops run serially here. ``nproc`` is accepted and
+    ignored so that reference call signatures keep working.
+    """
+    iterables = [a.it for a in args if isinstance(a, _Iterable)]
+    if not iterables:
+        return [fkt(*args)]
+    length = len(iterables[0])
+    results = []
+    for i in range(length):
+        call_args = [a.it[i] if isinstance(a, _Iterable) else a for a in args]
+        results.append(fkt(*call_args))
+    return results
+
+
+def make_chunks(lst, n):
+    """Split ``lst`` into ``n`` chunks (reference utils_conf.py:615-635)."""
+    lst = list(lst)
+    k, m = divmod(len(lst), n)
+    return [lst[i * k + min(i, m):(i + 1) * k + min(i + 1, m)] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# progress bar
+# ---------------------------------------------------------------------------
+def Progressbar(iterable=None, desc=None, total=None, leave=True, backend=None,
+                verbose=True):
+    """Minimal progress wrapper (reference utils_conf.py:133-213).
+
+    Uses tqdm when available and verbose, else returns the iterable as-is.
+    """
+    if not verbose or iterable is None:
+        return iterable
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, desc=desc, total=total, leave=leave)
+    except ImportError:
+        return iterable
+
+
+# ---------------------------------------------------------------------------
+# persistence
+# ---------------------------------------------------------------------------
+class Saveable:
+    """Mixin adding compressed-``.npz`` save/load with class tagging.
+
+    Reference: utils_conf.py:56-130. Arrays are stored as-is; other
+    attributes are pickled through numpy object arrays.
+    """
+
+    def save(self, filename: str):
+        import pickle
+
+        state = {}
+        for key, val in self.__dict__.items():
+            state[key] = val
+        payload = {
+            "__class__": type(self).__name__,
+            "__pickle__": np.frombuffer(pickle.dumps(state), dtype=np.uint8),
+        }
+        np.savez_compressed(filename, **payload)
+        return filename
+
+    @classmethod
+    def load(cls, filename: str):
+        import pickle
+
+        if not filename.endswith(".npz"):
+            filename = filename + ".npz"
+        with np.load(filename, allow_pickle=False) as f:
+            clsname = str(f["__class__"])
+            if clsname != cls.__name__:
+                raise TypeError(
+                    f"File {filename} holds a {clsname}, not a {cls.__name__}"
+                )
+            state = pickle.loads(f["__pickle__"].tobytes())
+        obj = cls.__new__(cls)
+        obj.__dict__.update(state)
+        return obj
+
+
+@contextmanager
+def redirect_output(filename):
+    """Redirect stdout to a file (reference utils_conf.py:638-660)."""
+    old = sys.stdout
+    with open(filename, "a") as f:
+        sys.stdout = f
+        try:
+            yield
+        finally:
+            sys.stdout = old
+
+
+def eval_func_tuple(f_args):
+    """Apply f to the rest of the tuple (reference helper)."""
+    return f_args[0](*f_args[1:])

@@ -1,0 +1,220 @@
+"""Jittable FFT geometric-transform kernels.
+
+TPU-native implementations of the reference's hot preprocessing math:
+
+- 3-shear FFT rotation ([LAR97]; reference ``rotate_fft`` at
+  vip_hci/preproc/derotation.py:542-640). Exact same math — including the
+  odd/even size juggling, the quadrant ``rot90`` pre-rotation and the
+  fftshift choreography — but expressed with traced rotation angles so a
+  whole cube derotates as ONE batched XLA computation instead of a process
+  pool (derotation.py:394-397).
+- Fourier sub-pixel shift (reference ``frame_shift`` 'vip-fft' path at
+  vip_hci/preproc/recentering.py:180-189 incl. the pad-to-square-even
+  preamble at :126-180).
+
+All kernels are shape-static (pad amounts are Python ints) and dtype
+polymorphic: float32 in → complex64 FFTs (TPU speed path), float64 in →
+complex128 (parity testing on CPU with x64 enabled).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "fft_shear",
+    "rotate_fft",
+    "rotate_fft_batch",
+    "fourier_shift",
+    "fourier_shift_batch",
+]
+
+
+def _shear_phase(N, dtype):
+    """(i - N/2)(j - N/2)/N phase grid shared by both shear axes.
+
+    For an even-size square array centered at N/2 the reference's
+    ``u ⊗ x`` product (derotation.py:625-640) reduces to this symmetric
+    outer product, identical for the x- and y-shears.
+    """
+    q = jnp.arange(N, dtype=dtype) - N / 2
+    return jnp.outer(q, q) / N
+
+
+def fft_shear(arr, c, ax, phase=None):
+    """One linear shear as a 1-D FFT phase multiplication.
+
+    ``arr`` must be an even-size square 2-d array (complex ok); ``c`` is the
+    (possibly traced) shear coefficient. Mirrors ``_fft_shear``
+    (derotation.py:625-640) with its fftshift sequence.
+    """
+    N = arr.shape[0]
+    if phase is None:
+        real_dtype = jnp.zeros((), jnp.result_type(arr, jnp.float32)).real.dtype
+        phase = _shear_phase(N, real_dtype)
+    s = jnp.fft.fftshift(arr)
+    s = jnp.fft.fft(s, axis=ax)
+    s = jnp.fft.fftshift(s)
+    s = jnp.exp(-2j * jnp.pi * c * phase) * s
+    s = jnp.fft.fftshift(s)
+    s = jnp.fft.ifft(s, axis=ax)
+    s = jnp.fft.fftshift(s)
+    return s
+
+
+def rotate_fft(array, angle):
+    """Rotate a square 2-d array by ``angle`` degrees (counter-clockwise)
+    using three FFT shears.
+
+    Jittable with a traced ``angle``; the data-dependent quadrant
+    pre-rotation (derotation.py:589-597) is a 4-way ``lax.switch``. For even
+    inputs the rotation center is at (y/2, x/2) — top-right of the central
+    2x2 block — exactly like the reference.
+    """
+    y_ori = array.shape[0]
+    if array.ndim != 2 or array.shape[0] != array.shape[1]:
+        raise ValueError("rotate_fft expects a square 2d array")
+
+    real_dtype = jnp.result_type(array.dtype, jnp.float32)
+    if jnp.issubdtype(real_dtype, jnp.complexfloating):
+        raise TypeError("rotate_fft expects a real array")
+    cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+    angle = jnp.asarray(angle, real_dtype) % 360.0
+
+    # quadrant decomposition: angle = 90*k + dangle, dangle in (-45, 45]
+    d = angle % 90.0
+    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
+    use_rot = angle > 45.0
+    k = jnp.where(use_rot, jnp.rint(angle / 90.0), 0.0).astype(jnp.int32) % 4
+    dangle = jnp.where(use_rot, dangle_gt, angle)
+
+    odd = y_ori % 2
+    if not odd:
+        arr = jnp.zeros((y_ori + 1, y_ori + 1), array.dtype)
+        arr = arr.at[:-1, :-1].set(array)
+    else:
+        arr = array
+
+    arr = jax.lax.switch(
+        k,
+        [
+            lambda a: a,
+            lambda a: jnp.rot90(a, 1),
+            lambda a: jnp.rot90(a, 2),
+            lambda a: jnp.rot90(a, 3),
+        ],
+        arr,
+    )
+    arr = arr[:-1, :-1]  # even N x N, center at N/2
+
+    N = arr.shape[0]
+    phase = _shear_phase(N, real_dtype)
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)
+    b = -jnp.sin(jnp.deg2rad(dangle))
+
+    s = fft_shear(arr.astype(cdtype), a, ax=1, phase=phase)
+    s = fft_shear(s, b, ax=0, phase=phase)
+    s = fft_shear(s, a, ax=1, phase=phase)
+    out = jnp.real(s).astype(array.dtype)
+
+    if odd:
+        res = jnp.zeros((y_ori, y_ori), array.dtype).at[:-1, :-1].set(out)
+    else:
+        res = out
+    return res
+
+
+def rotate_fft_batch(cube, angles):
+    """vmapped :func:`rotate_fft` over the leading frame axis."""
+    return jax.vmap(rotate_fft, in_axes=(0, 0))(cube, angles)
+
+
+# ---------------------------------------------------------------------------
+# Fourier sub-pixel shift
+# ---------------------------------------------------------------------------
+def fourier_shift(array, shift_y, shift_x, npad):
+    """Shift a 2-d array by (shift_y, shift_x) pixels via an FFT phase ramp.
+
+    ``npad`` is the *static* zero-pad margin — the reference computes
+    ``ceil(max|shift|)`` per call (recentering.py:127); pass that value for
+    bit-parity, or a common upper bound when batching frames with different
+    shifts. Replicates the pad-to-square / pad-to-even preamble
+    (recentering.py:126-180) including the shift-sign-dependent placement
+    for the odd→even case.
+    """
+    ny_ori, nx_ori = array.shape
+    real_dtype = jnp.result_type(array.dtype, jnp.float32)
+    shift_y = jnp.asarray(shift_y, real_dtype)
+    shift_x = jnp.asarray(shift_x, real_dtype)
+
+    # --- static geometry (mirrors recentering.py:128-180) ---
+    cy_ori, cx_ori = _frame_center_static(ny_ori, nx_ori)
+    new_y = ny_ori + 2 * npad
+    new_x = nx_ori + 2 * npad
+    cy, cx = _frame_center_static(new_y, new_x)
+    y0 = int(cy - cy_ori)
+    x0 = int(cx - cx_ori)
+
+    npix = max(new_y, new_x)
+    # placement of the (new_y, new_x) canvas inside the square canvas
+    if new_y > new_x:
+        sq_x0 = int(cy - cx)
+        sq_y0 = 0
+    elif new_x > new_y:
+        sq_y0 = int(cx - cy)
+        sq_x0 = 0
+    else:
+        sq_y0 = sq_x0 = 0
+
+    odd = npix % 2
+    npix_f = npix + 1 if odd else npix
+
+    p_y0_base = npad + sq_y0
+    p_x0_base = npad + sq_x0
+
+    # --- build padded square even canvas on device ---
+    canvas = jnp.zeros((npix_f, npix_f), array.dtype)
+    if odd:
+        off_y = jnp.where(shift_y > 0, 0, 1)
+        off_x = jnp.where(shift_x > 0, 0, 1)
+    else:
+        off_y = jnp.asarray(0)
+        off_x = jnp.asarray(0)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, array, (sq_y0 + y0 + off_y, sq_x0 + x0 + off_x)
+    )
+    p_y0 = p_y0_base + off_y
+    p_x0 = p_x0_base + off_x
+
+    # --- FFT phase-ramp shift (recentering.py:181-189) ---
+    ramp = jnp.broadcast_to(
+        jnp.arange(npix_f, dtype=real_dtype) - npix_f / 2, (npix_f, npix_f)
+    )
+    tilt = (-2 * jnp.pi / npix_f) * (shift_x * ramp + shift_y * ramp.T)
+    fact = jnp.fft.fftshift(jnp.cos(tilt) + 1j * jnp.sin(tilt))
+
+    image_ft = jnp.fft.fft2(canvas)
+    shifted = jnp.fft.ifft2(image_ft * fact).real.astype(array.dtype)
+
+    return jax.lax.dynamic_slice(shifted, (p_y0, p_x0), (ny_ori, nx_ori))
+
+
+def fourier_shift_batch(cube, shifts_y, shifts_x, npad):
+    """vmapped :func:`fourier_shift` with a shared static pad margin."""
+    return jax.vmap(fourier_shift, in_axes=(0, 0, 0, None))(
+        cube, shifts_y, shifts_x, npad
+    )
+
+
+def _frame_center_static(ny, nx):
+    """frame_center convention on static ints (var/coords.py:61)."""
+    cy = ny / 2
+    cx = nx / 2
+    if ny % 2:
+        cy -= 0.5
+    if nx % 2:
+        cx -= 0.5
+    return int(cy), int(cx)

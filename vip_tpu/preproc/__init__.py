@@ -1,0 +1,7 @@
+"""Preprocessing / calibration layer (reference L3:
+vip_hci/preproc/__init__.py:31-39) — the hot FFT-transform layer."""
+
+from .derotation import *
+from .parangles import *
+from .recentering import *
+from .subsampling import *

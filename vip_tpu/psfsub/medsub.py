@@ -1,0 +1,237 @@
+"""Median ADI / RDI subtraction.
+
+TPU rebuild of vip_hci/psfsub/medsub.py ([MAR06] median-ADI). Full-frame
+mode is a single device reduction; 'annular' smart mode gathers each
+annulus to a [n_frames, n_px] matrix and computes every frame's optimized
+median reference in one vmapped masked-median (replacing the pool over
+annuli at medsub.py:336-359 and the per-frame Python loop at :602-641).
+The per-frame library selection (PA threshold + nframes-closest) is host
+logic from ``_find_indices_adi`` emitted as a static boolean mask.
+
+4-d (ADI+mSDI) input is handled once the rescaling module lands.
+"""
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ALGO_KEY, Collapse, Imlib, Interpolation, time_ini, timing
+from ..config.utils_param import separate_kwargs_dict
+from ..preproc.derotation import (_define_annuli, _find_indices_adi,
+                                  cube_derotate)
+from ..preproc.parangles import check_pa_vector
+from ..preproc.subsampling import cube_collapse
+from ..var.shapes import get_annulus_segments, mask_circle
+
+__all__ = ["median_sub", "MEDIAN_SUB_Params"]
+
+
+@dataclass
+class MEDIAN_SUB_Params:
+    """Parameters of ``median_sub`` (reference medsub.py:46-88)."""
+
+    cube: np.ndarray = None
+    angle_list: np.ndarray = None
+    scale_list: np.ndarray = None
+    flux_sc_list: np.ndarray = None
+    fwhm: float = 4
+    radius_int: int = 0
+    asize: int = 4
+    delta_rot: int = 1
+    delta_sep: Union[float, tuple] = (0.1, 1)
+    mode: str = "fullfr"
+    nframes: int = None
+    sdi_only: bool = False
+    imlib: Enum = Imlib.VIPFFT
+    interpolation: Enum = Interpolation.LANCZOS4
+    collapse: Enum = Collapse.MEDIAN
+    cube_ref: np.ndarray = None
+    collapse_ref: str = "median"
+    nproc: int = 1
+    full_output: bool = False
+    verbose: bool = True
+
+
+@jax.jit
+def _masked_median_residuals(matrix, lib_mask):
+    """residual[f] = matrix[f] - nanmedian(matrix[lib_mask[f]], axis=0),
+    vectorized over frames. ``lib_mask`` is (n, n) boolean."""
+    def one(frame_row, mask_row):
+        lib = jnp.where(mask_row[:, None], matrix, jnp.nan)
+        return frame_row - jnp.nanmedian(lib, axis=0)
+
+    return jax.vmap(one)(matrix, lib_mask)
+
+
+def median_sub(*all_args: List, **all_kwargs: dict):
+    """(Smart) median-ADI / median-RDI.
+
+    Reference-parity signature via MEDIAN_SUB_Params; extra kwargs are
+    rot_options (medsub.py:91-215).
+    """
+    class_params, rot_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=MEDIAN_SUB_Params
+    )
+    algo_params = None
+    if ALGO_KEY in rot_options.keys():
+        algo_params = rot_options[ALGO_KEY]
+        del rot_options[ALGO_KEY]
+    if algo_params is None:
+        algo_params = MEDIAN_SUB_Params(*all_args, **class_params)
+
+    if algo_params.radius_int and len(rot_options) == 0:
+        rot_options["mask_val"] = 0
+        rot_options["ker"] = 1
+        rot_options["interp_zeros"] = True
+
+    array = np.asarray(algo_params.cube, dtype=float).copy()
+    if array.ndim not in (3, 4):
+        raise TypeError("Input array is not a 3d or 4d array")
+    if array.ndim == 4:
+        raise NotImplementedError("4D (ADI+mSDI) median_sub lands with the "
+                                  "rescaling module")
+
+    if algo_params.verbose:
+        start_time = time_ini()
+
+    angle_list = check_pa_vector(algo_params.angle_list)
+    n, y, x = array.shape
+    if array.shape[0] != angle_list.shape[0]:
+        raise TypeError("Input vector or parallactic angles has wrong length")
+
+    ref_frame = None
+    if algo_params.cube_ref is not None:
+        cube_ref = np.asarray(algo_params.cube_ref)
+        if cube_ref.shape[-1] != x or cube_ref.shape[-2] != y:
+            raise TypeError("Reference cube shape should have same xy "
+                            "dimensions as science cube")
+        if "median" in algo_params.collapse_ref:
+            ref_frame = np.median(cube_ref, axis=0)
+        elif "mean" in algo_params.collapse_ref:
+            ref_frame = np.mean(cube_ref, axis=0)
+        else:
+            ref_frame = cube_collapse(cube_ref, mode=algo_params.collapse_ref)
+
+    # The median frame is subtracted from each frame (if no RDI)
+    if algo_params.cube_ref is None:
+        model_psf = np.median(array, axis=0)
+        array -= model_psf
+
+    if algo_params.mode == "fullfr":
+        cube_out = array
+        if algo_params.cube_ref is not None:
+            if "sc" in algo_params.collapse_ref:
+                if len(algo_params.collapse_ref) > 9:
+                    idx_rin = algo_params.collapse_ref.index("n") + 1
+                    idx_rout = algo_params.collapse_ref.index("-")
+                    rin = int(algo_params.collapse_ref[idx_rin:idx_rout])
+                    rout = int(algo_params.collapse_ref[idx_rout + 1:])
+                else:
+                    rin = 0
+                    rout = y // 2 - 1
+                mask_ref = mask_circle(ref_frame, rin, fillwith=np.nan)
+                mask_ref = mask_circle(mask_ref, rout, fillwith=np.nan,
+                                       mode="out")
+                for i in range(n):
+                    mask_sci = mask_circle(array[i], rin, fillwith=np.nan)
+                    mask_sci = mask_circle(mask_sci, rout, fillwith=np.nan,
+                                           mode="out")
+                    scal_fac = np.nansum(mask_sci) / np.nansum(mask_ref)
+                    array[i] -= scal_fac * ref_frame
+                cube_out = array
+            else:
+                array -= ref_frame
+                cube_out = array
+        if algo_params.verbose:
+            print("Median psf reference subtracted")
+
+    elif algo_params.mode == "annular":
+        cube_out = np.zeros_like(array)
+        n_annuli = int((y / 2 - algo_params.radius_int) / algo_params.asize)
+        if algo_params.verbose:
+            print(f"N annuli = {n_annuli}, FWHM = {algo_params.fwhm}")
+
+        if algo_params.cube_ref is None and algo_params.nframes is not None \
+                and algo_params.nframes % 2 != 0:
+            raise TypeError("`nframes` argument must be even value")
+
+        for ann in range(n_annuli):
+            if algo_params.cube_ref is None:
+                res = _median_subt_ann_adi(
+                    array, ann, angle_list, n_annuli, algo_params.fwhm,
+                    algo_params.radius_int, algo_params.asize,
+                    algo_params.delta_rot, algo_params.nframes
+                )
+                mres, yy, xx, _ = res
+            else:
+                mres, yy, xx = _median_subt_ann_rdi(
+                    array, ref_frame, algo_params.collapse_ref, ann,
+                    algo_params.radius_int, algo_params.asize
+                )
+            cube_out[:, yy, xx] = mres
+        if algo_params.verbose:
+            print("Optimized median psf reference subtracted")
+    else:
+        raise RuntimeError("Mode not recognized")
+
+    cube_der = cube_derotate(cube_out, angle_list, nproc=algo_params.nproc,
+                             imlib=algo_params.imlib,
+                             interpolation=algo_params.interpolation,
+                             **rot_options)
+    if algo_params.radius_int:
+        cube_out = mask_circle(cube_out, algo_params.radius_int)
+        cube_der = mask_circle(cube_der, algo_params.radius_int)
+    frame = cube_collapse(cube_der, mode=algo_params.collapse)
+
+    if algo_params.verbose:
+        print("Done derotating and combining")
+        timing(start_time)
+    if algo_params.full_output:
+        return cube_out, cube_der, frame
+    return frame
+
+
+def _median_subt_ann_adi(array, ann, angle_list, n_annuli, fwhm, radius_int,
+                         annulus_width, delta_rot, nframes):
+    """Smart median subtraction in one annulus (medsub.py:602-641), with the
+    per-frame loop replaced by one vmapped masked median on device."""
+    n = array.shape[0]
+    pa_thr, inner_radius, _ = _define_annuli(angle_list, ann, n_annuli, fwhm,
+                                             radius_int, annulus_width,
+                                             delta_rot, 1, False)
+    indices = get_annulus_segments(array[0], inner_radius, annulus_width)[0]
+    yy, xx = indices
+    matrix = array[:, yy, xx]
+
+    if pa_thr != 0:
+        lib_mask = np.zeros((n, n), dtype=bool)
+        for frame in range(n):
+            idx = _find_indices_adi(angle_list, frame, pa_thr, nframes)
+            lib_mask[frame, idx] = True
+    else:
+        lib_mask = np.ones((n, n), dtype=bool)
+
+    matrix_res = np.asarray(
+        _masked_median_residuals(jnp.asarray(matrix), jnp.asarray(lib_mask))
+    )
+    return matrix_res, yy, xx, pa_thr
+
+
+def _median_subt_ann_rdi(array, frame_ref, collapse_ref, ann, radius_int,
+                         annulus_width):
+    """RDI median subtraction in one annulus (medsub.py:644-677)."""
+    inner_radius = radius_int + ann * annulus_width
+    indices = get_annulus_segments(array[0], inner_radius, annulus_width)[0]
+    yy, xx = indices
+    matrix_ref = frame_ref[yy, xx]
+    matrix = array[:, yy, xx]
+    if "sc" in collapse_ref:
+        scal = np.nansum(matrix, axis=1) / np.nansum(matrix_ref)
+        matrix_res = matrix - scal[:, None] * matrix_ref[None, :]
+    else:
+        matrix_res = matrix - matrix_ref[None, :]
+    return matrix_res, yy, xx

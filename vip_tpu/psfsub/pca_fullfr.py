@@ -1,0 +1,407 @@
+"""Full-frame PCA for ADI / RDI / ARDI (3-d cubes).
+
+TPU rebuild of vip_hci/psfsub/pca_fullfr.py. Same public surface —
+``pca(*args, **kwargs)`` with the dataclass-params convention
+(pca_fullfr.py:398-409), same return-shape dispatch — but the pipeline
+prepare-matrix → SVD → project/subtract → derotate → collapse executes as
+batched device computation: one (or a few) XLA programs instead of
+LAPACK + a fork pool.
+
+4-d (ADI+mSDI) modes and incremental (batch) PCA are provided by
+``pca_multispectral`` / ``pca_incremental`` (see utils_pca / pca_4d
+modules as they land).
+"""
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (ALGO_KEY, Adimsdi, Collapse, Imlib, Interpolation,
+                      SvdMode, check_array, check_enough_memory, time_ini,
+                      timing)
+from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..ops.linalg import matrix_scaling_jax, project_subtract, svd_top
+from ..preproc.derotation import (_compute_pa_thresh, _find_indices_adi,
+                                  cube_derotate)
+from ..preproc.parangles import check_pa_vector
+from ..preproc.subsampling import cube_collapse
+from ..var.coords import dist, frame_center
+from ..var.shapes import mask_circle, prepare_matrix, reshape_matrix
+from .svd import MODE_TO_METHOD, SVDecomposer, svd_wrapper
+
+__all__ = ["pca", "PCA_Params"]
+
+
+@dataclass
+class PCA_Params:
+    """Parameters of the ``pca`` algorithm (reference pca_fullfr.py:93-135)."""
+
+    cube: np.ndarray = None
+    angle_list: np.ndarray = None
+    cube_ref: np.ndarray = None
+    scale_list: np.ndarray = None
+    ncomp: Union[Tuple, List, float, int] = 1
+    svd_mode: Enum = SvdMode.LAPACK
+    scaling: Enum = None
+    mask_center_px: int = None
+    source_xy: Tuple[int] = None
+    delta_rot: int = None
+    fwhm: float = 4
+    adimsdi: Enum = Adimsdi.SINGLE
+    crop_ifs: bool = True
+    imlib: Enum = Imlib.VIPFFT
+    imlib2: Enum = Imlib.VIPFFT
+    interpolation: Enum = Interpolation.LANCZOS4
+    collapse: Enum = Collapse.MEDIAN
+    collapse_ifs: Enum = Collapse.MEAN
+    ifs_collapse_range: Union[str, Tuple[int]] = "all"
+    smooth: float = None
+    smooth_first_pass: float = None
+    mask_rdi: np.ndarray = None
+    ref_strategy: str = "RDI"
+    check_memory: bool = True
+    batch: Union[int, float] = None
+    nproc: int = 1
+    full_output: bool = False
+    verbose: bool = True
+    weights: np.ndarray = None
+    left_eigv: bool = False
+    min_frames_pca: int = 10
+    max_frames_pca: int = None
+    cube_sig: np.ndarray = None
+    med_of_npcs: bool = False
+
+
+def pca(*all_args: List, **all_kwargs: dict):
+    """Full-frame PCA PSF subtraction (ADI / RDI / ARDI).
+
+    Signature, parameter names and return-shape matrix follow the reference
+    ``pca`` (pca_fullfr.py:137-798). Keyword arguments not belonging to
+    ``PCA_Params`` are treated as ``rot_options`` for the derotation; a
+    pre-built params object may be passed as ``algo_params=``.
+    """
+    class_params, rot_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=PCA_Params
+    )
+    algo_params = None
+    if ALGO_KEY in rot_options.keys():
+        algo_params = rot_options[ALGO_KEY]
+        del rot_options[ALGO_KEY]
+    if algo_params is None:
+        algo_params = PCA_Params(*all_args, **class_params)
+
+    if algo_params.mask_center_px and len(rot_options) == 0:
+        rot_options["mask_val"] = 0
+        rot_options["ker"] = 1
+        rot_options["interp_zeros"] = True
+
+    start_time = time_ini(algo_params.verbose)
+
+    check_array(algo_params.cube, (3, 4), msg="cube")
+
+    if algo_params.left_eigv:
+        if (algo_params.batch is not None or algo_params.mask_rdi is not None
+                or algo_params.cube_ref is not None):
+            raise NotImplementedError(
+                "left_eigv is not compatible with 'mask_rdi' nor 'batch'"
+            )
+
+    if algo_params.cube.ndim == 4 or algo_params.scale_list is not None:
+        raise NotImplementedError(
+            "4D / ADI+mSDI PCA path not yet available in vip_tpu"
+        )
+    if algo_params.batch is not None:
+        raise NotImplementedError("incremental (batch) PCA not yet available")
+
+    if algo_params.cube_ref is not None:
+        if algo_params.ref_strategy == "ARDI":
+            algo_params.cube_ref = np.concatenate(
+                (algo_params.cube, algo_params.cube_ref)
+            )
+        elif algo_params.ref_strategy != "RDI":
+            raise TypeError("ref_strategy argument not recognized. Should be "
+                            "'RDI' or 'ARDI'")
+
+    add_params = {"start_time": start_time, "full_output": True}
+    func_params = setup_parameters(params_obj=algo_params, fkt=_adi_rdi_pca,
+                                   **add_params)
+    res_pca = _adi_rdi_pca(**func_params, **rot_options)
+
+    if algo_params.source_xy is not None:
+        if isinstance(algo_params.ncomp, (tuple, list)):
+            from .utils_pca import pca_grid  # noqa: F401 — grid path
+
+            if algo_params.full_output:
+                final_residuals_cube, frame, table, _ = res_pca
+                return final_residuals_cube, frame, table
+            return res_pca[1]
+        recon_cube, residuals_cube, residuals_cube_, frame = res_pca
+        if algo_params.full_output:
+            return frame, recon_cube, residuals_cube, residuals_cube_
+        return frame
+    else:
+        if isinstance(algo_params.ncomp, (tuple, list)):
+            final_residuals_cube, pclist = res_pca
+            if algo_params.med_of_npcs:
+                final_residuals_cube = np.median(final_residuals_cube, axis=0)
+            if algo_params.full_output:
+                return final_residuals_cube, pclist
+            return final_residuals_cube
+        pcs, recon, residuals_cube, residuals_cube_, frame = res_pca
+        if algo_params.full_output:
+            return frame, pcs, recon, residuals_cube, residuals_cube_
+        return frame
+
+
+def _adi_rdi_pca(cube, cube_ref, angle_list, ncomp, source_xy, delta_rot,
+                 fwhm, scaling, mask_center_px, svd_mode, imlib,
+                 interpolation, collapse, verbose, start_time, nproc,
+                 full_output, weights=None, mask_rdi=None, cube_sig=None,
+                 left_eigv=False, min_frames_pca=10, max_frames_pca=None,
+                 smooth=None, **rot_options):
+    """ADI/RDI full-frame PCA core (reference pca_fullfr.py:801-1035)."""
+    n, y, x = cube.shape
+    angle_list = check_pa_vector(angle_list)
+    if not n == angle_list.shape[0]:
+        raise ValueError("`angle_list` vector has wrong length. It must equal "
+                         "the number of frames in the cube")
+
+    if not np.isscalar(ncomp) and not isinstance(ncomp, (tuple, list)):
+        raise TypeError("`ncomp` must be an int, float, tuple or list in the "
+                        "ADI case")
+
+    if isinstance(ncomp, (tuple, list)):
+        from .utils_pca import pca_grid
+
+        return pca_grid(cube, angle_list, fwhm, range_pcs=ncomp,
+                        source_xy=source_xy, cube_ref=cube_ref, mode="fullfr",
+                        svd_mode=svd_mode, scaling=scaling,
+                        mask_center_px=mask_center_px, fmerit="mean",
+                        collapse=collapse, verbose=verbose,
+                        full_output=full_output, start_time=start_time,
+                        weights=weights, nproc=nproc, imlib=imlib,
+                        interpolation=interpolation, **rot_options)
+
+    nref = cube_ref.shape[0] if cube_ref is not None else n
+    if isinstance(ncomp, (int, np.integer)) and ncomp > nref:
+        ncomp = min(int(ncomp), nref)
+        print(f"Number of PCs too high (max PCs={nref}), using {ncomp} PCs "
+              "instead.")
+    elif np.isscalar(ncomp) and ncomp <= 0:
+        raise ValueError("Number of PCs too low. It should be > 0.")
+
+    if mask_rdi is not None:
+        from ..preproc.skysubtraction import cube_subtract_sky_pca
+
+        res = cube_subtract_sky_pca(cube, cube_ref, mask_rdi, ncomp=ncomp,
+                                    full_output=True)
+        residuals_cube = res[0]
+        pcs = res[2]
+        recon = res[-1]
+        recon_cube = None
+    elif source_xy is None:
+        residuals_result = _project_subtract(
+            cube, cube_ref, ncomp, scaling, mask_center_px, svd_mode, verbose,
+            True, cube_sig=cube_sig, left_eigv=left_eigv,
+        )
+        if verbose:
+            timing(start_time)
+        residuals_cube = residuals_result[0]
+        reconstructed = residuals_result[1]
+        V = residuals_result[2]
+        pcs = reshape_matrix(V, y, x) if not left_eigv else V.T
+        recon = reshape_matrix(reconstructed, y, x)
+        recon_cube = None
+    else:
+        # Rotation-threshold path: per-frame libraries (static host indices),
+        # per-frame SVD+projection on device.
+        if delta_rot is None or fwhm is None:
+            raise TypeError("Delta_rot or fwhm parameters missing. Needed for"
+                            "PA-based rejection of frames from the library")
+        nfrslib = []
+        residuals_cube = np.zeros_like(cube)
+        recon_cube = np.zeros_like(cube)
+        yc, xc = frame_center(cube[0], False)
+        x1, y1 = source_xy
+        ann_center = dist(yc, xc, y1, x1)
+        pa_thr = _compute_pa_thresh(ann_center, fwhm, delta_rot)
+        truncate = max_frames_pca is not None
+
+        for frame in range(n):
+            ind = _find_indices_adi(angle_list, frame, pa_thr,
+                                    truncate=truncate,
+                                    max_frames=max_frames_pca)
+            res_result = _project_subtract(
+                cube, cube_ref, ncomp, scaling, mask_center_px, svd_mode,
+                verbose, True, ind, frame, cube_sig=cube_sig,
+                left_eigv=left_eigv, min_frames_pca=min_frames_pca,
+            )
+            nfrslib.append(res_result[0])
+            residuals_cube[frame] = res_result[1].reshape((y, x))
+            recon_cube[frame] = res_result[2].reshape((y, x))
+
+        if verbose:
+            from ..stats import descriptive_stats
+
+            descriptive_stats(nfrslib, verbose=verbose, label="Size LIB: ")
+        pcs = None
+        recon = None
+
+    residuals_cube_ = cube_derotate(residuals_cube, angle_list, nproc=nproc,
+                                    imlib=imlib, interpolation=interpolation,
+                                    **rot_options)
+    frame = cube_collapse(residuals_cube_, mode=collapse, w=weights)
+    if smooth is not None:
+        from ..var.filters import frame_filter_lowpass
+
+        frame = frame_filter_lowpass(frame, mode="gauss", fwhm_size=smooth)
+    if mask_center_px:
+        residuals_cube_ = mask_circle(residuals_cube_, mask_center_px)
+        frame = mask_circle(frame, mask_center_px)
+    if verbose:
+        print("Done de-rotating and combining")
+        timing(start_time)
+
+    if source_xy is not None:
+        return recon_cube, residuals_cube, residuals_cube_, frame
+    return pcs, recon, residuals_cube, residuals_cube_, frame
+
+
+def _project_subtract(cube, cube_ref, ncomp, scaling, mask_center_px,
+                      svd_mode, verbose, full_output, indices=None,
+                      frame=None, cube_sig=None, left_eigv=False,
+                      min_frames_pca=10):
+    """PCA projection + model-PSF subtraction (pca_fullfr.py:1552-1737).
+
+    Whole-matrix path runs as one device computation; the per-frame
+    (rotation-threshold) path computes a library-sized SVD on device.
+    """
+    _, y, x = cube.shape
+
+    if not isinstance(ncomp, (int, np.integer, float, np.floating)):
+        raise TypeError("Type not recognized for ncomp, should be int or "
+                        "float")
+
+    if isinstance(ncomp, (float, np.floating)):
+        if not 1 > ncomp > 0:
+            raise ValueError("if `ncomp` is float, it must lie in the "
+                             "interval (0,1]")
+        svdecomp = SVDecomposer(cube, mode="fullfr", svd_mode=svd_mode,
+                                scaling=scaling, verbose=verbose)
+        _ = svdecomp.get_cevr(plot=False)
+        ncomp = svdecomp.cevr_to_ncomp(ncomp)
+        if verbose:
+            print(f"Components used : {ncomp}")
+
+    ncomp = int(ncomp)
+    method = MODE_TO_METHOD.get(str(getattr(svd_mode, "value", svd_mode)),
+                                "lapack")
+
+    discard = bool(left_eigv) and indices is None and frame is None
+    matrix = prepare_matrix(cube, scaling, mask_center_px, mode="fullfr",
+                            verbose=verbose and indices is None,
+                            discard_mask_pix=discard)
+    if cube_sig is None:
+        matrix_emp = matrix
+    else:
+        if discard:
+            matrix_sig = prepare_matrix(cube_sig, scaling, mask_center_px,
+                                        mode="fullfr", verbose=False,
+                                        discard_mask_pix=True)
+        else:
+            matrix_sig = cube_sig.reshape(cube_sig.shape[0], -1)
+        matrix_emp = matrix - matrix_sig
+
+    if cube_ref is not None:
+        matrix_ref = prepare_matrix(cube_ref, scaling, mask_center_px,
+                                    mode="fullfr", verbose=False,
+                                    discard_mask_pix=discard)
+    else:
+        matrix_ref = None
+
+    # per-frame (rotation-threshold) branch
+    if indices is not None and frame is not None:
+        try:
+            ref_lib = matrix_emp[indices]
+        except IndexError:
+            indices = None
+        if cube_ref is None and indices is None:
+            raise RuntimeError(
+                f"0 frames comply to delta_rot condition < less than "
+                f"min_frames_pca ({min_frames_pca}). Try decreasing delta_rot"
+                f" or min_frames_pca")
+        if cube_ref is not None:
+            ref_lib = np.concatenate((ref_lib, matrix_ref))
+        if ref_lib.shape[0] < min_frames_pca:
+            raise RuntimeError(
+                f"{ref_lib.shape[0]} frames comply to delta_rot condition < "
+                f"less than min_frames_pca ({min_frames_pca}). Try decreasing"
+                f" delta_rot or min_frames_pca")
+        if ref_lib.shape[0] < ncomp:
+            raise RuntimeError(
+                f"{ref_lib.shape[0]} frames comply to delta_rot condition < "
+                f"less than ncomp ({ncomp}). Try decreasing the parameter "
+                f"delta_rot or ncomp")
+        curr_frame = matrix[frame]
+        curr_frame_emp = matrix_emp[frame]
+        if left_eigv:
+            V = svd_wrapper(ref_lib, str(getattr(svd_mode, "value", svd_mode)),
+                            ncomp, False, left_eigv=True)
+            transformed = np.dot(curr_frame_emp.T, V)
+            reconstructed = np.dot(V, transformed.T)
+        else:
+            V = np.asarray(svd_top(jnp.asarray(ref_lib), ncomp,
+                                   method=method))
+            transformed = np.dot(curr_frame_emp, V.T)
+            reconstructed = np.dot(transformed.T, V)
+        residuals = curr_frame - reconstructed
+        if full_output:
+            return ref_lib.shape[0], residuals, reconstructed
+        return ref_lib.shape[0], residuals
+
+    # whole-matrix branch — one device computation
+    if left_eigv:
+        ref_lib = matrix_emp if matrix_ref is None else matrix_ref
+        V = svd_wrapper(ref_lib, str(getattr(svd_mode, "value", svd_mode)),
+                        ncomp, verbose, left_eigv=True)
+        transformed = np.dot(matrix_emp.T, V)
+        reconstructed = np.dot(V, transformed.T)
+        residuals = matrix - reconstructed
+        residuals_res = reshape_matrix(residuals, y, x)
+        if full_output:
+            return residuals_res, reconstructed, V
+        return residuals_res
+
+    res = project_subtract(
+        jnp.asarray(matrix),
+        None if matrix_ref is None else jnp.asarray(matrix_ref),
+        ncomp, method=method,
+        matrix_sig=None,
+        full_output=True,
+    ) if cube_sig is None else project_subtract(
+        jnp.asarray(matrix),
+        None if matrix_ref is None else jnp.asarray(matrix_ref),
+        ncomp, method=method,
+        matrix_sig=jnp.asarray(matrix_sig),
+        full_output=True,
+    )
+    residuals, reconstructed, V = (np.asarray(r) for r in res)
+    residuals_res = reshape_matrix(residuals, y, x)
+    if full_output:
+        return residuals_res, reconstructed, V
+    return residuals_res
+
+
+def get_pca_coeffs(cube, pcs, ncomp, scaling=None, mask_center_px=None,
+                   verbose=True):
+    """Weights of each PC for each frame (pca_fullfr.py:1740-1799)."""
+    z, y, x = np.shape(cube)
+    matrix = prepare_matrix(cube, scaling=scaling,
+                            mask_center_px=mask_center_px, mode="fullfr",
+                            verbose=verbose)
+    V = pcs.reshape(ncomp, -1)
+    return np.dot(V, matrix.T)
