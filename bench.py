@@ -46,19 +46,20 @@ def main():
         return pca_adi_pipeline(cube_d, ang_d, ncomp=NCOMP, method="eigen",
                                 collapse="median", chunk=chunk)
 
-    # compile + warm-up
+    # compile + warm-up (fetch a scalar to force execution on remote/async
+    # backends where block_until_ready may return early)
     out = run()
-    out.block_until_ready()
+    float(jnp.sum(out))
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = run()
-        out.block_until_ready()
+        checksum = float(jnp.sum(out))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(checksum)
 
     print(json.dumps({
         "metric": f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}",

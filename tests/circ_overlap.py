@@ -72,6 +72,8 @@ class _Table(dict):
 
 class CircularAperture:
     def __init__(self, positions, r):
+        if not isinstance(positions, np.ndarray):
+            positions = list(positions)
         positions = np.atleast_2d(np.asarray(positions, dtype=float))
         self.positions = positions  # (N, 2) as (x, y)
         self.r = float(r)

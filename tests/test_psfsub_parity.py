@@ -108,3 +108,29 @@ def test_svd_wrapper_parity(ref_psfsub, cube_angles):
         ref_proj = matrix @ ref_v.T @ ref_v
         got_proj = matrix @ got_v.T @ got_v
         assert np.max(np.abs(ref_proj - got_proj)) < 1e-7
+
+
+@pytest.mark.parametrize("nseg", [1, 4])
+def test_pca_annular_parity(ref_psfsub, cube_angles, nseg):
+    from vip_tpu.psfsub import pca_annular
+
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=3, asize=8, fwhm=4, delta_rot=0.5, n_segments=nseg,
+                  radius_int=2, verbose=False)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_annular_eigen_rdi_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub import pca_annular
+
+    cube, angles = cube_angles
+    rng = np.random.default_rng(11)
+    cref = cube + 0.05 * rng.standard_normal(cube.shape)
+    kwargs = dict(ncomp=4, asize=10, fwhm=4, delta_rot=0.3, svd_mode="eigen",
+                  verbose=False)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, cube_ref=cref.copy(),
+                                 **kwargs)
+    got = pca_annular(cube.copy(), angles, cube_ref=cref.copy(), **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7

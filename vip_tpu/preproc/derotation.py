@@ -235,8 +235,8 @@ def cube_derotate(array, angle_list, imlib="vip-fft",
             else:
                 work = np.where(mask, 0.0, work)
         cube = jnp.asarray(work)
-        out = np.asarray(_cube_rotate_fft(cube, jnp.asarray(-angle_list),
-                                          chunk))
+        out = np.array(_cube_rotate_fft(cube, jnp.asarray(-angle_list),
+                                        chunk))
         if has_mask:
             out[mask] = mask_val
         return out

@@ -3,3 +3,4 @@
 from .svd import *
 from .pca_fullfr import *
 from .medsub import *
+from .pca_local import *

@@ -1,0 +1,299 @@
+"""Annular PCA (PCA on annuli / annular sectors, ADI / RDI).
+
+TPU rebuild of vip_hci/psfsub/pca_local.py. The reference's
+frame-per-process pool (pca_local.py:726-742) becomes one vmapped,
+masked, batched SVD per (annulus, segment) — see
+``vip_tpu.ops.annular.batched_pca_patch_residuals`` for why zero-masked
+libraries are mathematically exact. PA thresholds, annulus geometry and
+library truncation (≤ max_frames_lib by ΔPA sort) are the reference's host
+logic emitted as static masks.
+"""
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import (ALGO_KEY, Collapse, Imlib, Interpolation, SvdMode,
+                      time_ini, timing)
+from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..ops.annular import batched_pca_patch_residuals
+from ..preproc.derotation import (_define_annuli, _find_indices_adi,
+                                  cube_derotate)
+from ..preproc.parangles import check_pa_vector
+from ..preproc.subsampling import cube_collapse
+from ..var.shapes import get_annulus_segments, matrix_scaling
+from .svd import MODE_TO_METHOD, get_eigenvectors
+
+__all__ = ["pca_annular", "PCA_ANNULAR_Params"]
+
+
+@dataclass
+class PCA_ANNULAR_Params:
+    """Parameters of ``pca_annular`` (reference pca_local.py:39-70)."""
+
+    cube: np.ndarray = None
+    angle_list: np.ndarray = None
+    cube_ref: np.ndarray = None
+    scale_list: np.ndarray = None
+    radius_int: int = 0
+    fwhm: float = 4
+    asize: float = 4
+    n_segments: Union[int, List[int], str] = 1
+    delta_rot: Union[float, Tuple[float], List[float]] = (0.1, 1)
+    delta_sep: Union[float, Tuple[float], List[float]] = (0.1, 1)
+    ncomp: Union[int, Tuple, np.ndarray, str] = 1
+    svd_mode: Enum = SvdMode.LAPACK
+    nproc: int = 1
+    min_frames_lib: int = 2
+    max_frames_lib: int = 200
+    tol: float = 1e-1
+    scaling: Enum = None
+    imlib: Enum = Imlib.VIPFFT
+    interpolation: Enum = Interpolation.LANCZOS4
+    collapse: Enum = Collapse.MEDIAN
+    collapse_ifs: Enum = Collapse.MEAN
+    ifs_collapse_range: Union[str, Tuple[int]] = "all"
+    theta_init: int = 0
+    weights: np.ndarray = None
+    cube_sig: np.ndarray = None
+    full_output: bool = False
+    verbose: bool = True
+    left_eigv: bool = False
+
+
+def pca_annular(*all_args: List, **all_kwargs: dict):
+    """PCA on concentric annuli (or annular sectors) with a parallactic-angle
+    rejection threshold (reference pca_local.py:73-462)."""
+    class_params, rot_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=PCA_ANNULAR_Params
+    )
+    algo_params = None
+    if ALGO_KEY in rot_options.keys():
+        algo_params = rot_options[ALGO_KEY]
+        del rot_options[ALGO_KEY]
+    if algo_params is None:
+        algo_params = PCA_ANNULAR_Params(*all_args, **class_params)
+
+    if algo_params.radius_int and len(rot_options) == 0:
+        rot_options["mask_val"] = 0
+        rot_options["ker"] = 1
+        rot_options["interp_zeros"] = True
+
+    if algo_params.verbose:
+        global start_time
+        start_time = time_ini()
+
+    if algo_params.cube.ndim == 3:
+        add_params = {"start_time": time_ini(False), "full_output": True}
+        func_params = setup_parameters(params_obj=algo_params,
+                                       fkt=_pca_adi_rdi, **add_params)
+        res = _pca_adi_rdi(**func_params, **rot_options)
+        cube_out, cube_der, frame = res
+        if algo_params.full_output:
+            return cube_out, cube_der, frame
+        return frame
+    raise NotImplementedError("4D pca_annular lands with the SDI module")
+
+
+def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
+                 n_segments=1, delta_rot=1, ncomp=1, svd_mode="lapack",
+                 nproc=None, min_frames_lib=2, max_frames_lib=200, tol=1e-1,
+                 scaling=None, imlib="vip-fft", interpolation="lanczos4",
+                 collapse="median", full_output=False, verbose=1,
+                 cube_ref=None, theta_init=0, weights=None, cube_sig=None,
+                 left_eigv=False, start_time=None, **rot_options):
+    """Annular ADI/RDI PCA core (reference pca_local.py:594-827)."""
+    array = np.asarray(cube, dtype=float)
+    if array.ndim != 3:
+        raise TypeError("Input array is not a cube or 3d array")
+    if array.shape[0] != np.asarray(angle_list).shape[0]:
+        raise TypeError("Input vector or parallactic angles has wrong length")
+    if start_time is None:
+        start_time = time_ini(False)
+
+    n, y, x = array.shape
+    angle_list = check_pa_vector(angle_list)
+    n_annuli = int((y / 2 - radius_int) / asize)
+
+    if isinstance(delta_rot, tuple):
+        delta_rot = np.linspace(delta_rot[0], delta_rot[1], num=n_annuli)
+    elif np.isscalar(delta_rot):
+        delta_rot = [delta_rot] * n_annuli
+    elif len(delta_rot) != n_annuli:
+        raise TypeError("If delta_rot is a list it should have n_annuli "
+                        "elements.")
+
+    if isinstance(n_segments, int):
+        n_segments = [n_segments for _ in range(n_annuli)]
+    elif n_segments == "auto":
+        # reference's auto-segments formula (pca_local.py:644-652)
+        n_segments = [2, 3]
+        ld = 2 * np.tan(360 / 4 / 2) * asize
+        for i in range(2, n_annuli):
+            radius = i * asize
+            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
+            n_segments.append(int(np.ceil(360 / ang)))
+
+    if verbose:
+        print(f"N annuli = {n_annuli}, FWHM = {fwhm:.3f}")
+        print("PCA per annulus (or annular sectors):")
+
+    ncomp_list = isinstance(ncomp, list)
+    if ncomp_list:
+        cube_out = np.zeros([len(ncomp), n, y, x])
+    else:
+        cube_out = np.zeros_like(array)
+
+    verbose_ann = int(verbose) + int(cube_ref is None) if verbose else verbose
+
+    method = MODE_TO_METHOD.get(str(getattr(svd_mode, "value", svd_mode)),
+                                "lapack")
+
+    for ann in range(n_annuli):
+        if isinstance(ncomp, (tuple, np.ndarray)):
+            if len(ncomp) == n_annuli:
+                ncompann = ncomp[ann]
+            else:
+                raise TypeError("If `ncomp` is a tuple, its length must "
+                                "match the number of annuli")
+        else:
+            ncompann = ncomp
+
+        n_segments_ann = n_segments[ann]
+        pa_thr, inner_radius, ann_center = _define_annuli(
+            angle_list, ann, n_annuli, fwhm, radius_int, asize,
+            delta_rot[ann], n_segments_ann, verbose_ann, True)
+        indices = get_annulus_segments(array[0], inner_radius, asize,
+                                       n_segments_ann, theta_init)
+        if left_eigv:
+            indices_out = get_annulus_segments(array[0], inner_radius, asize,
+                                               n_segments_ann, theta_init,
+                                               out=True)
+
+        # static per-frame library masks for this annulus
+        if pa_thr != 0:
+            lib_mask = np.zeros((n, n), dtype=bool)
+            lib_sizes = np.zeros(n, dtype=int)
+            for fr in range(n):
+                idx = _find_indices_adi(angle_list, fr, pa_thr, truncate=True,
+                                        max_frames=max_frames_lib)
+                lib_mask[fr, idx] = True
+                lib_sizes[fr] = len(idx)
+            if cube_ref is None and lib_sizes.min() < min_frames_lib:
+                raise RuntimeError(
+                    "Too few frames left in the PCA library. Accepted "
+                    f"indices length ({lib_sizes.min():.0f}) less than "
+                    f"{min_frames_lib:.0f}. Try decreasing either delta_rot "
+                    "or min_frames_lib.")
+        else:
+            lib_mask = np.ones((n, n), dtype=bool)
+            lib_sizes = np.full(n, n)
+
+        for j in range(n_segments_ann):
+            yy, xx = indices[j]
+            matrix_segm = matrix_scaling(array[:, yy, xx], scaling)
+            matrix_segm_ref = None
+            if cube_ref is not None:
+                matrix_segm_ref = matrix_scaling(cube_ref[:, yy, xx], scaling)
+            matrix_sig_segm = cube_sig[:, yy, xx] if cube_sig is not None \
+                else None
+
+            if left_eigv:
+                yy_o, xx_o = indices_out[j]
+                matrix_out_segm = matrix_scaling(array[:, yy_o, xx_o],
+                                                 scaling)
+                npc = max(ncomp) if ncomp_list else ncomp
+                V = get_eigenvectors(npc, matrix_out_segm,
+                                     str(getattr(svd_mode, "value",
+                                                 svd_mode)),
+                                     noise_error=tol, left_eigv=True)
+                if ncomp_list:
+                    for nn, npc_tmp in enumerate(ncomp):
+                        transformed = np.dot(V[:npc_tmp], matrix_segm)
+                        reconstructed = np.dot(transformed.T, V[:npc_tmp])
+                        cube_out[nn][:, yy, xx] = \
+                            matrix_segm - reconstructed.T
+                else:
+                    transformed = np.dot(V, matrix_segm)
+                    reconstructed = np.dot(transformed.T, V)
+                    residuals = matrix_segm - reconstructed.T
+                    cube_out[:, yy, xx] = residuals
+                continue
+
+            matrix_emp = matrix_segm if matrix_sig_segm is None \
+                else matrix_segm - matrix_sig_segm
+
+            if ncompann == "auto":
+                # data-dependent truncation: host loop per frame
+                residuals = np.empty_like(matrix_segm)
+                for fr in range(n):
+                    data_ref = matrix_emp[lib_mask[fr]]
+                    if matrix_segm_ref is not None:
+                        data_ref = np.vstack((matrix_segm_ref, data_ref))
+                    V = get_eigenvectors(
+                        "auto", data_ref,
+                        str(getattr(svd_mode, "value", svd_mode)),
+                        noise_error=tol)
+                    transformed = np.dot(matrix_emp[fr], V.T)
+                    residuals[fr] = matrix_segm[fr] - np.dot(transformed.T, V)
+                cube_out[:, yy, xx] = residuals
+                continue
+
+            npc_max = max(ncompann) if isinstance(ncompann, list) \
+                else int(ncompann)
+            n_ref_rows = 0 if matrix_segm_ref is None \
+                else matrix_segm_ref.shape[0]
+            # per-frame effective ncomp: min(ncomp, library rows, n_px)
+            # (reference get_eigenvectors svd.py:696-698)
+            k_eff = np.minimum(npc_max,
+                               np.minimum(lib_sizes + n_ref_rows,
+                                          matrix_segm.shape[1]))
+
+            res, V_all = batched_pca_patch_residuals(
+                jnp.asarray(matrix_segm), jnp.asarray(matrix_emp),
+                jnp.asarray(lib_mask), npc_max, method=method,
+                matrix_ref=None if matrix_segm_ref is None
+                else jnp.asarray(matrix_segm_ref),
+                k_eff=jnp.asarray(k_eff))
+
+            if isinstance(ncompann, list):
+                V_all = np.asarray(V_all)
+                for nn, npc_tmp in enumerate(ncompann):
+                    for fr in range(n):
+                        V = V_all[fr][:min(npc_tmp, k_eff[fr])]
+                        transformed = np.dot(matrix_emp[fr], V.T)
+                        cube_out[nn, fr][yy, xx] = \
+                            matrix_segm[fr] - np.dot(transformed.T, V)
+            else:
+                cube_out[:, yy, xx] = np.asarray(res)
+
+        if verbose == 1:
+            print(f"Done PCA with {svd_mode} for current annulus")
+            timing(start_time)
+
+    if ncomp_list:
+        cube_der = np.zeros_like(cube_out)
+        frame = []
+        for nn in range(len(ncomp)):
+            cube_der[nn] = cube_derotate(cube_out[nn], angle_list,
+                                         nproc=nproc, imlib=imlib,
+                                         interpolation=interpolation,
+                                         **rot_options)
+            frame.append(cube_collapse(cube_der[nn], mode=collapse,
+                                       w=weights))
+    else:
+        cube_der = cube_derotate(cube_out, angle_list, nproc=nproc,
+                                 imlib=imlib, interpolation=interpolation,
+                                 **rot_options)
+        frame = cube_collapse(cube_der, mode=collapse, w=weights)
+
+    if verbose:
+        print("Done derotating and combining.")
+        timing(start_time)
+
+    if full_output:
+        return cube_out, cube_der, frame
+    return frame

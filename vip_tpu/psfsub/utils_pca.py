@@ -1,0 +1,345 @@
+"""PCA helpers: grid search over #PCs, single-annulus PCA, incremental PCA.
+
+TPU rebuild of vip_hci/psfsub/utils_pca.py. ``pca_grid`` keeps the
+reference's SVD-once-truncate-many design (utils_pca.py:192-240) — which is
+already batch-friendly — with each truncation's projection and derotation
+running on device. ``pca_annulus`` is the NEGFC forward-model workhorse
+(one annulus: prepare → SVD → project → derotate → collapse), kept fully
+jittable so MCMC walkers can batch over it.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import time_ini, timing
+from ..preproc.derotation import cube_derotate
+from ..preproc.subsampling import cube_collapse
+from ..var.coords import dist, frame_center
+from ..var.shapes import prepare_matrix, reshape_matrix
+from .svd import svd_wrapper
+
+__all__ = ["pca_grid", "pca_annulus", "pca_incremental"]
+
+
+def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
+             cube_ref=None, mode="fullfr", annulus_width=20,
+             svd_mode="lapack", scaling=None, mask_center_px=None,
+             fmerit="mean", collapse="median", ifs_collapse_range="all",
+             verbose=True, full_output=False, debug=False, plot=False,
+             save_plot=None, start_time=None, scale_list=None,
+             initial_4dshape=None, weights=None,
+             exclude_negative_lobes=False, **rot_options):
+    """Grid of residual PCA frames over a range of #PCs; optionally
+    S/N-optimized at ``source_xy`` (reference utils_pca.py:25-428)."""
+    from ..var.shapes import disk_coords
+
+    def truncate_svd_get_finframe(matrix, angle_list, ncomp, V):
+        """Truncate the SVD at ncomp and get the final frame (fullfr)."""
+        transformed = np.dot(V[:ncomp], matrix.T)
+        reconstructed = np.dot(transformed.T, V[:ncomp])
+        residuals = matrix - reconstructed
+        frsize = int(np.sqrt(matrix.shape[1]))
+        residuals_res = reshape_matrix(residuals, frsize, frsize)
+        if scale_list is not None and initial_4dshape is not None:
+            from ..preproc.rescaling import cube_rescaling_wavelengths
+
+            z, n_adi, y_in, x_in = initial_4dshape
+            residuals_reshaped = np.zeros((n_adi, y_in, y_in))
+            if ifs_collapse_range == "all":
+                idx_ini, idx_fin = 0, z
+            else:
+                idx_ini, idx_fin = ifs_collapse_range
+            for i in range(n_adi):
+                frame_i = cube_rescaling_wavelengths(
+                    residuals_res[i * z + idx_ini:i * z + idx_fin],
+                    scale_list[idx_ini:idx_fin], full_output=False,
+                    inverse=True, y_in=y_in, x_in=x_in)
+                residuals_reshaped[i] = frame_i
+        else:
+            residuals_reshaped = residuals_res
+        residuals_der = cube_derotate(residuals_reshaped, angle_list,
+                                      **rot_options)
+        return cube_collapse(residuals_der, mode=collapse, w=weights)
+
+    def truncate_svd_get_finframe_ann(matrix, indices, angle_list, ncomp, V):
+        transformed = np.dot(V[:ncomp], matrix.T)
+        reconstructed = np.dot(transformed.T, V[:ncomp])
+        residuals_ann = matrix - reconstructed
+        residuals_res = np.zeros_like(cube)
+        residuals_res[:, indices[0], indices[1]] = residuals_ann
+        residuals_der = cube_derotate(residuals_res, angle_list,
+                                      **rot_options)
+        return cube_collapse(residuals_der, mode=collapse, w=weights)
+
+    def get_snr(frame, y, x, fwhm, fmerit):
+        from ..metrics.snr_source import snr
+
+        if fmerit == "max":
+            yy, xx = disk_coords((y, x), fwhm / 2.0,
+                                 (frame.shape[0], frame.shape[1]))
+            res = [snr(frame, (x_, y_), fwhm, plot=False, verbose=False,
+                       exclude_negative_lobes=exclude_negative_lobes,
+                       full_output=True)
+                   for y_, x_ in zip(yy, xx)]
+            snr_pixels = np.array(res, dtype=object)[:, -1]
+            fluxes = np.array(res, dtype=object)[:, 2]
+            argm = np.argmax(snr_pixels)
+            return np.max(snr_pixels), fluxes[argm]
+        elif fmerit == "px":
+            res = snr(frame, (x, y), fwhm, plot=False, verbose=False,
+                      exclude_negative_lobes=exclude_negative_lobes,
+                      full_output=True)
+            return res[-1], np.array(res, dtype=object)[2]
+        elif fmerit == "mean":
+            yy, xx = disk_coords((y, x), fwhm / 2.0,
+                                 (frame.shape[0], frame.shape[1]))
+            res = [snr(frame, (x_, y_), fwhm, plot=False, verbose=False,
+                       exclude_negative_lobes=exclude_negative_lobes,
+                       full_output=True)
+                   for y_, x_ in zip(yy, xx)]
+            snr_pixels = np.array(res, dtype=object)[:, -1]
+            fluxes = np.array(res, dtype=object)[:, 2]
+            return np.mean(snr_pixels), np.mean(fluxes)
+
+    if start_time is None:
+        start_time = time_ini(verbose)
+    n = cube.shape[0]
+
+    if source_xy is not None:
+        if fwhm is None:
+            raise ValueError("if source_xy is provided, so should fwhm")
+        x, y = source_xy
+    else:
+        x = y = None
+
+    if isinstance(range_pcs, list):
+        pclist = range_pcs
+        pcmax = max(pclist)
+    else:
+        if range_pcs is None:
+            pcmin, pcmax, step = 1, n - 1, 1
+        elif len(range_pcs) == 2:
+            pcmin, pcmax = range_pcs
+            pcmax = min(pcmax, n)
+            step = 1
+        elif len(range_pcs) == 3:
+            pcmin, pcmax, step = range_pcs
+            pcmax = min(pcmax, n)
+        else:
+            raise TypeError("`range_pcs` must be None or a tuple, "
+                            "corresponding to (PC_INI, PC_MAX) or "
+                            "(PC_INI, PC_MAX, STEP)")
+        pclist = list(range(pcmin, pcmax + 1, step))
+
+    if fmerit not in ["px", "max", "mean"]:
+        raise ValueError(f"Invalid value for fmerit: {fmerit}.")
+
+    if mode == "fullfr":
+        matrix = prepare_matrix(cube, scaling, mask_center_px, verbose=False)
+        ref_lib = matrix if cube_ref is None else prepare_matrix(
+            cube_ref, scaling, mask_center_px, verbose=False)
+        annind = None
+    elif mode == "annular":
+        y_cent, x_cent = frame_center(cube[0])
+        ann_radius = dist(y_cent, x_cent, y, x)
+        inrad = int(ann_radius - annulus_width / 2.0)
+        outrad = int(ann_radius + annulus_width / 2.0)
+        matrix, annind = prepare_matrix(cube, scaling, None, mode="annular",
+                                        inner_radius=inrad,
+                                        outer_radius=outrad, verbose=False)
+        if cube_ref is not None:
+            ref_lib, _ = prepare_matrix(cube_ref, scaling, mask_center_px,
+                                        "annular", inner_radius=inrad,
+                                        outer_radius=outrad, verbose=False)
+        else:
+            ref_lib = matrix
+    else:
+        raise RuntimeError("Wrong mode. Choose either fullfr or annular")
+
+    V = svd_wrapper(ref_lib, svd_mode, pcmax, verbose)
+    if verbose:
+        timing(start_time)
+
+    snrlist = []
+    fluxlist = []
+    frlist = []
+    for pc in pclist:
+        if mode == "fullfr":
+            frame = truncate_svd_get_finframe(matrix, angle_list, pc, V)
+        else:
+            frame = truncate_svd_get_finframe_ann(matrix, annind, angle_list,
+                                                  pc, V)
+        if x is not None and y is not None and fwhm is not None:
+            snr_value, flux = get_snr(frame, y, x, fwhm, fmerit)
+            if np.isnan(snr_value):
+                snr_value = 0
+            snrlist.append(snr_value)
+            fluxlist.append(flux)
+        frlist.append(frame)
+
+    cubeout = np.array(frlist)
+
+    if x is not None and y is not None and fwhm is not None:
+        from pandas import DataFrame
+
+        argmax = int(np.argmax(snrlist))
+        opt_npc = pclist[argmax]
+        df = DataFrame({"PCs": pclist, "S/Ns": snrlist, "fluxes": fluxlist})
+        if debug:
+            print(df, "\n")
+        if verbose:
+            print("Number of steps", len(pclist))
+            print(f"Optimal number of PCs = {opt_npc}, for "
+                  f"S/N={snrlist[argmax]:.3f}")
+        finalfr = cubeout[argmax]
+        return cubeout, finalfr, df, opt_npc
+
+    if verbose:
+        print(f"Computed residual frames for PCs interval: {range_pcs}")
+        print("Number of steps", len(pclist))
+        timing(start_time)
+
+    if full_output:
+        return cubeout, pclist
+    return cubeout
+
+
+def pca_annulus(cube, angs, ncomp, annulus_width, r_guess, cube_ref=None,
+                svd_mode="lapack", scaling=None, collapse="median",
+                weights=None, collapse_ifs="mean", **rot_options):
+    """PCA processed only on one annulus (reference utils_pca.py:617-756).
+
+    Used as the default NEGFC forward model.
+    """
+    def _pca_annulus_3d(cube, angs, ncomp, annulus_width, r_guess, cube_ref,
+                        svd_mode, scaling, collapse, weights, **rot_options):
+        inrad = int(r_guess - annulus_width / 2.0)
+        outrad = int(r_guess + annulus_width / 2.0)
+        data, ind = prepare_matrix(cube, scaling, mode="annular",
+                                   verbose=False, inner_radius=inrad,
+                                   outer_radius=outrad)
+        yy, xx = ind
+        if cube_ref is not None:
+            data_svd, _ = prepare_matrix(cube_ref, scaling, mode="annular",
+                                         verbose=False, inner_radius=inrad,
+                                         outer_radius=outrad)
+        else:
+            data_svd = data
+
+        V = svd_wrapper(data_svd, svd_mode, ncomp, verbose=False)
+        transformed = np.dot(data, V.T)
+        reconstructed = np.dot(transformed, V)
+        residuals = data - reconstructed
+        cube_zeros = np.zeros_like(cube)
+        cube_zeros[:, yy, xx] = residuals
+
+        if angs is not None:
+            cube_res_der = cube_derotate(cube_zeros, angs, **rot_options)
+            if collapse is not None:
+                return cube_collapse(cube_res_der, mode=collapse, w=weights)
+            return cube_res_der
+        if collapse is not None:
+            return cube_collapse(cube_zeros, mode=collapse, w=weights)
+        return cube_zeros
+
+    cube = np.asarray(cube)
+    if cube.ndim == 3:
+        return _pca_annulus_3d(cube, angs, ncomp, annulus_width, r_guess,
+                               cube_ref, svd_mode, scaling, collapse, weights,
+                               **rot_options)
+    elif cube.ndim == 4:
+        nch = cube.shape[0]
+        if cube_ref is not None and np.asarray(cube_ref).ndim == 3:
+            cube_ref = [cube_ref] * nch
+        if np.isscalar(ncomp):
+            ncomp = [ncomp] * nch
+        elif isinstance(ncomp, list) and len(ncomp) != nch:
+            raise TypeError("If ncomp is a list, in the case of a 4d input "
+                            "cube without input scale_list, it should have "
+                            "the same length as the first dimension of the "
+                            "cube.")
+        if collapse is None:
+            raise ValueError("mode not supported. Provide value for collapse")
+        ifs_res = np.zeros([nch, cube.shape[2], cube.shape[3]])
+        for ch in range(nch):
+            cube_ref_tmp = cube_ref[ch] if cube_ref is not None else None
+            ifs_res[ch] = _pca_annulus_3d(cube[ch], angs, ncomp[ch],
+                                          annulus_width, r_guess,
+                                          cube_ref_tmp, svd_mode, scaling,
+                                          collapse, weights, **rot_options)
+        return cube_collapse(ifs_res, mode=collapse_ifs)
+    raise TypeError("Input cube must be 3d or 4d")
+
+
+def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
+                    verbose=True, full_output=False, start_time=None,
+                    weights=None, nproc=1, imlib="vip-fft",
+                    interpolation="lanczos4", **rot_options):
+    """Incremental (out-of-core) full-frame PCA for cubes larger than
+    memory (reference utils_pca.py:431-614).
+
+    Device version: batches stream through an incremental truncated SVD
+    (merge-and-truncate), replacing sklearn's IncrementalPCA partial_fit.
+    ``cube`` may be a str path to a FITS file (memory-mapped read).
+    """
+    if isinstance(cube, str):
+        from ..fits import open_fits
+
+        cube = open_fits(cube, verbose=False)
+    cube = np.asarray(cube)
+    n, y, x = cube.shape
+
+    if start_time is None:
+        start_time = time_ini(verbose)
+
+    if isinstance(batch, float):
+        batch_size = max(1, int(batch * n))
+    else:
+        batch_size = int(batch)
+    n_batches = int(np.ceil(n / batch_size))
+
+    # streaming mean + merge-and-truncate incremental SVD of the centered
+    # data (equivalent subspace to IncrementalPCA for k << batch)
+    k = int(ncomp)
+    keep = min(n, max(2 * k + 2, k + 10))
+    mean = np.zeros(y * x)
+    count = 0
+    basis = None  # (r, p) row space basis scaled by singular values
+
+    for b in range(n_batches):
+        blk = cube[b * batch_size:(b + 1) * batch_size].reshape(-1, y * x)
+        m = blk.shape[0]
+        new_count = count + m
+        blk_mean = blk.mean(axis=0)
+        mean_corr = np.sqrt(count * m / new_count) * (blk_mean - mean)
+        centered = blk - blk_mean
+        stack = [centered, mean_corr[None, :]]
+        if basis is not None:
+            stack.insert(0, basis)
+        stacked = np.vstack(stack)
+        U, S, Vh = np.linalg.svd(stacked, full_matrices=False)
+        r = min(keep, len(S))
+        basis = (S[:r, None] * Vh[:r])
+        mean = (count * mean + m * blk_mean) / new_count
+        count = new_count
+        if verbose:
+            print(f"Batch {b + 1}/{n_batches} processed")
+
+    V = basis[:k] / np.linalg.norm(basis[:k], axis=1, keepdims=True)
+
+    matrix = cube.reshape(n, -1)
+    transformed = (matrix - mean) @ V.T
+    reconstructed = transformed @ V + mean
+    residuals = reshape_matrix(matrix - reconstructed, y, x)
+
+    residuals_der = cube_derotate(residuals, angle_list, nproc=nproc,
+                                  imlib=imlib, interpolation=interpolation,
+                                  **rot_options)
+    frame = cube_collapse(residuals_der, mode=collapse, w=weights)
+    if verbose:
+        timing(start_time)
+    if full_output:
+        pcs = reshape_matrix(V, y, x)
+        medians = None
+        return frame, None, pcs, medians
+    return frame
