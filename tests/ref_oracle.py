@@ -187,8 +187,127 @@ def _install_stubs():
 
         modeling = _mod("astropy.modeling")
         astropy.modeling = modeling
-        modeling.models = _mod("astropy.modeling.models")
-        modeling.fitting = _mod("astropy.modeling.fitting")
+        models_m = _mod("astropy.modeling.models")
+        fitting_m = _mod("astropy.modeling.fitting")
+        modeling.models = models_m
+        modeling.fitting = fitting_m
+
+        class _Param:
+            def __init__(self, value):
+                self.value = float(value)
+
+        class _Model2D:
+            _pnames = ()
+
+            def __init__(self, **kw):
+                for name, default in zip(self._pnames, self._defaults):
+                    setattr(self, name, _Param(kw.get(name, default)))
+
+            def parameters(self):
+                return np.array([getattr(self, n).value
+                                 for n in self._pnames])
+
+            def with_parameters(self, p):
+                new = type(self)()
+                for name, val in zip(self._pnames, p):
+                    setattr(new, name, _Param(val))
+                return new
+
+            def __call__(self, x, y):
+                return self.evaluate(np.asarray(x, float),
+                                     np.asarray(y, float),
+                                     *self.parameters())
+
+        class Gaussian2D(_Model2D):
+            _pnames = ("amplitude", "x_mean", "y_mean", "x_stddev",
+                       "y_stddev", "theta")
+            _defaults = (1.0, 0.0, 0.0, 1.0, 1.0, 0.0)
+
+            @staticmethod
+            def evaluate(x, y, amplitude, x_mean, y_mean, x_stddev, y_stddev,
+                         theta):
+                cost2 = np.cos(theta) ** 2
+                sint2 = np.sin(theta) ** 2
+                sin2t = np.sin(2 * theta)
+                a = 0.5 * (cost2 / x_stddev**2 + sint2 / y_stddev**2)
+                b = 0.5 * (sin2t / x_stddev**2 - sin2t / y_stddev**2)
+                c = 0.5 * (sint2 / x_stddev**2 + cost2 / y_stddev**2)
+                xd = x - x_mean
+                yd = y - y_mean
+                return amplitude * np.exp(-(a * xd**2 + b * xd * yd
+                                            + c * yd**2))
+
+        class Moffat2D(_Model2D):
+            _pnames = ("amplitude", "x_0", "y_0", "gamma", "alpha")
+            _defaults = (1.0, 0.0, 0.0, 1.0, 1.0)
+
+            @staticmethod
+            def evaluate(x, y, amplitude, x_0, y_0, gamma, alpha):
+                rr_gg = ((x - x_0) ** 2 + (y - y_0) ** 2) / gamma**2
+                return amplitude * (1 + rr_gg) ** (-alpha)
+
+        class AiryDisk2D(_Model2D):
+            _pnames = ("amplitude", "x_0", "y_0", "radius")
+            _defaults = (1.0, 0.0, 0.0, 1.0)
+
+            @staticmethod
+            def evaluate(x, y, amplitude, x_0, y_0, radius):
+                from scipy.special import j1
+
+                RZ = 1.2196698912665045
+                r = np.hypot(x - x_0, y - y_0) / (radius / RZ)
+                out = np.ones_like(r, dtype=float)
+                mask = r > 0
+                rt = np.pi * r[mask]
+                out[mask] = (2.0 * j1(rt) / rt) ** 2
+                return amplitude * out
+
+        class Const2D(_Model2D):
+            _pnames = ("amplitude",)
+            _defaults = (0.0,)
+
+            @staticmethod
+            def evaluate(x, y, amplitude):
+                return np.full_like(np.asarray(x, float), amplitude)
+
+        models_m.Gaussian2D = Gaussian2D
+        models_m.Moffat2D = Moffat2D
+        models_m.AiryDisk2D = AiryDisk2D
+        models_m.Const2D = Const2D
+
+        class LevMarLSQFitter:
+            def __init__(self, *a, **k):
+                self.fit_info = {}
+
+            def __call__(self, model, x, y, data, **kw):
+                from scipy.optimize import least_squares
+
+                x = np.asarray(x, float).ravel()
+                y = np.asarray(y, float).ravel()
+                data = np.asarray(data, float).ravel()
+                p0 = model.parameters()
+
+                def resid(p):
+                    return model.evaluate(x, y, *p) - data
+
+                try:
+                    res = least_squares(resid, p0, method="lm",
+                                        max_nfev=5000)
+                except Exception:
+                    res = least_squares(resid, p0, max_nfev=5000)
+                try:
+                    _, s, VT = np.linalg.svd(res.jac, full_matrices=False)
+                    thr = np.finfo(float).eps * max(res.jac.shape) * s[0]
+                    s_ = s[s > thr]
+                    VT = VT[: s_.size]
+                    dof = max(res.fun.size - res.x.size, 1)
+                    cov = (VT.T / s_**2) @ VT * 2 * res.cost / dof
+                    self.fit_info["param_cov"] = cov
+                except Exception:
+                    self.fit_info["param_cov"] = None
+                return model.with_parameters(res.x)
+
+        fitting_m.LevMarLSQFitter = LevMarLSQFitter
 
         io = _mod("astropy.io")
         astropy.io = io

@@ -2,3 +2,4 @@
 
 from .snr_source import *
 from .stim import *
+from .contrcurve import *

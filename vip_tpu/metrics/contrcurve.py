@@ -1,0 +1,498 @@
+"""Contrast curves, throughput and annulus-noise sampling.
+
+TPU rebuild of vip_hci/metrics/contrcurve.py. All aperture photometry
+(noise_per_annulus and throughput recovery) runs through the batched exact
+device photometry (vip_tpu.ops.apertures); the per-pattern fake-companion
+injections use the batched injector. The `algo` stays a black-box callable
+for API parity (contrcurve.py:36,86).
+"""
+
+from inspect import getfullargspec
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import stats
+from scipy.interpolate import InterpolatedUnivariateSpline
+from scipy.signal import savgol_filter
+
+from ..config import time_ini, timing
+from ..fm.fakecomp import (cube_inject_companions, frame_inject_companion,
+                           normalize_psf)
+from ..ops.apertures import aperture_flux as _aperture_flux_device
+from ..var.coords import dist, frame_center
+from ..var.shapes import disk_coords
+
+__all__ = ["contrast_curve", "throughput", "noise_per_annulus",
+           "aperture_flux"]
+
+
+def aperture_flux(array, yc, xc, fwhm, ap_factor=1, mean=False,
+                  verbose=False):
+    """Sum (or mean) of pixels in circular apertures (exact overlap;
+    reference contrcurve.py:1213-1263)."""
+    array = np.asarray(array, dtype=float)
+    yc = np.asarray(yc, dtype=float).reshape(-1)
+    xc = np.asarray(xc, dtype=float).reshape(-1)
+    if mean:
+        flux = np.zeros(len(yc))
+        for i, (y, x) in enumerate(zip(yc, xc)):
+            ind = disk_coords((y, x), (ap_factor * fwhm) / 2, array.shape)
+            flux[i] = np.mean(array[ind])
+        return flux
+    r = (ap_factor * fwhm) / 2
+    flux = np.asarray(_aperture_flux_device(jnp.asarray(array), yc, xc, r))
+    if verbose:
+        for i in range(len(yc)):
+            print(f"Coordinates of object {i} : ({yc[i]},{xc[i]})")
+            print(f"Object Flux = {flux[i]:.2f}")
+    return flux
+
+
+def noise_per_annulus(array, separation, fwhm, init_rad=None, wedge=(0, 360),
+                      verbose=False, debug=False):
+    """Noise (std) and mean residual level of FWHM apertures per annulus
+    (reference contrcurve.py:1097-1210); photometry batched on device."""
+    if array.ndim != 2:
+        raise TypeError("Input array is not a frame or 2d array")
+    if not isinstance(wedge, tuple):
+        raise TypeError("Wedge must be a tuple with the initial and final "
+                        "angles")
+
+    def find_coords(rad, sep, init_angle, fin_angle):
+        angular_range = fin_angle - init_angle
+        npoints = (np.deg2rad(angular_range) * rad) / sep
+        ang_step = angular_range / npoints
+        i = np.arange(int(npoints))
+        x = rad * np.cos(np.deg2rad(ang_step * i + init_angle))
+        y = rad * np.sin(np.deg2rad(ang_step * i + init_angle))
+        return y, x
+
+    if init_rad is None:
+        init_rad = fwhm
+
+    init_angle, fin_angle = wedge
+    centery, centerx = frame_center(array)
+    n_annuli = int(np.floor((centery - init_rad) / separation)) - 1
+    noise = []
+    res_level = []
+    vector_radd = []
+    if verbose:
+        print(f"{n_annuli} annuli")
+
+    arr_dev = jnp.asarray(np.asarray(array, float))
+    for i in range(n_annuli):
+        y = centery + init_rad + separation * i
+        rad = dist(centery, centerx, y, centerx)
+        yy, xx = find_coords(rad, fwhm, init_angle, fin_angle)
+        yy = yy + centery
+        xx = xx + centerx
+
+        fluxes = np.asarray(_aperture_flux_device(arr_dev, yy, xx, fwhm / 2))
+        noise.append(np.std(fluxes))
+        res_level.append(np.mean(fluxes))
+        vector_radd.append(rad)
+        if verbose:
+            print(f"Radius(px) = {rad}, Noise = {noise[-1]:.3f} ")
+
+    return np.array(noise), np.array(res_level), np.array(vector_radd)
+
+
+def _check_algo(algo, algo_class):
+    argl = getfullargspec(algo).args
+    if "cube" in argl and "angle_list" in argl and "verbose" in argl:
+        return argl
+    algo_name = algo.__name__
+    idx = algo.__module__.index(".", algo.__module__.index(".") + 1)
+    mod = algo.__module__[:idx]
+    tmp = __import__(mod, fromlist=[algo_name.upper() + "_Params"])
+    algo_params = getattr(tmp, algo_name.upper() + "_Params")
+    argl = [attr for attr in dir(algo_params)]
+    if "cube" in argl and "angle_list" in argl and "verbose" in argl:
+        return argl
+    raise TypeError("Ineligible algo for contrast curve function. algo "
+                    "should have parameters 'cube', 'angle_list' and "
+                    "'verbose'")
+
+
+def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
+               theta=0, inner_rad=1, fc_rad_sep=3, wedge=(0, 360), fc_snr=100,
+               noise_sep=1, full_output=False, verbose=True, nproc=1,
+               imlib="vip-fft", interpolation="lanczos4", scaling=None,
+               algo_class=None, **algo_dict):
+    """Algorithm throughput by injection-recovery on radial patterns
+    (reference contrcurve.py:584-1096)."""
+    array = cube
+    parangles = np.asarray(angle_list)
+
+    if array.ndim not in (3, 4):
+        raise TypeError("The input array is not a 3d or 4d cube")
+    if array.ndim == 3:
+        if array.shape[0] != parangles.shape[0]:
+            raise TypeError("Input parallactic angles vector has wrong "
+                            "length")
+        if psf_template.ndim != 2:
+            raise TypeError("Template PSF is not a frame or 2d array")
+        maxfcsep = int((array.shape[1] / 2.0) / fwhm) - 1
+        if fc_rad_sep < 3 or fc_rad_sep > maxfcsep:
+            raise ValueError("Too large separation between companions in the "
+                             f"radial patterns. Should lie between 3 and "
+                             f"{maxfcsep}")
+    else:
+        if array.shape[1] != parangles.shape[0]:
+            raise TypeError("Input parallactic angles vector has wrong "
+                            "length")
+        if psf_template.ndim != 3:
+            raise TypeError("Template PSF is not a frame, 3d array")
+
+    if psf_template.shape[1] % 2 == 0:
+        raise ValueError("Only odd-sized PSF is accepted")
+    if not hasattr(algo, "__call__"):
+        raise TypeError("Parameter `algo` must be a callable function")
+    if not isinstance(inner_rad, int):
+        raise TypeError("inner_rad must be an integer")
+    angular_range = wedge[1] - wedge[0]
+    if nbranch > 1 and angular_range < 360:
+        raise RuntimeError("Only a single branch is allowed when working on "
+                           "a wedge")
+
+    fwhm_med = np.median(fwhm) if isinstance(fwhm, (np.ndarray, list)) \
+        else fwhm
+
+    if verbose:
+        start_time = time_ini()
+
+    argl = _check_algo(algo, algo_class)
+    if "fwhm" in argl:
+        frame_nofc = algo(cube=array, angle_list=parangles, fwhm=fwhm_med,
+                          verbose=False, **algo_dict)
+    else:
+        frame_nofc = algo(cube=array, angle_list=parangles, verbose=False,
+                          **algo_dict)
+    if algo_dict.pop("scaling", None):
+        new_algo_dict = algo_dict.copy()
+        new_algo_dict["scaling"] = None
+        if "fwhm" in argl:
+            frame_nofc_noscal = algo(cube=array, angle_list=parangles,
+                                     fwhm=fwhm_med, verbose=False,
+                                     **new_algo_dict)
+        else:
+            frame_nofc_noscal = algo(cube=array, angle_list=parangles,
+                                     verbose=False, **new_algo_dict)
+    else:
+        frame_nofc_noscal = frame_nofc
+
+    if verbose:
+        print(f"Cube without fake companions processed with {algo.__name__}")
+        timing(start_time)
+
+    sep = fwhm_med if noise_sep is None else noise_sep
+    noise, res_level, vector_radd = noise_per_annulus(frame_nofc,
+                                                      separation=sep,
+                                                      fwhm=fwhm_med,
+                                                      wedge=wedge)
+    noise_noscal, _, _ = noise_per_annulus(frame_nofc_noscal, separation=sep,
+                                           fwhm=fwhm_med, wedge=wedge)
+
+    vector_radd = vector_radd[inner_rad - 1:]
+    noise = noise[inner_rad - 1:]
+    res_level = res_level[inner_rad - 1:]
+    noise_noscal = noise_noscal[inner_rad - 1:]
+    if verbose:
+        print("Measured annulus-wise noise in resulting frame")
+        timing(start_time)
+
+    new_psf_size = int(round(3 * fwhm_med))
+    if new_psf_size % 2 == 0:
+        new_psf_size += 1
+
+    if cube.ndim == 3:
+        n, y, x = array.shape
+        psf_template = normalize_psf(
+            psf_template, fwhm=fwhm, verbose=verbose,
+            size=min(new_psf_size, psf_template.shape[1]))
+
+        angle_branch = angular_range / nbranch
+        thruput_arr = np.zeros((nbranch, noise.shape[0]))
+        fc_map_all = np.zeros((nbranch * fc_rad_sep, y, x))
+        frame_fc_all = np.zeros((nbranch * fc_rad_sep, y, x))
+        cy, cx = frame_center(array[0])
+
+        for br in range(nbranch):
+            for irad in range(fc_rad_sep):
+                radvec = vector_radd[irad::fc_rad_sep]
+                cube_fc = array.copy()
+                fc_map = np.ones_like(array[0]) * 1e-6
+                fcy = []
+                fcx = []
+                for i in range(radvec.shape[0]):
+                    flux = fc_snr * noise_noscal[irad + i * fc_rad_sep]
+                    cube_fc = cube_inject_companions(
+                        cube_fc, psf_template, parangles, flux,
+                        rad_dists=[radvec[i]],
+                        theta=br * angle_branch + theta, nproc=nproc,
+                        imlib=imlib, interpolation=interpolation,
+                        copy_array=False, verbose=False)
+                    yi = cy + radvec[i] * np.sin(
+                        np.deg2rad(br * angle_branch + theta))
+                    xi = cx + radvec[i] * np.cos(
+                        np.deg2rad(br * angle_branch + theta))
+                    fc_map = frame_inject_companion(fc_map, psf_template, yi,
+                                                    xi, flux, imlib,
+                                                    interpolation)
+                    fcy.append(yi)
+                    fcx.append(xi)
+
+                if verbose:
+                    print(f"Fake companions injected in branch {br + 1} "
+                          f"(pattern {irad + 1}/{fc_rad_sep})")
+                    timing(start_time)
+
+                if "fwhm" in argl:
+                    frame_fc = algo(cube=cube_fc, angle_list=parangles,
+                                    fwhm=fwhm_med, verbose=False, **algo_dict)
+                else:
+                    frame_fc = algo(cube=cube_fc, angle_list=parangles,
+                                    verbose=False, **algo_dict)
+
+                if verbose:
+                    print(f"Cube with fake companions processed with "
+                          f"{algo.__name__}\nMeasuring its annulus-wise "
+                          "throughput")
+                    timing(start_time)
+
+                injected_flux = aperture_flux(fc_map, fcy, fcx, fwhm_med)
+                recovered_flux = aperture_flux(frame_fc - frame_nofc, fcy,
+                                               fcx, fwhm_med)
+                thruput = recovered_flux / injected_flux
+                thruput[np.where(thruput < 0)] = 0
+
+                thruput_arr[br, irad::fc_rad_sep] = thruput
+                fc_map_all[br * fc_rad_sep + irad] = fc_map
+                frame_fc_all[br * fc_rad_sep + irad] = frame_fc
+    else:
+        raise NotImplementedError("4D throughput lands with the SDI module")
+
+    if verbose:
+        print(f"Finished measuring the throughput in {nbranch} branches")
+        timing(start_time)
+
+    if full_output:
+        return (thruput_arr, noise, res_level, vector_radd, frame_fc_all,
+                frame_nofc, fc_map_all)
+    return thruput_arr, vector_radd
+
+
+def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
+                   algo, sigma=5, nbranch=1, theta=0, inner_rad=1,
+                   fc_rad_sep=3, noise_sep=1, wedge=(0, 360), fc_snr=100,
+                   student=True, transmission=None, smooth=True,
+                   interp_order=2, plot=False, dpi=100, debug=False,
+                   verbose=True, full_output=False, save_plot=None,
+                   object_name=None, frame_size=None, fix_y_lim=(),
+                   figsize=(8, 5), algo_class=None, **algo_dict):
+    """Contrast curve at ``sigma`` confidence with the [MAW14] small-sample
+    correction (reference contrcurve.py:29-580)."""
+    import pandas as pd
+
+    if cube.ndim != 3 and cube.ndim != 4:
+        raise TypeError("The input array is not a 3d or 4d cube")
+    if cube.ndim == 3 and cube.shape[0] != angle_list.shape[0]:
+        raise TypeError("Input parallactic angles vector has wrong length")
+    if cube.ndim == 4 and cube.shape[1] != angle_list.shape[0]:
+        raise TypeError("Input parallactic angles vector has wrong length")
+    if cube.ndim == 3 and psf_template.ndim != 2:
+        raise TypeError("Template PSF is not a frame (for ADI case)")
+    if transmission is not None:
+        transmission = np.asarray(transmission, dtype=float)
+        if len(transmission) != 2 and len(transmission) != cube.shape[0] + 1:
+            raise TypeError("transmission vector should have 2 or 1+n_ch "
+                            "rows")
+
+    if isinstance(fwhm, (np.ndarray, list)):
+        fwhm_med = np.median(fwhm)
+    else:
+        fwhm_med = fwhm
+
+    if verbose:
+        start_time = time_ini()
+        if isinstance(starphot, float) or isinstance(starphot, int):
+            msg0 = "ALGO : {}, FWHM = {}, # BRANCHES = {}, SIGMA = {}, "
+            msg0 += "STARPHOT = {}"
+            print(msg0.format(algo.__name__, fwhm_med, nbranch, sigma,
+                              starphot))
+        else:
+            msg0 = "ALGO : {}, FWHM = {}, # BRANCHES = {}, SIGMA = {}"
+            print(msg0.format(algo.__name__, fwhm_med, nbranch, sigma))
+
+    verbose_thru = False
+    if verbose == 2:
+        verbose_thru = True
+
+    res_throug = throughput(cube, angle_list, psf_template, fwhm, algo=algo,
+                            nbranch=nbranch, theta=theta, inner_rad=inner_rad,
+                            fc_rad_sep=fc_rad_sep, wedge=wedge, fc_snr=fc_snr,
+                            noise_sep=noise_sep, full_output=True,
+                            verbose=verbose_thru, algo_class=algo_class,
+                            **algo_dict)
+    vector_radd = res_throug[3]
+    if res_throug[0].shape[0] > 1:
+        thruput_mean = np.nanmean(res_throug[0], axis=0)
+    else:
+        thruput_mean = res_throug[0][0]
+    frame_fc_all = res_throug[4]
+    frame_nofc = res_throug[5]
+    fc_map_all = res_throug[6]
+
+    if verbose:
+        print("Finished the throughput calculation")
+        timing(start_time)
+
+    if transmission is not None:
+        t_nz = transmission.shape[0]
+        diag = np.sqrt(2) * cube.shape[-1]
+        if transmission[0, 0] != 0 or transmission[0, -1] < diag:
+            trans_rad_list = transmission[0].tolist()
+            ntransmission = None
+            for j in range(t_nz - 1):
+                trans_list = transmission[j + 1].tolist()
+                if transmission[0, 0] != 0:
+                    if j == 0:
+                        trans_rad_list = [0] + trans_rad_list
+                    trans_list = [0] + trans_list
+                if transmission[0, -1] < np.sqrt(2) * cube.shape[-1] / 2.0:
+                    if j == 0:
+                        trans_rad_list = trans_rad_list + [diag]
+                    trans_list = trans_list + [1]
+                if j == 0:
+                    ntransmission = np.zeros([t_nz, len(trans_rad_list)])
+                    ntransmission[0] = trans_rad_list
+                ntransmission[j + 1] = trans_list
+            transmission = ntransmission.copy()
+        if t_nz > 2:
+            ntransmission = np.zeros([2, transmission.shape[1]])
+            ntransmission[0] = transmission[0]
+            ntransmission[1] = np.mean(transmission[1:], axis=0)
+            transmission = ntransmission.copy()
+
+    if interp_order is not None or noise_sep is not None:
+        if noise_sep is None:
+            rad_samp = vector_radd
+            noise_samp = res_throug[1]
+            res_lev_samp = res_throug[2]
+        else:
+            noise_samp, res_lev_samp, rad_samp = noise_per_annulus(
+                frame_nofc, separation=noise_sep, fwhm=fwhm_med,
+                init_rad=fwhm_med, wedge=wedge)
+        radmin = vector_radd.astype(int).min()
+        cutin1 = np.where(rad_samp.astype(int) == radmin)[0][0]
+        noise_samp = noise_samp[cutin1:]
+        res_lev_samp = res_lev_samp[cutin1:]
+        rad_samp = rad_samp[cutin1:]
+        radmax_fwhm = int(((cube.shape[-1] - 1) // 2) - fwhm_med / 2)
+        radmax = min(vector_radd.astype(int).max(), radmax_fwhm)
+        radtmp = radmax
+        if len(np.where(rad_samp.astype(int) == radmax)[0]) == 0:
+            while len(np.where(rad_samp.astype(int) == radtmp)[0]) == 0:
+                radtmp -= 1
+        cutin2 = np.where(rad_samp.astype(int) == radtmp)[0][0]
+        noise_samp = noise_samp[: cutin2 + 1]
+        res_lev_samp = res_lev_samp[: cutin2 + 1]
+        rad_samp = rad_samp[: cutin2 + 1]
+
+        if interp_order is not None:
+            f = InterpolatedUnivariateSpline(vector_radd, thruput_mean,
+                                             k=interp_order)
+            thruput_interp = f(rad_samp)
+        else:
+            thruput_interp = thruput_mean.copy()
+
+        if transmission is not None:
+            f2 = InterpolatedUnivariateSpline(transmission[0],
+                                              transmission[1], k=1)
+            thruput_interp *= f2(rad_samp)
+    else:
+        rad_samp = vector_radd
+        noise_samp = res_throug[1]
+        res_lev_samp = res_throug[2]
+        thruput_interp = thruput_mean
+        if transmission is not None:
+            if not transmission[1].shape == thruput_interp.shape:
+                raise ValueError("Transmiss. and throughput vectors have "
+                                 "different length")
+            thruput_interp *= transmission[1]
+
+    rad_samp_arcsec = rad_samp * pxscale
+
+    # reference zeroes the residual level (contrcurve.py:356-358)
+    res_lev_samp = np.zeros_like(res_lev_samp)
+
+    if smooth:
+        win = min(noise_samp.shape[0] - 2, int(2 * fwhm_med))
+        if win % 2 == 0:
+            win += 1
+        noise_samp_sm = savgol_filter(noise_samp, polyorder=2,
+                                      mode="nearest", window_length=win)
+        res_lev_samp_sm = savgol_filter(res_lev_samp, polyorder=2,
+                                        mode="nearest", window_length=win)
+    else:
+        noise_samp_sm = noise_samp
+        res_lev_samp_sm = res_lev_samp
+
+    starphot_val = starphot if isinstance(starphot, (float, int)) \
+        else np.median(starphot)
+    cont_curve_samp = ((sigma * noise_samp_sm + res_lev_samp_sm)
+                       / thruput_interp) / starphot_val
+    cont_curve_samp[np.where(cont_curve_samp < 0)] = 1
+    cont_curve_samp[np.where(cont_curve_samp > 1)] = 1
+
+    if student:
+        n_res_els = np.floor(rad_samp / fwhm_med * 2 * np.pi)
+        ss_corr = np.sqrt(1 + 1 / n_res_els)
+        sigma_corr = stats.t.ppf(stats.norm.cdf(sigma),
+                                 n_res_els - 1) * ss_corr
+        cont_curve_samp_corr = ((sigma_corr * noise_samp_sm
+                                 + res_lev_samp_sm)
+                                / thruput_interp) / starphot_val
+        cont_curve_samp_corr[np.where(cont_curve_samp_corr < 0)] = 1
+        cont_curve_samp_corr[np.where(cont_curve_samp_corr > 1)] = 1
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=figsize, dpi=dpi)
+        plt.plot(rad_samp_arcsec, cont_curve_samp, "-",
+                 label=f"{sigma} sigma contrast")
+        if student:
+            plt.plot(rad_samp_arcsec, cont_curve_samp_corr, "--",
+                     label=f"{sigma} sigma contrast (Student)")
+        plt.yscale("log")
+        plt.xlabel("Angular separation [arcsec]")
+        plt.ylabel(f"{sigma} sigma contrast")
+        plt.legend()
+        if save_plot is not None:
+            plt.savefig(save_plot, dpi=dpi)
+
+    if student:
+        datafr = pd.DataFrame({
+            "sensitivity_gaussian": cont_curve_samp,
+            "sensitivity_student": cont_curve_samp_corr,
+            "throughput": thruput_interp,
+            "distance": rad_samp,
+            "distance_arcsec": rad_samp_arcsec,
+            "noise": noise_samp_sm,
+            "residual_level": res_lev_samp_sm,
+            "sigma corr": sigma_corr,
+        })
+    else:
+        datafr = pd.DataFrame({
+            "sensitivity_gaussian": cont_curve_samp,
+            "throughput": thruput_interp,
+            "distance": rad_samp,
+            "distance_arcsec": rad_samp_arcsec,
+            "noise": noise_samp_sm,
+            "residual_level": res_lev_samp_sm,
+        })
+
+    if full_output:
+        return datafr, frame_fc_all, frame_nofc, fc_map_all
+    return datafr

@@ -5,3 +5,4 @@ from .derotation import *
 from .parangles import *
 from .recentering import *
 from .subsampling import *
+from .cosmetics import *

@@ -1,0 +1,234 @@
+"""Cube/frame cosmetics: cropping, padding, NaN correction.
+
+Port of vip_hci/preproc/cosmetics.py (host-side geometry; cheap ops).
+"""
+
+import numpy as np
+
+from ..var.coords import frame_center
+from ..var.shapes import get_square
+
+__all__ = ["cube_crop_frames", "frame_crop", "frame_pad", "cube_drop_frames",
+           "frame_remove_stripes", "cube_correct_nan", "approx_stellar_position"]
+
+
+def cube_crop_frames(array, size, xy=None, force=False, verbose=True,
+                     full_output=False):
+    """Crop frames in a 3d/4d cube (cosmetics.py:38-111)."""
+    array = np.asarray(array)
+    if array.ndim == 3:
+        temp_fr = array[0]
+    elif array.ndim == 4:
+        temp_fr = array[0, 0]
+    else:
+        raise TypeError("`Array` is not a cube (3d or 4d numpy.ndarray)")
+
+    if temp_fr.shape[0] == size and temp_fr.shape[1] == size:
+        if verbose:
+            print("Frame size already matches crop size. No cropping needed.")
+        if full_output:
+            ceny, cenx = frame_center(temp_fr)
+            return array, cenx, ceny
+        return array
+
+    if xy is not None:
+        cenx, ceny = xy
+    else:
+        ceny, cenx = frame_center(temp_fr)
+    _, y0, x0 = get_square(temp_fr, size, y=ceny, x=cenx, position=True,
+                           force=force, verbose=verbose)
+
+    if not force:
+        if temp_fr.shape[0] % 2 == 0:
+            if size % 2 != 0:
+                size += 1
+        else:
+            if size % 2 == 0:
+                size += 1
+    y1 = int(y0 + size)
+    x1 = int(x0 + size)
+
+    if array.ndim == 3:
+        array_out = array[:, y0:y1, x0:x1]
+    else:
+        array_out = array[:, :, y0:y1, x0:x1]
+
+    if verbose:
+        print(f"New shape: {array_out.shape}")
+    if full_output:
+        return array_out, cenx, ceny
+    return array_out
+
+
+def frame_crop(array, size, xy=None, force=False, verbose=True):
+    """Crop a square subframe (cosmetics.py:112-157)."""
+    array = np.asarray(array)
+    if array.ndim != 2:
+        raise TypeError("`Array` is not a frame or 2d array")
+    if array.shape[0] == size and array.shape[1] == size:
+        if verbose:
+            print("Frame size already matches crop size. No cropping needed.")
+        return array
+    if not xy:
+        ceny, cenx = frame_center(array)
+    else:
+        cenx, ceny = xy
+    array_view = get_square(array, size, ceny, cenx, force=force,
+                            verbose=verbose)
+    if verbose:
+        print(f"New shape: {array_view.shape}")
+    return array_view
+
+
+def frame_pad(array, fac, fillwith=0, loc=0, scale=1, keep_parity=True,
+              full_output=False):
+    """Pad a frame by a multiplicative size factor (cosmetics.py:158-242)."""
+    array = np.asarray(array)
+    if array.ndim != 2:
+        raise TypeError("The input array must be 2d")
+    if np.isscalar(fac):
+        if fac < 1:
+            raise ValueError("fac should be larger than 1")
+        fac = [fac, fac]
+    elif fac[0] < 1 or fac[-1] < 1:
+        raise ValueError("fac elements should be larger than 1")
+
+    y, x = array.shape
+    cy_ori, cx_ori = frame_center(array)
+    new_y = int(round(y * fac[0]))
+    new_x = int(round(x * fac[1]))
+    if new_y % 2 != y % 2 and keep_parity:
+        new_y -= 1
+    if new_x % 2 != x % 2 and keep_parity:
+        new_x -= 1
+    if fillwith == "noise":
+        array_out = np.random.normal(loc=loc, scale=scale,
+                                     size=(new_y, new_x))
+    else:
+        array_out = np.zeros([new_y, new_x], dtype=array.dtype)
+        array_out[:] = fillwith
+    cy, cx = frame_center(array_out)
+    y0 = int(cy - cy_ori)
+    y1 = int(cy + cy_ori)
+    if y1 - y0 < y:
+        y1 += 1
+    elif y1 - y0 > y:
+        y1 -= 1
+    x0 = int(cx - cx_ori)
+    x1 = int(cx + cx_ori)
+    if x1 - x0 < x:
+        x1 += 1
+    elif x1 - x0 > x:
+        x1 -= 1
+    array_out[y0:y1, x0:x1] = array.copy()
+
+    if full_output:
+        return array_out, (y0, y1, x0, x1)
+    return array_out
+
+
+def cube_drop_frames(array, n, m, parallactic=None, verbose=True):
+    """Discard frames at the beginning/end of a cube (cosmetics.py:243-301).
+
+    Keeps frames n..m (1-based, inclusive)."""
+    array = np.asarray(array)
+    if m > array.shape[0]:
+        raise TypeError("End index must be smaller than the # of frames")
+    if array.ndim == 3:
+        array_view = array[n - 1:m].copy()
+    elif array.ndim == 4:
+        array_view = array[:, n - 1:m].copy()
+    else:
+        raise TypeError("only 3d and 4d cubes are supported")
+    if parallactic is not None:
+        if parallactic.ndim != 1:
+            raise TypeError("Parallactic angles vector has wrong shape")
+        parallactic = parallactic[n - 1:m]
+    if verbose:
+        print(f"Cube successfully sliced. New cube shape: {array_view.shape}")
+    if parallactic is not None:
+        return array_view, parallactic
+    return array_view
+
+
+def frame_remove_stripes(array):
+    """Remove unwanted horizontal stripes (cosmetics.py:302-312)."""
+    array = np.asarray(array, dtype=float).copy()
+    n_rows = array.shape[0]
+    for i in range(n_rows):
+        array[i] -= np.median(np.concatenate([array[i, :20],
+                                              array[i, -20:]]))
+    return array
+
+
+def cube_correct_nan(cube, neighbor_box=3, min_neighbors=3, verbose=False,
+                     half_res_y=False, nproc=1):
+    """Correct NaN values by the median of adjacent pixels
+    (cosmetics.py:313-453)."""
+    from scipy.ndimage import generic_filter
+
+    cube = np.asarray(cube, dtype=float).copy()
+
+    def _fix_frame(frame):
+        out = frame.copy()
+        nan_mask = ~np.isfinite(out)
+        it = 0
+        while nan_mask.any() and it < 20:
+            med = generic_filter(np.nan_to_num(out), np.median,
+                                 size=neighbor_box, mode="mirror")
+            counts = generic_filter(np.isfinite(out).astype(float), np.sum,
+                                    size=neighbor_box, mode="mirror")
+            fixable = nan_mask & (counts >= min_neighbors)
+            if not fixable.any():
+                fixable = nan_mask
+            out[fixable] = med[fixable]
+            nan_mask = ~np.isfinite(out)
+            it += 1
+        return out
+
+    if cube.ndim == 2:
+        return _fix_frame(cube)
+    elif cube.ndim == 3:
+        for i in range(cube.shape[0]):
+            cube[i] = _fix_frame(cube[i])
+    elif cube.ndim == 4:
+        for j in range(cube.shape[0]):
+            for i in range(cube.shape[1]):
+                cube[j, i] = _fix_frame(cube[j, i])
+    if verbose:
+        print("NaN values corrected")
+    return cube
+
+
+def approx_stellar_position(cube, fwhm, return_test=False, verbose=False):
+    """Approximate the star position per frame as the position of the
+    max of a median-filtered frame, with outlier replacement
+    (cosmetics.py:500-595)."""
+    from scipy.ndimage import median_filter
+
+    cube = np.asarray(cube)
+    n = cube.shape[0]
+    if np.isscalar(fwhm):
+        fwhm = np.full(n, fwhm)
+
+    star_approx_idx = np.zeros((n, 2))
+    test_result = np.zeros(n, dtype=bool)
+
+    for i in range(n):
+        filtered = median_filter(cube[i], int(np.ceil(fwhm[i])))
+        idx = np.unravel_index(np.argmax(filtered), filtered.shape)
+        star_approx_idx[i] = idx
+
+    med_y, med_x = np.median(star_approx_idx, axis=0)
+    std_y, std_x = np.std(star_approx_idx, axis=0)
+    for i in range(n):
+        dy = abs(star_approx_idx[i, 0] - med_y)
+        dx = abs(star_approx_idx[i, 1] - med_x)
+        good = dy < max(3 * std_y, fwhm[i]) and dx < max(3 * std_x, fwhm[i])
+        test_result[i] = good
+        if not good:
+            star_approx_idx[i] = (med_y, med_x)
+
+    if return_test:
+        return star_approx_idx, test_result
+    return star_approx_idx

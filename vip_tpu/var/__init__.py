@@ -4,3 +4,4 @@
 from .coords import *
 from .shapes import *
 from .filters import *
+from .fit_2d import *
