@@ -128,6 +128,17 @@ def _install_stubs():
         stats.sigma_clipped_stats = sigma_clipped_stats
         stats.sigma_clip = sigma_clip
 
+        def median_absolute_deviation(data, axis=None):
+            data = np.asarray(data)
+            med = np.median(data, axis=axis, keepdims=axis is not None)
+            return np.median(np.abs(data - med), axis=axis)
+
+        def mad_std(data, axis=None):
+            return median_absolute_deviation(data, axis=axis) * 1.482602218505602
+
+        stats.median_absolute_deviation = median_absolute_deviation
+        stats.mad_std = mad_std
+
         utils = _mod("astropy.utils")
         astropy.utils = utils
         exceptions = _mod("astropy.utils.exceptions")

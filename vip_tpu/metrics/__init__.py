@@ -3,3 +3,4 @@
 from .snr_source import *
 from .stim import *
 from .contrcurve import *
+from .detection import *

@@ -245,12 +245,36 @@ def _snrmap_exact(array, yy, xx, fwhm, cy, cx, array2=None, use2alone=False,
     return np.asarray(vals)
 
 
-def _snrmap_approx(array, yy, xx, fwhm, cy, cx, sizey, sizex):
-    """Approximated S/N proxy (tophat convolution + annulus statistics;
-    snr_source.py:206-223), vectorized per radius ring."""
-    from ..var.filters import convolve_with_mask
+def _circle_perimeter(cy, cx, radius):
+    """Midpoint (Bresenham) circle perimeter coordinates
+    (skimage.draw.circle_perimeter semantics)."""
+    yy, xx = [], []
+    y = radius
+    x = 0
+    d = 3 - 2 * radius
+    while y >= x:
+        for dy, dx in ((y, x), (x, y), (-x, y), (-y, x),
+                       (-y, -x), (-x, -y), (x, -y), (y, -x)):
+            yy.append(cy + dy)
+            xx.append(cx + dx)
+        if d < 0:
+            d += 4 * x + 6
+        else:
+            d += 4 * (x - y) + 10
+            y -= 1
+        x += 1
+    coords = np.unique(np.column_stack([yy, xx]), axis=0)
+    return coords[:, 0], coords[:, 1]
 
-    # tophat kernel of radius fwhm/2
+
+def _snrmap_approx(array, yy, xx, fwhm, cy, cx, sizey, sizex):
+    """Approximated S/N proxy: tophat convolution + per-pixel ring
+    statistics with the flux aperture masked by the ring MAD
+    (exact port of reference _snr_approx, snr_source.py:206-223)."""
+    from ..var.filters import convolve_with_mask
+    from ..var.shapes import disk_coords
+
+    # tophat kernel of radius fwhm/2, normalized (astropy Tophat2DKernel)
     r = fwhm / 2.0
     size = int(2 * np.ceil(r) + 1)
     yk, xk = np.mgrid[:size, :size] - size // 2
@@ -258,25 +282,30 @@ def _snrmap_approx(array, yy, xx, fwhm, cy, cx, sizey, sizex):
     kernel /= kernel.sum()
     conv = np.asarray(convolve_with_mask(jnp.asarray(array),
                                          jnp.asarray(kernel),
-                                         interpolate_nan=False))
+                                         interpolate_nan=True))
 
-    from scipy.stats import median_abs_deviation
+    def mad(a):
+        return np.median(np.abs(a - np.median(a)))
 
     out = np.zeros(len(yy))
-    rads = np.round(np.hypot(yy - cy, xx - cx)).astype(int)
-    for radius in np.unique(rads):
-        # 1-px wide circle perimeter at this radius
-        theta = np.arange(0, 2 * np.pi, 1.0 / max(radius, 1))
-        py = np.clip(np.round(cy + radius * np.sin(theta)).astype(int), 0,
-                     sizey - 1)
-        px = np.clip(np.round(cx + radius * np.cos(theta)).astype(int), 0,
-                     sizex - 1)
-        ring_vals = conv[py, px]
-        sel = rads == radius
-        n2 = (2 * np.pi * radius) / fwhm - 1
-        noise = ring_vals.std(ddof=1) * np.sqrt(1 + 1 / n2)
-        signal = conv[yy[sel], xx[sel]] - ring_vals.mean()
-        out[sel] = signal / noise
+    # cache ring coordinates per integer radius
+    ring_cache = {}
+    for k in range(len(yy)):
+        sy, sx = yy[k], xx[k]
+        rad = np.hypot(sy - cy, sx - cx)
+        irad = int(rad)
+        if irad not in ring_cache:
+            py, px = _circle_perimeter(int(cy), int(cx), irad)
+            keep = (py >= 0) & (py < sizey) & (px >= 0) & (px < sizex)
+            ring_cache[irad] = (py[keep], px[keep])
+        py, px = ring_cache[irad]
+        ind_aper = disk_coords((sy, sx), fwhm / 2.0, (sizey, sizex))
+        arr2 = conv.copy()
+        arr2[ind_aper] = mad(conv[py, px])
+        n2 = (2 * np.pi * rad) / fwhm - 1
+        noise = arr2[py, px].std(ddof=1) * np.sqrt(1 + (1 / n2))
+        signal = conv[sy, sx] - arr2[py, px].mean()
+        out[k] = signal / noise
     return out
 
 

@@ -2,5 +2,12 @@
 
 from .svd import *
 from .pca_fullfr import *
-from .medsub import *
 from .pca_local import *
+from .utils_pca import *
+from .medsub import *
+from .llsg import *
+from .nmf_fullfr import *
+from .nmf_local import *
+from .loci import *
+from .framediff import *
+from .rollsub import *

