@@ -410,12 +410,22 @@ def _install_stubs():
 
         def rotate(image, angle, order=1, center=None, cval=0, mode="constant",
                    **kw):
-            from scipy import ndimage
+            import cv2
 
-            if center is not None:
-                raise NotImplementedError("stub rotate: center unsupported")
-            return ndimage.rotate(image, angle, reshape=False, order=order,
-                                  cval=cval, mode=mode)
+            intp = {0: cv2.INTER_NEAREST, 1: cv2.INTER_LINEAR,
+                    2: cv2.INTER_CUBIC, 3: cv2.INTER_CUBIC,
+                    4: cv2.INTER_LANCZOS4, 5: cv2.INTER_LANCZOS4}[order]
+            bormo = {"constant": cv2.BORDER_CONSTANT,
+                     "edge": cv2.BORDER_REPLICATE,
+                     "symmetric": cv2.BORDER_REFLECT,
+                     "reflect": cv2.BORDER_REFLECT_101,
+                     "wrap": cv2.BORDER_WRAP}[mode]
+            y, x = image.shape
+            if center is None:
+                center = ((x - 1) / 2, (y - 1) / 2)
+            M = cv2.getRotationMatrix2D(center, angle, 1)
+            return cv2.warpAffine(np.asarray(image, np.float64), M, (x, y),
+                                  flags=intp, borderMode=bormo)
 
         def radon(image, theta=None, circle=True):
             raise NotImplementedError("stub radon")

@@ -151,7 +151,10 @@ def frame_rotate(array, angle, imlib="vip-fft", interpolation="lanczos4",
         if mask_ori.any():
             out[mask_ori] = mask_val
         return out
-    elif imlib == "opencv":
+    elif imlib in ("opencv", "skimage"):
+        # 'skimage' is served by cv2 with the matching interpolation order
+        # (linear interpolation is normalization-invariant, so the
+        # reference's rescale-to-[0,1] step is a mathematical no-op)
         import cv2
 
         y, x = array.shape
@@ -160,14 +163,19 @@ def frame_rotate(array, angle, imlib="vip-fft", interpolation="lanczos4",
         else:
             cx, cy = cxy
         intp = {"bilinear": cv2.INTER_LINEAR, "bicubic": cv2.INTER_CUBIC,
-                "nearneig": cv2.INTER_NEAREST,
+                "nearneig": cv2.INTER_NEAREST, "biquadratic": cv2.INTER_CUBIC,
+                "biquartic": cv2.INTER_LANCZOS4,
+                "biquintic": cv2.INTER_LANCZOS4,
                 "lanczos4": cv2.INTER_LANCZOS4}[interpolation]
         bormo = {"constant": cv2.BORDER_CONSTANT, "edge": cv2.BORDER_REPLICATE,
                  "symmetric": cv2.BORDER_REFLECT,
                  "reflect": cv2.BORDER_REFLECT_101,
                  "wrap": cv2.BORDER_WRAP}[border_mode]
         M = cv2.getRotationMatrix2D((cx, cy), angle, 1)
-        return cv2.warpAffine(array.astype(np.float32), M, (x, y), flags=intp,
+        # reference casts to float32 for its opencv speed path
+        # (derotation.py:310); real skimage computes in float64
+        dt = np.float32 if imlib == "opencv" else np.float64
+        return cv2.warpAffine(array.astype(dt), M, (x, y), flags=intp,
                               borderMode=bormo)
     else:
         raise ValueError(f"imlib {imlib!r} not supported (use 'vip-fft' or "
