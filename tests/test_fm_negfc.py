@@ -1,0 +1,102 @@
+"""NEGFC end-to-end tests: recover injected companion parameters."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def negfc_data():
+    """Cube with a known companion injected with the real injector."""
+    rng = np.random.default_rng(11)
+    from scipy.ndimage import gaussian_filter
+    from vip_tpu.fm import cube_inject_companions, normalize_psf
+
+    n, size, fwhm = 20, 81, 4.0
+    angles = np.linspace(0, 60, n)
+    yy, xx = np.mgrid[:25, :25]
+    sigma = fwhm / 2.355
+    psf = np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / (2 * sigma**2))
+    psfn = normalize_psf(psf, fwhm=fwhm, verbose=False)
+
+    cube = gaussian_filter(rng.standard_normal((n, size, size)), 1.2) * 0.3
+    r_true, theta_true, f_true = 16.0, 35.0, 15.0
+    cube = cube_inject_companions(cube, psfn, angles, flevel=f_true,
+                                  rad_dists=[r_true], theta=theta_true,
+                                  verbose=False)
+    return cube, angles, psfn, (r_true, theta_true, f_true), fwhm
+
+
+def test_chisquare_minimum_near_truth(negfc_data):
+    from vip_tpu.fm import chisquare
+
+    cube, angles, psfn, truth, fwhm = negfc_data
+    r, th, f = truth
+    chi_true = chisquare((r, th, f), cube, angles, psfn, fwhm, 4, 1,
+                         (r, th), ncomp=3, mu_sigma=(0.0, 0.05))
+    chi_off = chisquare((r, th, f * 2), cube, angles, psfn, fwhm, 4, 1,
+                        (r, th), ncomp=3, mu_sigma=(0.0, 0.05))
+    assert chi_true < chi_off
+
+
+def test_firstguess_recovers_truth(negfc_data):
+    from vip_tpu.fm import firstguess
+
+    cube, angles, psfn, truth, fwhm = negfc_data
+    r, th, f = truth
+    cy = cx = cube.shape[1] // 2
+    x_pl = cx + r * np.cos(np.deg2rad(th))
+    y_pl = cy + r * np.sin(np.deg2rad(th))
+    r0, th0, f0 = firstguess(cube, angles, psfn, [(x_pl, y_pl)], ncomp=3,
+                             fwhm=fwhm, annulus_width=4, aperture_radius=1,
+                             simplex=True, plot=False, verbose=False,
+                             f_range=np.geomspace(1, 100, 12))
+    assert abs(r0[0] - r) < 0.5
+    assert abs(((th0[0] - th + 180) % 360) - 180) < 3.0
+    assert abs(f0[0] - f) / f < 0.3
+
+
+def test_device_lnprob_matches_host(negfc_data):
+    """The jittable batched likelihood agrees with the host lnprob."""
+    import jax.numpy as jnp
+    from vip_tpu.fm.negfc_mcmc import lnprob
+    from vip_tpu.ops.negfc_model import make_batched_lnprob
+
+    cube, angles, psfn, truth, fwhm = negfc_data
+    r, th, f = truth
+    mu_sigma = (0.001, 0.05)
+    bounds = [(r - 2, r + 2), (th - 10, th + 10), (0, 5 * f)]
+
+    batched = make_batched_lnprob(cube, angles, psfn, 3, 4, r, th, 1.0,
+                                  fwhm, mu_sigma[0], mu_sigma[1] ** 2,
+                                  bounds)
+    params = np.array([[r, th, f],
+                       [r + 0.5, th - 2.0, f * 1.2],
+                       [r - 0.7, th + 3.0, f * 0.8]])
+    dev = np.asarray(batched(jnp.asarray(params)))
+    host = np.array([
+        lnprob(tuple(p), bounds, cube, angles, psfn, fwhm, 4, 3, 1.0,
+               (r, th, f), mu_sigma=mu_sigma)
+        for p in params
+    ])
+    assert np.allclose(dev, host, rtol=1e-4, atol=1e-6)
+
+
+def test_mcmc_negfc_sampling_device(negfc_data):
+    from vip_tpu.fm import confidence, mcmc_negfc_sampling
+
+    cube, angles, psfn, truth, fwhm = negfc_data
+    r, th, f = truth
+    chain = mcmc_negfc_sampling(cube, angles, psfn, (r, th, f), ncomp=3,
+                                annulus_width=4, aperture_radius=1,
+                                fwhm=fwhm, nwalkers=24,
+                                niteration_min=5, niteration_limit=40,
+                                conv_test="gb", verbosity=0, rng_seed=3)
+    assert chain.shape[0] == 24
+    assert chain.shape[2] == 3
+    burn = chain[:, chain.shape[1] // 2:, :].reshape(-1, 3)
+    med = np.median(burn, axis=0)
+    assert abs(med[0] - r) < 1.0
+    assert abs(((med[1] - th + 180) % 360) - 180) < 5.0
+    assert abs(med[2] - f) / f < 0.5
+    val_max, ci = confidence(burn, cfd=68, verbose=False)
+    assert "r" in val_max

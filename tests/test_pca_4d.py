@@ -1,0 +1,131 @@
+"""Parity tests for 4D (ADI+mSDI) PCA paths."""
+
+import numpy as np
+import pytest
+
+from ref_oracle import load_ref
+
+
+@pytest.fixture(scope="module")
+def ifs_cube():
+    rng = np.random.default_rng(9)
+    from scipy.ndimage import gaussian_filter
+
+    z, n, size = 4, 8, 40
+    lbdas = np.linspace(1.0, 1.3, z)
+    scal = lbdas[-1] / lbdas
+    cube = np.empty((z, n, size, size))
+    speck = gaussian_filter(rng.standard_normal((size, size)), 2.0) * 5
+    yy, xx = np.mgrid[:size, :size]
+    c = size // 2
+    for ch in range(z):
+        # speckles scale radially with wavelength
+        from vip_tpu.preproc.rescaling import frame_rescaling
+
+        sp = frame_rescaling(speck.copy(), scale=1 / scal[ch])
+        for fr in range(n):
+            noise = gaussian_filter(rng.standard_normal((size, size)),
+                                    1.0) * 0.3
+            cube[ch, fr] = sp + noise
+    angles = np.linspace(0, 40, n)
+    return cube, angles, scal
+
+
+@pytest.fixture(scope="module")
+def ref_psfsub():
+    return load_ref("vip_hci.psfsub")
+
+
+def test_pca_adimsdi_single_parity(ref_psfsub, ifs_cube):
+    from vip_tpu.psfsub import pca
+
+    cube, angles, scal = ifs_cube
+    kwargs = dict(ncomp=2, adimsdi="single", crop_ifs=True, verbose=False)
+    ref = ref_psfsub.pca(cube.copy(), angles, scale_list=scal, **kwargs)
+    got = pca(cube.copy(), angles, scale_list=scal, **kwargs)
+    assert ref.shape == got.shape
+    assert np.nanmax(np.abs(ref - got)) < 5e-5
+
+
+def test_pca_adimsdi_double_parity(ref_psfsub, ifs_cube):
+    from vip_tpu.psfsub import pca
+
+    cube, angles, scal = ifs_cube
+    kwargs = dict(ncomp=(2, 2), adimsdi="double", verbose=False)
+    ref = ref_psfsub.pca(cube.copy(), angles, scale_list=scal, **kwargs)
+    got = pca(cube.copy(), angles, scale_list=scal, **kwargs)
+    assert ref.shape == got.shape
+    assert np.nanmax(np.abs(ref - got)) < 5e-5
+
+
+def test_pca_4d_channel_adi(ifs_cube):
+    from vip_tpu.psfsub import pca
+
+    cube, angles, scal = ifs_cube
+    fr = pca(cube.copy(), angles, ncomp=2, verbose=False)
+    assert fr.shape == cube.shape[-2:]
+    assert np.isfinite(fr).all()
+
+
+def test_median_sub_4d_parity(ref_psfsub, ifs_cube):
+    from vip_tpu.psfsub import median_sub
+
+    cube, angles, scal = ifs_cube
+    for mode, kw in [("fullfr", {}),
+                     ("annular", dict(asize=8, delta_rot=0.3, delta_sep=0.1,
+                                      nframes=None))]:
+        kwargs = dict(scale_list=scal, fwhm=4, mode=mode, verbose=False, **kw)
+        try:
+            ref = ref_psfsub.median_sub(cube.copy(), angles, **kwargs)
+        except RuntimeError:
+            with pytest.raises(RuntimeError):
+                median_sub(cube.copy(), angles, **kwargs)
+            continue
+        got = median_sub(cube.copy(), angles, **kwargs)
+        assert ref.shape == got.shape, mode
+        assert np.nanmax(np.abs(ref - got)) < 5e-5, mode
+
+
+def test_pca_annular_4d_parity(ref_psfsub, ifs_cube):
+    from vip_tpu.psfsub import pca_annular
+
+    cube, angles, scal = ifs_cube
+    kwargs = dict(ncomp=(1, 2), scale_list=scal, fwhm=4, asize=8,
+                  delta_rot=0.3, delta_sep=0.1, radius_int=0, verbose=False)
+    try:
+        ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    except RuntimeError:
+        with pytest.raises(RuntimeError):
+            pca_annular(cube.copy(), angles, **kwargs)
+        return
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    assert ref.shape == got.shape
+    assert np.nanmax(np.abs(ref - got)) < 5e-5
+
+
+def test_pca_annular_4d_channel_adi(ifs_cube):
+    from vip_tpu.psfsub import pca_annular
+
+    cube, angles, scal = ifs_cube
+    fr = pca_annular(cube.copy(), angles, ncomp=2, fwhm=4, asize=8,
+                     delta_rot=0.3, verbose=False)
+    assert fr.shape == cube.shape[-2:]
+    assert np.isfinite(fr).all()
+
+
+def test_xloci_4d_parity(ref_psfsub, ifs_cube):
+    from vip_tpu.psfsub import xloci
+
+    cube, angles, scal = ifs_cube
+    kwargs = dict(scale_list=scal, fwhm=4, asize=8, delta_sep=0.1,
+                  delta_rot=0.3, n_segments=1, dist_threshold=100,
+                  adimsdi="double", verbose=False)
+    try:
+        ref = ref_psfsub.xloci(cube.copy(), angles, **kwargs)
+    except RuntimeError:
+        with pytest.raises(RuntimeError):
+            xloci(cube.copy(), angles, **kwargs)
+        return
+    got = xloci(cube.copy(), angles, **kwargs)
+    assert ref.shape == got.shape
+    assert np.nanmax(np.abs(ref - got)) < 5e-5

@@ -6,3 +6,5 @@ from .parangles import *
 from .recentering import *
 from .subsampling import *
 from .cosmetics import *
+from .rescaling import *
+from .skysubtraction import *

@@ -78,11 +78,12 @@ def xloci(*all_args: List, **all_kwargs: dict):
         algo_params = XLOCI_Params(*all_args, **class_params)
 
     cube = np.asarray(algo_params.cube, dtype=float)
-    if cube.ndim == 4 or algo_params.scale_list is not None:
-        raise NotImplementedError("4D LOCI lands with the SDI module")
 
     if algo_params.verbose:
         start_time = time_ini()
+
+    if cube.ndim == 4:
+        return _xloci_4d(cube, algo_params, rot_options)
 
     res = _leastsq_adi(
         cube, check_pa_vector(algo_params.angle_list),
@@ -101,6 +102,210 @@ def xloci(*all_args: List, **all_kwargs: dict):
     if algo_params.verbose:
         timing(start_time)
     return res
+
+
+def _xloci_4d(cube, algo_params, rot_options):
+    """4-d LOCI: per-channel ADI ('skipadi' without scale_list), or SDI
+    least-squares per temporal frame with optional ADI second stage
+    (reference loci.py:225-334)."""
+    z, n, y_in, x_in = cube.shape
+    fwhm = int(np.round(np.mean(algo_params.fwhm)))
+    adimsdi = str(getattr(algo_params.adimsdi, "value",
+                          algo_params.adimsdi))
+    metric = str(getattr(algo_params.metric, "value", algo_params.metric))
+    solver = str(getattr(algo_params.solver, "value", algo_params.solver))
+    collapse = algo_params.collapse
+    angle_list = check_pa_vector(algo_params.angle_list)
+
+    if adimsdi == "skipadi":
+        # reference: 'skipadi' = per-channel ADI least-squares
+        # (loci.py:231-260), regardless of scale_list
+        cube_res = np.zeros((z, y_in, x_in))
+        for ch in range(z):
+            cube_res[ch] = _leastsq_adi(
+                cube[ch], angle_list, fwhm=fwhm, metric=metric,
+                dist_threshold=algo_params.dist_threshold,
+                delta_rot=algo_params.delta_rot,
+                radius_int=algo_params.radius_int, asize=algo_params.asize,
+                n_segments=algo_params.n_segments, nproc=algo_params.nproc,
+                solver=solver, tol=algo_params.tol,
+                optim_scale_fact=algo_params.optim_scale_fact,
+                imlib=algo_params.imlib,
+                interpolation=algo_params.interpolation, collapse=collapse,
+                verbose=False, full_output=False, **rot_options)
+        frame = cube_collapse(cube_res, collapse)
+        if algo_params.full_output:
+            return cube_res, frame
+        return frame
+
+    if algo_params.scale_list is None:
+        raise ValueError("Scaling factors vector must be provided")
+    scale_list = np.asarray(algo_params.scale_list)
+    if scale_list.ndim > 1:
+        raise ValueError("Scaling factors vector is not 1d")
+    if not scale_list.shape[0] == z:
+        raise ValueError("Scaling factors vector has wrong length")
+
+    cube_out = np.array([
+        _leastsq_sdi_fr(cube, fr, scale_list, algo_params.radius_int, fwhm,
+                        algo_params.asize, algo_params.n_segments,
+                        algo_params.delta_sep, algo_params.tol,
+                        algo_params.optim_scale_fact, metric,
+                        algo_params.dist_threshold, solver,
+                        algo_params.imlib, algo_params.interpolation,
+                        collapse)
+        for fr in range(n)
+    ])
+
+    if adimsdi == "single":
+        cube_der = cube_derotate(cube_out, angle_list,
+                                 imlib=algo_params.imlib,
+                                 interpolation=algo_params.interpolation,
+                                 nproc=algo_params.nproc, **rot_options)
+        frame = cube_collapse(cube_der, mode=collapse)
+    else:
+        res = _leastsq_adi(cube_out, angle_list, fwhm=fwhm, metric=metric,
+                           dist_threshold=algo_params.dist_threshold,
+                           delta_rot=algo_params.delta_rot,
+                           radius_int=algo_params.radius_int,
+                           asize=algo_params.asize,
+                           n_segments=algo_params.n_segments,
+                           nproc=algo_params.nproc, solver=solver,
+                           tol=algo_params.tol,
+                           optim_scale_fact=algo_params.optim_scale_fact,
+                           imlib=algo_params.imlib,
+                           interpolation=algo_params.interpolation,
+                           collapse=collapse, verbose=False,
+                           full_output=algo_params.full_output,
+                           **rot_options)
+        if algo_params.full_output:
+            cube_out, cube_der, frame = res
+        else:
+            frame = res
+    if algo_params.full_output:
+        return cube_out, cube_der, frame
+    return frame
+
+
+def _leastsq_sdi_fr(cube, fr, scal, radius_int, fwhm, asize, n_segments,
+                    delta_sep, tol, optim_scale_fact, metric, dist_threshold,
+                    solver, imlib, interpolation, collapse):
+    """SDI least-squares on one multi-spectral frame (loci.py:544-654)."""
+    from ..preproc.rescaling import (check_scal_vector,
+                                     cube_rescaling_wavelengths as scwave)
+
+    z, n, y_in, x_in = cube.shape
+    scale_list = check_scal_vector(scal)
+    multispec_fr = scwave(cube[:, fr, :, :], scale_list, imlib=imlib,
+                          interpolation=interpolation)[0]
+
+    fwhm = int(np.round(np.mean(fwhm)))
+    annulus_width = int(np.ceil(asize))
+    n_annuli = int(np.floor((y_in / 2 - radius_int) / annulus_width))
+
+    if isinstance(n_segments, int):
+        n_segments = [n_segments for _ in range(n_annuli)]
+    elif n_segments == "auto":
+        n_segments = [2, 3]
+        ld = 2 * np.tan(360 / 4 / 2) * annulus_width
+        for i in range(2, n_annuli):
+            radius = i * annulus_width
+            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
+            n_segments.append(int(np.ceil(360 / ang)))
+
+    cube_res = np.zeros_like(multispec_fr)
+
+    if isinstance(delta_sep, tuple):
+        delta_sep_vec = np.linspace(delta_sep[0], delta_sep[1], n_annuli)
+    else:
+        delta_sep_vec = [delta_sep] * n_annuli
+
+    for ann in range(n_annuli):
+        if ann == n_annuli - 1:
+            inner_radius = radius_int + (ann * annulus_width - 1)
+        else:
+            inner_radius = radius_int + ann * annulus_width
+        ann_center = inner_radius + (annulus_width / 2)
+
+        indices = get_annulus_segments(multispec_fr[0], inner_radius,
+                                       annulus_width, n_segments[ann])
+        ind_opt = get_annulus_segments(multispec_fr[0], inner_radius,
+                                       annulus_width, n_segments[ann],
+                                       optim_scale_fact=optim_scale_fact)
+        for seg in range(n_segments[ann]):
+            yy, xx = indices[seg]
+            segm_res = _leastsq_patch_ifs(multispec_fr, seg, indices,
+                                          ind_opt, scal, ann_center, fwhm,
+                                          delta_sep_vec[ann], metric,
+                                          dist_threshold, solver, tol)
+            cube_res[:, yy, xx] = segm_res
+
+    return scwave(cube_res, scale_list, full_output=False, inverse=True,
+                  y_in=y_in, x_in=x_in, imlib=imlib,
+                  interpolation=interpolation, collapse=collapse)
+
+
+def _leastsq_patch_ifs(multispec_fr, nseg, indices, indices_opt, scal,
+                       ann_center, fwhm, delta_sep, metric, dist_threshold,
+                       solver, tol):
+    """SDI least-squares for one segment (loci.py:655-715). Note the
+    reference quirk indices_opt[nseg][0] used for BOTH yy_opt and xx_opt —
+    replicated."""
+    from ..preproc.rescaling import _find_indices_sdi
+
+    yy, xx = indices[nseg]
+    values = multispec_fr[:, yy, xx]
+    yy_opt = indices_opt[nseg][0]
+    xx_opt = indices_opt[nseg][0]
+    values_opt = multispec_fr[:, yy_opt, xx_opt]
+
+    n_wls = values.shape[0]
+
+    if dist_threshold < 100:
+        mat_dists_ann_full = cdist(values, values,
+                                   metric=_METRIC_MAP.get(metric, metric))
+    else:
+        mat_dists_ann_full = np.ones((values.shape[0], values.shape[0]))
+
+    if delta_sep > 0:
+        mat_dists_ann = np.zeros_like(mat_dists_ann_full)
+        for zz in range(n_wls):
+            ind_fr_i = _find_indices_sdi(scal, ann_center, zz, fwhm,
+                                         delta_sep)
+            mat_dists_ann[zz][ind_fr_i] = mat_dists_ann_full[zz][ind_fr_i]
+    else:
+        mat_dists_ann = mat_dists_ann_full
+
+    threshold = np.percentile(mat_dists_ann[mat_dists_ann != 0],
+                              dist_threshold)
+    mat_dists_ann[mat_dists_ann > threshold] = np.nan
+    mat_dists_ann[mat_dists_ann == 0] = np.nan
+
+    matrix_res = np.zeros((values.shape[0], yy.shape[0]))
+    for zz in range(n_wls):
+        vector = mat_dists_ann[zz]
+        if np.nansum(vector) != 0:
+            ind_ref = np.where(~np.isnan(vector))[0]
+            A = values_opt[ind_ref]
+            b = values_opt[zz]
+            if solver == "lstsq":
+                coef = sp.linalg.lstsq(A.T, b, cond=tol)[0]
+            elif solver == "nnls":
+                coef = sp.optimize.nnls(A.T, b)[0]
+            elif solver == "lsq":
+                coef = sp.optimize.lsq_linear(A.T, b, bounds=(0, 1),
+                                              method="trf",
+                                              lsq_solver="lsmr")["x"]
+            else:
+                raise ValueError("solver not recognized")
+        else:
+            raise RuntimeError("No frames left in the reference set. Try "
+                               "increasing `dist_threshold` or decreasing "
+                               "`delta_sep`.")
+        recon = np.dot(coef, values[ind_ref])
+        matrix_res[zz] = values[zz] - recon
+
+    return matrix_res
 
 
 def _leastsq_adi(cube, angle_list, fwhm=4, metric="manhattan",

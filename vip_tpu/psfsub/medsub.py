@@ -6,9 +6,8 @@ annulus to a [n_frames, n_px] matrix and computes every frame's optimized
 median reference in one vmapped masked-median (replacing the pool over
 annuli at medsub.py:336-359 and the per-frame Python loop at :602-641).
 The per-frame library selection (PA threshold + nframes-closest) is host
-logic from ``_find_indices_adi`` emitted as a static boolean mask.
-
-4-d (ADI+mSDI) input is handled once the rescaling module lands.
+logic from ``_find_indices_adi`` emitted as a static boolean mask. 4-d
+(ADI+mSDI) input runs a per-frame SDI stage first (medsub.py:388-599).
 """
 
 from dataclasses import dataclass
@@ -44,7 +43,7 @@ class MEDIAN_SUB_Params:
     delta_rot: int = 1
     delta_sep: Union[float, tuple] = (0.1, 1)
     mode: str = "fullfr"
-    nframes: int = None
+    nframes: int = 4
     sdi_only: bool = False
     imlib: Enum = Imlib.VIPFFT
     interpolation: Enum = Interpolation.LANCZOS4
@@ -91,12 +90,14 @@ def median_sub(*all_args: List, **all_kwargs: dict):
     array = np.asarray(algo_params.cube, dtype=float).copy()
     if array.ndim not in (3, 4):
         raise TypeError("Input array is not a 3d or 4d array")
-    if array.ndim == 4:
-        raise NotImplementedError("4D (ADI+mSDI) median_sub lands with the "
-                                  "rescaling module")
 
     if algo_params.verbose:
         start_time = time_ini()
+
+    if array.ndim == 4:
+        return _median_sub_4d(array, algo_params,
+                              start_time if algo_params.verbose else None,
+                              rot_options)
 
     angle_list = check_pa_vector(algo_params.angle_list)
     n, y, x = array.shape
@@ -193,6 +194,147 @@ def median_sub(*all_args: List, **all_kwargs: dict):
     if algo_params.full_output:
         return cube_out, cube_der, frame
     return frame
+
+
+def _median_sub_4d(array, algo_params, start_time, rot_options):
+    """ADI+mSDI median subtraction (reference medsub.py:388-520): first a
+    per-frame SDI stage exploiting spectral variability, then (optionally)
+    median-ADI on the resulting channel-collapsed cube."""
+    z, n, y_in, x_in = array.shape
+    angle_list = check_pa_vector(algo_params.angle_list)
+
+    scale_list = algo_params.scale_list
+    if scale_list is None:
+        raise ValueError("Scaling factors vector must be provided")
+    scale_list = np.asarray(scale_list)
+    if scale_list.ndim > 1:
+        raise ValueError("Scaling factors vector is not 1d")
+    if not scale_list.shape[0] == z:
+        raise ValueError("Scaling factors vector has wrong length")
+    flux_sc_list = algo_params.flux_sc_list
+    if flux_sc_list is not None:
+        flux_sc_list = np.asarray(flux_sc_list)
+        if flux_sc_list.ndim > 1:
+            raise ValueError("Scaling factors vector is not 1d")
+        if not flux_sc_list.shape[0] == z:
+            raise ValueError("Scaling factors vector has wrong length")
+
+    fwhm = int(np.round(np.mean(algo_params.fwhm)))
+    n_annuli = int((y_in / 2 - algo_params.radius_int) / algo_params.asize)
+
+    if algo_params.nframes is not None and algo_params.nframes % 2 != 0:
+        raise TypeError("`nframes` argument must be even value")
+
+    if algo_params.verbose:
+        print(f"{z} spectral channels per IFS frame")
+        print("First median subtraction exploiting spectral variability")
+        if algo_params.mode == "annular":
+            print(f"N annuli = {n_annuli}, mean FWHM = {fwhm:.3f}")
+
+    residuals_cube_channels = np.array([
+        _median_subt_fr_sdi(array, fr, scale_list, flux_sc_list, n_annuli,
+                            fwhm, algo_params.radius_int, algo_params.asize,
+                            algo_params.delta_sep, algo_params.nframes,
+                            algo_params.imlib, algo_params.interpolation,
+                            algo_params.collapse, algo_params.mode)
+        for fr in range(n)
+    ])
+
+    if algo_params.verbose:
+        if start_time is not None:
+            timing(start_time)
+        print(f"{n} ADI frames")
+        print("Median subtraction in the ADI fashion")
+
+    if algo_params.sdi_only:
+        cube_out = residuals_cube_channels
+    else:
+        if algo_params.mode == "fullfr":
+            median_frame = np.nanmedian(residuals_cube_channels, axis=0)
+            cube_out = residuals_cube_channels - median_frame
+        elif algo_params.mode == "annular":
+            cube_out = np.zeros_like(residuals_cube_channels)
+            cube_out[:] = np.nan
+            for ann in range(n_annuli):
+                mres, yy, xx, _ = _median_subt_ann_adi(
+                    residuals_cube_channels, ann, angle_list, n_annuli, fwhm,
+                    algo_params.radius_int, algo_params.asize,
+                    algo_params.delta_rot, algo_params.nframes)
+                cube_out[:, yy, xx] = mres
+        else:
+            raise RuntimeError("Mode not recognized")
+
+    cube_der = cube_derotate(cube_out, angle_list, imlib=algo_params.imlib,
+                             interpolation=algo_params.interpolation,
+                             nproc=algo_params.nproc, **rot_options)
+    if algo_params.radius_int:
+        cube_der = mask_circle(cube_der, algo_params.radius_int)
+    frame = cube_collapse(cube_der, mode=algo_params.collapse)
+
+    if algo_params.verbose:
+        print("Done derotating and combining")
+        if start_time is not None:
+            timing(start_time)
+    if algo_params.full_output:
+        return cube_out, cube_der, frame
+    return frame
+
+
+def _median_subt_fr_sdi(array, fr, scal, flux_scal, n_annuli, fwhm,
+                        radius_int, annulus_width, delta_sep, nframes, imlib,
+                        interpolation, collapse, mode):
+    """Optimized median subtraction on one multi-spectral frame
+    (reference medsub.py:522-599)."""
+    from ..preproc.rescaling import (_find_indices_sdi, check_scal_vector,
+                                     cube_rescaling_wavelengths as scwave)
+
+    z, n, y_in, x_in = array.shape
+    scale_list = check_scal_vector(scal)
+    multispec_fr = scwave(array[:, fr, :, :], scale_list, imlib=imlib,
+                          interpolation=interpolation)[0]
+    if flux_scal is not None:
+        for i in range(z):
+            multispec_fr[i] *= flux_scal[i]
+
+    if mode == "annular":
+        cube_res = np.zeros_like(multispec_fr)
+        if isinstance(delta_sep, tuple):
+            delta_sep_vec = np.linspace(delta_sep[0], delta_sep[1], n_annuli)
+        else:
+            delta_sep_vec = [delta_sep] * n_annuli
+
+        for ann in range(n_annuli):
+            if ann == n_annuli - 1:
+                inner_radius = radius_int + (ann * annulus_width - 1)
+            else:
+                inner_radius = radius_int + ann * annulus_width
+            ann_center = inner_radius + (annulus_width / 2)
+
+            indices = get_annulus_segments(multispec_fr[0], inner_radius,
+                                           annulus_width)[0]
+            yy, xx = indices
+            matrix = multispec_fr[:, yy, xx]
+
+            for j in range(z):
+                indices_left = _find_indices_sdi(scal, ann_center, j, fwhm,
+                                                 delta_sep_vec[ann], nframes)
+                matrix_masked = matrix[indices_left]
+                ref_psf_opt = np.nanmedian(matrix_masked, axis=0)
+                cube_res[j, yy, xx] = matrix[j] - ref_psf_opt
+    elif mode == "fullfr":
+        median_frame = np.nanmedian(multispec_fr, axis=0)
+        cube_res = multispec_fr - median_frame
+    else:
+        raise RuntimeError("Mode not recognized")
+
+    if flux_scal is not None:
+        for i in range(z):
+            cube_res[i] /= flux_scal[i]
+
+    frame_desc = scwave(cube_res, scale_list, full_output=False,
+                        inverse=True, y_in=y_in, x_in=x_in, imlib=imlib,
+                        interpolation=interpolation, collapse=collapse)
+    return frame_desc
 
 
 def _median_subt_ann_adi(array, ann, angle_list, n_annuli, fwhm, radius_int,

@@ -110,12 +110,80 @@ def pca(*all_args: List, **all_kwargs: dict):
                 "left_eigv is not compatible with 'mask_rdi' nor 'batch'"
             )
 
-    if algo_params.cube.ndim == 4 or algo_params.scale_list is not None:
-        raise NotImplementedError(
-            "4D / ADI+mSDI PCA path not yet available in vip_tpu"
-        )
+    # ------------------------------------------------------------------
+    # ADI+mSDI (4D cube with scale_list)
+    # ------------------------------------------------------------------
+    if algo_params.scale_list is not None:
+        if algo_params.cube.ndim != 4:
+            raise ValueError("`scale_list` requires a 4D input cube")
+        adimsdi = str(getattr(algo_params.adimsdi, "value",
+                              algo_params.adimsdi))
+        add_params = {"start_time": start_time,
+                      "full_output": algo_params.full_output}
+        if adimsdi == "double":
+            func_params = setup_parameters(params_obj=algo_params,
+                                           fkt=_adimsdi_doublepca,
+                                           **add_params)
+            res_pca = _adimsdi_doublepca(**func_params, **rot_options)
+            res_cube_channels, residuals_cube_channels_, frame = res_pca
+            if algo_params.full_output:
+                return frame, res_cube_channels, residuals_cube_channels_
+            return frame
+        elif adimsdi == "single":
+            func_params = setup_parameters(params_obj=algo_params,
+                                           fkt=_adimsdi_singlepca,
+                                           **add_params)
+            res_pca = _adimsdi_singlepca(**func_params, **rot_options)
+            if np.isscalar(algo_params.ncomp):
+                (cube_allfr_residuals, cube_desc_residuals,
+                 cube_adi_residuals, frame) = res_pca
+                if algo_params.full_output:
+                    return (frame, cube_allfr_residuals, cube_desc_residuals,
+                            cube_adi_residuals)
+                return frame
+            else:  # grid
+                return res_pca
+        raise ValueError("ADIMSDI value should be 'single' or 'double'.")
+
+    # ------------------------------------------------------------------
+    # 4D cube without scale_list: per-channel ADI, collapse over channels
+    # ------------------------------------------------------------------
+    if algo_params.cube.ndim == 4:
+        z = algo_params.cube.shape[0]
+        ifs_adi_frames = np.zeros((z, *algo_params.cube.shape[-2:]))
+        for ch in range(z):
+            ifs_adi_frames[ch] = pca(
+                algo_params.cube[ch], algo_params.angle_list,
+                cube_ref=None if algo_params.cube_ref is None
+                else algo_params.cube_ref[ch],
+                ncomp=algo_params.ncomp, svd_mode=algo_params.svd_mode,
+                scaling=algo_params.scaling,
+                mask_center_px=algo_params.mask_center_px,
+                source_xy=algo_params.source_xy,
+                delta_rot=algo_params.delta_rot, fwhm=algo_params.fwhm,
+                imlib=algo_params.imlib,
+                interpolation=algo_params.interpolation,
+                collapse=algo_params.collapse, verbose=False,
+                **rot_options)
+        frame = cube_collapse(ifs_adi_frames,
+                              mode=str(getattr(algo_params.collapse_ifs,
+                                               "value",
+                                               algo_params.collapse_ifs)))
+        if algo_params.full_output:
+            return frame, ifs_adi_frames
+        return frame
+
     if algo_params.batch is not None:
-        raise NotImplementedError("incremental (batch) PCA not yet available")
+        from .utils_pca import pca_incremental
+
+        return pca_incremental(
+            algo_params.cube, algo_params.angle_list,
+            batch=algo_params.batch, ncomp=algo_params.ncomp,
+            collapse=algo_params.collapse, verbose=algo_params.verbose,
+            full_output=algo_params.full_output, start_time=start_time,
+            weights=algo_params.weights, nproc=algo_params.nproc,
+            imlib=algo_params.imlib,
+            interpolation=algo_params.interpolation, **rot_options)
 
     if algo_params.cube_ref is not None:
         if algo_params.ref_strategy == "ARDI":
@@ -269,6 +337,292 @@ def _adi_rdi_pca(cube, cube_ref, angle_list, ncomp, source_xy, delta_rot,
     if source_xy is not None:
         return recon_cube, residuals_cube, residuals_cube_, frame
     return pcs, recon, residuals_cube, residuals_cube_, frame
+
+
+def _adimsdi_singlepca(cube, cube_ref, angle_list, scale_list, ncomp, fwhm,
+                       source_xy, scaling, mask_center_px, svd_mode, imlib,
+                       imlib2, interpolation, collapse, collapse_ifs,
+                       ifs_collapse_range, verbose, start_time, nproc,
+                       crop_ifs, batch, full_output, weights=None,
+                       left_eigv=False, min_frames_pca=10,
+                       ref_strategy="RSDI", **rot_options):
+    """Single-pass ADI+mSDI PCA: rescale all channels to align speckles,
+    one big PCA, descale, derotate, collapse
+    (reference pca_fullfr.py:1038-1242)."""
+    from ..preproc.cosmetics import cube_crop_frames
+    from ..preproc.rescaling import cube_rescaling_wavelengths as scwave
+
+    cube = np.asarray(cube, dtype=float)
+    z, n, y_in, x_in = cube.shape
+    angle_list = check_pa_vector(angle_list)
+    if not angle_list.shape[0] == n:
+        raise ValueError("Angle list vector has wrong length. It must equal "
+                         "the number frames in the cube")
+    if scale_list is None:
+        raise ValueError("`scale_list` must be provided")
+    scale_list = np.asarray(scale_list)
+    if not scale_list.shape[0] == z:
+        raise ValueError("`scale_list` has wrong length")
+
+    big_cube = []
+    if verbose:
+        print("Rescaling the spectral channels to align the speckles")
+    for i in range(n):
+        cube_resc = scwave(cube[:, i, :, :], scale_list, imlib=imlib2,
+                           interpolation=interpolation, nproc=nproc)[0]
+        if crop_ifs:
+            cube_resc = cube_crop_frames(cube_resc, size=y_in, verbose=False)
+        big_cube.append(cube_resc)
+    big_cube = np.array(big_cube)
+    big_cube = big_cube.reshape(z * n, big_cube.shape[2], big_cube.shape[3])
+
+    if cube_ref is not None:
+        zr, nr, _, _ = cube_ref.shape
+        big_cube_ref = []
+        for i in range(nr):
+            cube_resc = scwave(cube_ref[:, i, :, :], scale_list, imlib=imlib2,
+                               interpolation=interpolation, nproc=nproc)[0]
+            if crop_ifs:
+                cube_resc = cube_crop_frames(cube_resc, size=y_in,
+                                             verbose=False)
+            big_cube_ref.append(cube_resc)
+        big_cube_ref = np.array(big_cube_ref)
+        big_cube_ref = big_cube_ref.reshape(zr * nr, big_cube_ref.shape[2],
+                                            big_cube_ref.shape[3])
+    else:
+        big_cube_ref = None
+
+    if verbose:
+        timing(start_time)
+        print(f"{n * z} total frames")
+        print("Performing single-pass PCA")
+
+    if np.isscalar(ncomp):
+        res_cube = _project_subtract(big_cube, big_cube_ref, ncomp, scaling,
+                                     mask_center_px, svd_mode, verbose,
+                                     False, left_eigv=left_eigv,
+                                     min_frames_pca=min_frames_pca)
+        if verbose:
+            timing(start_time)
+
+        resadi_cube = np.zeros((n, y_in, x_in))
+        if ifs_collapse_range == "all":
+            idx_ini, idx_fin = 0, z
+        else:
+            idx_ini, idx_fin = ifs_collapse_range
+
+        cube_desc_residuals = np.zeros_like(cube[idx_ini:idx_fin])
+        for i in range(n):
+            res_i = scwave(res_cube[i * z + idx_ini:i * z + idx_fin],
+                           scale_list[idx_ini:idx_fin], full_output=True,
+                           inverse=True, y_in=y_in, x_in=x_in, imlib=imlib2,
+                           interpolation=interpolation,
+                           collapse=collapse_ifs, nproc=nproc)
+            cube_desc_residuals[:, i] = res_i[0]
+            resadi_cube[i] = res_i[1]
+
+        if verbose:
+            print("De-rotating and combining residuals")
+            timing(start_time)
+        der_res = cube_derotate(resadi_cube, angle_list, nproc=nproc,
+                                imlib=imlib, interpolation=interpolation,
+                                **rot_options)
+        if mask_center_px:
+            der_res = mask_circle(der_res, mask_center_px)
+        frame = cube_collapse(der_res, mode=collapse, w=weights)
+        return res_cube, cube_desc_residuals, resadi_cube, frame
+    elif isinstance(ncomp, (tuple, list)):
+        from .utils_pca import pca_grid
+
+        return pca_grid(big_cube, angle_list, fwhm, range_pcs=ncomp,
+                        source_xy=source_xy, cube_ref=None, mode="fullfr",
+                        svd_mode=svd_mode, scaling=scaling,
+                        mask_center_px=mask_center_px, fmerit="mean",
+                        collapse=collapse,
+                        ifs_collapse_range=ifs_collapse_range,
+                        verbose=verbose, full_output=full_output,
+                        start_time=start_time, scale_list=scale_list,
+                        initial_4dshape=cube.shape, weights=weights,
+                        nproc=nproc, imlib=imlib,
+                        interpolation=interpolation, **rot_options)
+    raise TypeError("`ncomp` must be an int, float, tuple or list for "
+                    "single-pass PCA")
+
+
+def _adimsdi_doublepca(cube, cube_ref, angle_list, scale_list, ncomp,
+                       scaling, mask_center_px, svd_mode, imlib, imlib2,
+                       interpolation, collapse, collapse_ifs,
+                       ifs_collapse_range, verbose, start_time, nproc,
+                       weights=None, fwhm=4, source_xy=None, delta_rot=None,
+                       smooth_first_pass=None, min_frames_pca=10,
+                       max_frames_pca=None, mask_rdi=None, cube_sig=None,
+                       left_eigv=False, ref_strategy="RSDI", **rot_options):
+    """Double-pass ADI+mSDI PCA: per-frame spectral PCA, then ADI-stage PCA
+    (reference pca_fullfr.py:1245-1475)."""
+    cube = np.asarray(cube, dtype=float)
+    z, n, y_in, x_in = cube.shape
+
+    if cube_ref is not None:
+        cube = np.concatenate((cube, cube_ref), axis=1)
+        nr = cube_ref.shape[1]
+    else:
+        nr = 0
+
+    if not isinstance(ncomp, tuple):
+        raise TypeError("`ncomp` must be a tuple when a double pass PCA is "
+                        "performed")
+    ncomp_ifs, ncomp_adi = ncomp
+
+    angle_list = check_pa_vector(angle_list)
+    if not angle_list.shape[0] == n:
+        raise ValueError("Angle list vector has wrong length. It must equal "
+                         "the number frames in the cube")
+    if scale_list is None:
+        raise ValueError("Scaling factors vector must be provided")
+    scale_list = np.asarray(scale_list)
+    if scale_list.ndim > 1:
+        raise ValueError("Scaling factors vector is not 1d")
+    if not scale_list.shape[0] == cube.shape[0]:
+        raise ValueError("Scaling factors vector has wrong length")
+
+    if type(scaling) is not tuple:
+        scaling = (scaling, scaling)
+
+    if verbose:
+        print(f"{z} spectral channels in IFS cube")
+        if ncomp_ifs is None:
+            print("Combining multi-spectral frames (skipping PCA)")
+        else:
+            print("First PCA stage exploiting spectral variability")
+
+    if ncomp_ifs is not None and ncomp_ifs > z:
+        ncomp_ifs = min(ncomp_ifs, z)
+        print(f"Number of PCs too high (max PCs={z}), using {ncomp_ifs} PCs "
+              "instead")
+
+    res_cube_channels = np.array([
+        _adimsdi_doublepca_ifs(cube, fr, ncomp_ifs, scale_list, scaling[0],
+                               mask_center_px, svd_mode, imlib2,
+                               interpolation, collapse_ifs,
+                               ifs_collapse_range, fwhm, mask_rdi, left_eigv)
+        for fr in range(n + nr)
+    ])
+    if verbose:
+        timing(start_time)
+
+    if smooth_first_pass is not None:
+        from ..var.filters import cube_filter_lowpass
+
+        res_cube_channels = cube_filter_lowpass(
+            res_cube_channels, mode="gauss", fwhm_size=smooth_first_pass,
+            verbose=False)
+
+    residuals_cube_channels_ = None
+    if ncomp_adi is None:
+        if verbose:
+            print(f"{n} ADI frames")
+            print("De-rotating and combining frames (skipping PCA)")
+        residuals_cube_channels_ = cube_derotate(
+            res_cube_channels[:n], angle_list, nproc=nproc, imlib=imlib,
+            interpolation=interpolation, **rot_options)
+        frame = cube_collapse(residuals_cube_channels_, mode=collapse,
+                              w=weights)
+    else:
+        if ncomp_adi > n + nr:
+            ncomp_adi = n + nr
+            print(f"Number of PCs too high, using maximum of {n} PCs instead")
+        if verbose:
+            print(f"{n} ADI frames")
+            print("Second PCA stage exploiting rotational variability")
+
+        if source_xy is None:
+            if "A" in ref_strategy or cube_ref is None:
+                res_ifs_adi = _project_subtract(
+                    res_cube_channels, None, ncomp_adi, scaling[1],
+                    mask_center_px, svd_mode, verbose, False,
+                    cube_sig=cube_sig, left_eigv=left_eigv)
+            else:
+                res_ifs_adi = _project_subtract(
+                    res_cube_channels[:n], res_cube_channels[n:], ncomp_adi,
+                    scaling[1], mask_center_px, svd_mode, verbose, False,
+                    cube_sig=cube_sig, left_eigv=left_eigv)
+        else:
+            if delta_rot is None or fwhm is None:
+                raise TypeError("Delta_rot or fwhm parameters missing. "
+                                "Needed for PA-based rejection of frames "
+                                "from the library")
+            yc, xc = frame_center(cube[0, 0], False)
+            x1, y1 = source_xy
+            ann_center = dist(yc, xc, y1, x1)
+            pa_thr = _compute_pa_thresh(ann_center, fwhm, delta_rot)
+            res_ifs_adi = np.zeros((n, y_in, x_in))
+            truncate = max_frames_pca is not None
+            for fr in range(n):
+                ind = _find_indices_adi(angle_list, fr, pa_thr,
+                                        truncate=truncate,
+                                        max_frames=max_frames_pca)
+                res_result = _project_subtract(
+                    res_cube_channels[:n],
+                    res_cube_channels[n:] if nr else None, ncomp_adi,
+                    scaling[1], mask_center_px, svd_mode, verbose, False,
+                    ind, fr, cube_sig=cube_sig, left_eigv=left_eigv,
+                    min_frames_pca=min_frames_pca)
+                res_ifs_adi[fr] = res_result[-1].reshape((y_in, x_in))
+        if verbose:
+            print("De-rotating and combining residuals")
+        if res_ifs_adi.ndim == 2:
+            res_ifs_adi = res_ifs_adi.reshape((-1, y_in, x_in))
+        residuals_cube_channels_ = cube_derotate(
+            res_ifs_adi[:n], angle_list, nproc=nproc, imlib=imlib,
+            interpolation=interpolation, **rot_options)
+        frame = cube_collapse(residuals_cube_channels_, mode=collapse,
+                              w=weights)
+        if verbose:
+            timing(start_time)
+    return res_cube_channels, residuals_cube_channels_, frame
+
+
+def _adimsdi_doublepca_ifs(array, fr, ncomp, scale_list, scaling,
+                           mask_center_px, svd_mode, imlib, interpolation,
+                           collapse, ifs_collapse_range, fwhm, mask_rdi=None,
+                           left_eigv=False):
+    """Per-temporal-frame spectral PCA (reference pca_fullfr.py:1478-1549)."""
+    from ..preproc.rescaling import cube_rescaling_wavelengths as scwave
+    from ..preproc.skysubtraction import cube_subtract_sky_pca
+
+    z, n, y_in, x_in = array.shape
+    multispec_fr = array[:, fr, :, :]
+
+    if ifs_collapse_range == "all":
+        idx_ini, idx_fin = 0, z
+    else:
+        idx_ini, idx_fin = ifs_collapse_range
+
+    if ncomp is None:
+        return cube_collapse(multispec_fr[idx_ini:idx_fin])
+
+    cube_resc = scwave(multispec_fr, scale_list, imlib=imlib,
+                       interpolation=interpolation, nproc=1)[0]
+    if mask_rdi is None:
+        residuals = _project_subtract(cube_resc, None, ncomp, scaling,
+                                      mask_center_px, svd_mode,
+                                      verbose=False, full_output=False,
+                                      left_eigv=left_eigv)
+    else:
+        residuals = np.zeros_like(cube_resc)
+        for i in range(z):
+            cube_tmp = np.array([cube_resc[i]])
+            ref = np.array([cube_resc[j] for j in range(z) if j != i])
+            residuals[i] = cube_subtract_sky_pca(cube_tmp, ref, mask_rdi,
+                                                 ncomp=ncomp,
+                                                 full_output=False)
+    frame_i = scwave(residuals[idx_ini:idx_fin], scale_list[idx_ini:idx_fin],
+                     full_output=False, inverse=True, y_in=y_in, x_in=x_in,
+                     imlib=imlib, interpolation=interpolation,
+                     collapse=collapse, nproc=1)
+    if mask_center_px:
+        frame_i = mask_circle(frame_i, mask_center_px)
+    return frame_i
 
 
 def _project_subtract(cube, cube_ref, ncomp, scaling, mask_center_px,

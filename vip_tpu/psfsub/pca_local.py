@@ -95,7 +95,195 @@ def pca_annular(*all_args: List, **all_kwargs: dict):
         if algo_params.full_output:
             return cube_out, cube_der, frame
         return frame
-    raise NotImplementedError("4D pca_annular lands with the SDI module")
+
+    elif algo_params.cube.ndim == 4 and algo_params.scale_list is None:
+        # per-channel annular ADI + channel collapse (pca_local.py:281-330)
+        nch, nz, ny, nx = algo_params.cube.shape
+        ifs_adi_frames = np.zeros([nch, ny, nx])
+        ncomp = algo_params.ncomp
+        if not isinstance(ncomp, list) or len(ncomp) != nch:
+            ncomp = [algo_params.ncomp] * nch
+        fwhm = algo_params.fwhm
+        if np.isscalar(fwhm):
+            fwhm = [fwhm] * nch
+
+        cube_out = []
+        cube_der = []
+        for ch in range(nch):
+            cube_ref_tmp = None
+            if algo_params.cube_ref is not None:
+                if np.asarray(algo_params.cube_ref[ch]).ndim != 3:
+                    raise TypeError("Ref cube has wrong format for 4d input "
+                                    "cube")
+                cube_ref_tmp = algo_params.cube_ref[ch]
+            add_params = {"cube": algo_params.cube[ch], "fwhm": fwhm[ch],
+                          "ncomp": ncomp[ch], "full_output": True,
+                          "cube_ref": cube_ref_tmp,
+                          "start_time": time_ini(False)}
+            func_params = setup_parameters(params_obj=algo_params,
+                                           fkt=_pca_adi_rdi, **add_params)
+            res_pca = _pca_adi_rdi(**func_params, **rot_options)
+            cube_out.append(res_pca[0])
+            cube_der.append(res_pca[1])
+            ifs_adi_frames[ch] = res_pca[-1]
+
+        collapse_ifs = str(getattr(algo_params.collapse_ifs, "value",
+                                   algo_params.collapse_ifs))
+        frame = cube_collapse(ifs_adi_frames, mode=collapse_ifs) \
+            if algo_params.collapse_ifs is not None else ifs_adi_frames
+        if algo_params.full_output:
+            return np.array(cube_out), np.array(cube_der), frame
+        return frame
+
+    elif algo_params.cube.ndim == 4:
+        # SDI (per-frame spectral annular PCA) + optional ADI second stage
+        # (pca_local.py:333-462)
+        z, n, y_in, x_in = algo_params.cube.shape
+        fwhm = int(np.round(np.mean(algo_params.fwhm)))
+        scale_list = np.asarray(algo_params.scale_list)
+        if scale_list.ndim > 1:
+            raise ValueError("Scaling factors vector is not 1d")
+        if not scale_list.shape[0] == z:
+            raise ValueError("Scaling factors vector has wrong length")
+        if not isinstance(algo_params.ncomp, tuple):
+            raise TypeError("`ncomp` must be a tuple of two integers when "
+                            "`cube` is a 4d array")
+        ncomp1, ncomp2 = algo_params.ncomp
+
+        svd_mode = str(getattr(algo_params.svd_mode, "value",
+                               algo_params.svd_mode))
+        collapse_ifs = str(getattr(algo_params.collapse_ifs, "value",
+                                   algo_params.collapse_ifs))
+        if algo_params.verbose:
+            print("First PCA subtraction exploiting the spectral "
+                  "variability")
+            print(f"{z} spectral channels per IFS frame")
+
+        residuals_cube_channels = np.array([
+            _pca_sdi_fr(algo_params.cube, fr, scale_list,
+                        algo_params.radius_int, fwhm, algo_params.asize,
+                        algo_params.n_segments, algo_params.delta_sep,
+                        ncomp1, svd_mode, algo_params.tol,
+                        algo_params.scaling, algo_params.imlib,
+                        algo_params.interpolation, collapse_ifs,
+                        algo_params.ifs_collapse_range,
+                        algo_params.theta_init)
+            for fr in range(n)
+        ])
+
+        if ncomp2 is None:
+            cube_out = residuals_cube_channels
+            cube_der = cube_derotate(cube_out, angle_list=check_pa_vector(
+                algo_params.angle_list), nproc=algo_params.nproc,
+                imlib=algo_params.imlib,
+                interpolation=algo_params.interpolation, **rot_options)
+            frame = cube_collapse(cube_der, mode=algo_params.collapse,
+                                  w=algo_params.weights)
+        else:
+            residuals_cube_channels_ref = None
+            if algo_params.cube_ref is not None:
+                nr = algo_params.cube_ref.shape[1]
+                residuals_cube_channels_ref = np.array([
+                    _pca_sdi_fr(algo_params.cube_ref, fr, scale_list,
+                                algo_params.radius_int, fwhm,
+                                algo_params.asize, algo_params.n_segments,
+                                algo_params.delta_sep, ncomp1, svd_mode,
+                                algo_params.tol, algo_params.scaling,
+                                algo_params.imlib,
+                                algo_params.interpolation, collapse_ifs,
+                                algo_params.ifs_collapse_range,
+                                algo_params.theta_init)
+                    for fr in range(nr)
+                ])
+            add_params = {"cube": residuals_cube_channels, "ncomp": ncomp2,
+                          "cube_ref": residuals_cube_channels_ref,
+                          "fwhm": fwhm, "start_time": time_ini(False),
+                          "full_output": True}
+            func_params = setup_parameters(params_obj=algo_params,
+                                           fkt=_pca_adi_rdi, **add_params)
+            cube_out, cube_der, frame = _pca_adi_rdi(**func_params,
+                                                     **rot_options)
+
+        if algo_params.full_output:
+            return cube_out, cube_der, frame
+        return frame
+
+    raise TypeError("Input array is not a 4d or 3d array")
+
+
+def _pca_sdi_fr(array, fr, scal, radius_int, fwhm, asize, n_segments,
+                delta_sep, ncomp, svd_mode, tol, scaling, imlib,
+                interpolation, collapse, ifs_collapse_range, theta_init):
+    """Optimized spectral PCA subtraction on one multi-spectral frame
+    (reference pca_local.py:470-591)."""
+    from ..preproc.rescaling import (_find_indices_sdi, check_scal_vector,
+                                     cube_rescaling_wavelengths as scwave)
+
+    scale_list = check_scal_vector(scal)
+    z, n, y_in, x_in = array.shape
+    multispec_fr = scwave(array[:, fr, :, :], scale_list, imlib=imlib,
+                          interpolation=interpolation)[0]
+
+    fwhm = int(np.round(np.mean(fwhm)))
+    n_annuli = int((y_in / 2 - radius_int) / asize)
+
+    if isinstance(n_segments, int):
+        n_segments = [n_segments for _ in range(n_annuli)]
+    elif n_segments == "auto":
+        n_segments = [2, 3]
+        ld = 2 * np.tan(360 / 4 / 2) * asize
+        for i in range(2, n_annuli):
+            radius = i * asize
+            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
+            n_segments.append(int(np.ceil(360 / ang)))
+
+    cube_res = np.zeros_like(multispec_fr)
+
+    if isinstance(delta_sep, (tuple, list)):
+        delta_sep_vec = np.linspace(delta_sep[0], delta_sep[1], n_annuli)
+    elif np.isscalar(delta_sep):
+        delta_sep_vec = [delta_sep] * n_annuli
+    else:
+        if len(delta_sep) != n_annuli:
+            raise TypeError("If delta_sep is a list it should have n_annuli "
+                            "elements.")
+        delta_sep_vec = delta_sep
+
+    for ann in range(n_annuli):
+        if ann == n_annuli - 1:
+            inner_radius = radius_int + (ann * asize - 1)
+        else:
+            inner_radius = radius_int + ann * asize
+        ann_center = inner_radius + (asize / 2)
+
+        indices = get_annulus_segments(multispec_fr[0], inner_radius, asize,
+                                       n_segments[ann], theta_init)
+        for seg in range(n_segments[ann]):
+            yy, xx = indices[seg]
+            matrix = matrix_scaling(multispec_fr[:, yy, xx], scaling)
+
+            for j in range(z):
+                indices_left = _find_indices_sdi(scal, ann_center, j, fwhm,
+                                                 delta_sep_vec[ann])
+                matrix_ref = matrix[indices_left]
+                curr_frame = matrix[j]
+                V = get_eigenvectors(ncomp, matrix_ref, svd_mode,
+                                     noise_error=tol, debug=False,
+                                     scaling=scaling)
+                transformed = np.dot(curr_frame, V.T)
+                reconstructed = np.dot(transformed.T, V)
+                cube_res[j, yy, xx] = curr_frame - reconstructed
+
+    if ifs_collapse_range == "all":
+        idx_ini, idx_fin = 0, z
+    else:
+        idx_ini, idx_fin = ifs_collapse_range
+
+    frame_desc = scwave(cube_res[idx_ini:idx_fin],
+                        scale_list[idx_ini:idx_fin], full_output=False,
+                        inverse=True, y_in=y_in, x_in=x_in, imlib=imlib,
+                        interpolation=interpolation, collapse=collapse)
+    return frame_desc
 
 
 def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,

@@ -214,13 +214,20 @@ def frame_filter_highpass(array, mode, median_size=5, kernel_size=5,
         fft_new = array_fft * filt
         return ifft(fft_new)
     elif mode == "hann":
-        # Hann window centered on the frame
-        ny, nx = array.shape
-        wy = 0.5 * (1 - np.cos(2 * np.pi * np.arange(ny) / (ny - 1)))
-        wx = 0.5 * (1 - np.cos(2 * np.pi * np.arange(nx) / (nx - 1)))
-        hann_2d = np.outer(wy, wx)
-        fft_arr = fft(array)
-        return ifft(fft_arr * (1 - hann_2d))
+        # attenuate low frequencies with a Hann profile cut at
+        # cutoff = npix/2 * hann_cutoff (reference filters.py:380-398)
+        npix = array.shape[0]
+        cutoff = npix / 2 * hann_cutoff
+        cutoff_inside = int(np.trunc(np.minimum(cutoff, npix / 2 - 1)
+                                     + np.copysign(0.5, cutoff)))
+        winsize = 2 * cutoff_inside + 1
+        win1d = np.hanning(winsize)
+        win = 1 - np.outer(win1d, win1d)
+        array_fft = np.array(fft(array))
+        array_fft[npix // 2 - cutoff_inside:npix // 2 + cutoff_inside + 1,
+                  npix // 2 - cutoff_inside:npix // 2 + cutoff_inside + 1] \
+            *= win
+        return ifft(array_fft)
     elif mode == "psf-subt":
         psfed = frame_filter_lowpass(array, "psf", psf=psf,
                                      conv_mode=conv_mode, mask=mask)
