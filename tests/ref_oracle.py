@@ -191,7 +191,16 @@ def _install_stubs():
             out[bad] = filled[bad]
             return out
 
+        class Tophat2DKernel:
+            # astropy Tophat2DKernel: disk of given radius, normalized
+            def __init__(self, radius, **kw):
+                size = int(2 * np.ceil(radius) + 1)
+                yk, xk = np.mgrid[:size, :size] - size // 2
+                arr = ((yk**2 + xk**2) <= radius**2).astype(float)
+                self.array = arr / arr.sum()
+
         conv.Gaussian2DKernel = Gaussian2DKernel
+        conv.Tophat2DKernel = Tophat2DKernel
         conv.convolve = convolve
         conv.convolve_fft = convolve_fft
         conv.interpolate_replace_nans = interpolate_replace_nans
@@ -401,7 +410,28 @@ def _install_stubs():
             ).reshape(shape)
             return np.nonzero(mask)
 
+        def circle_perimeter(cy, cx, radius, **kw):
+            # skimage.draw.circle_perimeter (midpoint/Bresenham circle)
+            yy, xx = [], []
+            y = radius
+            x = 0
+            d = 3 - 2 * radius
+            while y >= x:
+                for dy, dx in ((y, x), (x, y), (-x, y), (-y, x),
+                               (-y, -x), (-x, -y), (x, -y), (y, -x)):
+                    yy.append(cy + dy)
+                    xx.append(cx + dx)
+                if d < 0:
+                    d += 4 * x + 6
+                else:
+                    d += 4 * (x - y) + 10
+                    y -= 1
+                x += 1
+            coords = np.unique(np.column_stack([yy, xx]), axis=0)
+            return coords[:, 0], coords[:, 1]
+
         draw.disk = disk
+        draw.circle_perimeter = circle_perimeter
         draw.ellipse = ellipse
         draw.polygon = polygon
 

