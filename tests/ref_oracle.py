@@ -266,6 +266,12 @@ def _install_stubs():
                 rr_gg = ((x - x_0) ** 2 + (y - y_0) ** 2) / gamma**2
                 return amplitude * (1 + rr_gg) ** (-alpha)
 
+            @property
+            def fwhm(self):
+                # astropy Moffat2D.fwhm
+                return 2.0 * np.abs(self.gamma.value) * np.sqrt(
+                    2 ** (1.0 / self.alpha.value) - 1)
+
         class AiryDisk2D(_Model2D):
             _pnames = ("amplitude", "x_0", "y_0", "radius")
             _defaults = (1.0, 0.0, 0.0, 1.0)
@@ -458,7 +464,38 @@ def _install_stubs():
                                   flags=intp, borderMode=bormo)
 
         def radon(image, theta=None, circle=True):
-            raise NotImplementedError("stub radon")
+            # skimage.transform.radon: order-1 warp about shape//2 and
+            # column sums
+            img = np.asarray(image, dtype=float)
+            n = img.shape[0]
+            center = n // 2
+            if theta is None:
+                theta = np.arange(180)
+            theta = np.atleast_1d(np.asarray(theta, dtype=float))
+            yy, xx = np.mgrid[0:n, 0:n]
+            out = np.zeros((n, len(theta)))
+            for i, ang in enumerate(np.deg2rad(theta)):
+                cos_a, sin_a = np.cos(ang), np.sin(ang)
+                x0 = xx - center
+                y0 = yy - center
+                xs = cos_a * x0 + sin_a * y0 + center
+                ys = -sin_a * x0 + cos_a * y0 + center
+                x0f = np.floor(xs).astype(int)
+                y0f = np.floor(ys).astype(int)
+                wx = xs - x0f
+                wy = ys - y0f
+
+                def sample(yi, xi):
+                    valid = (yi >= 0) & (yi < n) & (xi >= 0) & (xi < n)
+                    return np.where(valid, img[np.clip(yi, 0, n - 1),
+                                               np.clip(xi, 0, n - 1)], 0.0)
+
+                rot = ((1 - wy) * (1 - wx) * sample(y0f, x0f)
+                       + (1 - wy) * wx * sample(y0f, x0f + 1)
+                       + wy * (1 - wx) * sample(y0f + 1, x0f)
+                       + wy * wx * sample(y0f + 1, x0f + 1))
+                out[:, i] = rot.sum(0)
+            return out
 
         transform.rotate = rotate
         transform.radon = radon
@@ -467,7 +504,39 @@ def _install_stubs():
         skimage.registration = registration
 
         def phase_cross_correlation(reference_image, moving_image,
-                                    upsample_factor=1, **kw):
+                                    upsample_factor=1, reference_mask=None,
+                                    moving_mask=None, overlap_ratio=0.3,
+                                    **kw):
+            if reference_mask is not None:
+                # Padfield (2012) masked normalized cross-correlation
+                m1 = np.asarray(reference_mask, dtype=float)
+                m2 = m1 if moving_mask is None else np.asarray(moving_mask,
+                                                               float)
+                ref = np.asarray(reference_image, float) * m1
+                mov = np.asarray(moving_image, float) * m2
+                rot_mov = mov[::-1, ::-1]
+                rot_m2 = m2[::-1, ::-1]
+                fshape = tuple(2 * s - 1 for s in ref.shape)
+                F = lambda x: np.fft.fft2(x, fshape)
+                IF = lambda x: np.fft.ifft2(x).real
+                eps = np.finfo(float).eps
+                f_fft, rm_fft = F(ref), F(rot_mov)
+                m1_fft, rm2_fft = F(m1), F(rot_m2)
+                n_ov = np.maximum(IF(rm2_fft * m1_fft), eps)
+                cf = IF(rm2_fft * f_fft)
+                cm = IF(m1_fft * rm_fft)
+                num = IF(rm_fft * f_fft) - cf * cm / n_ov
+                fd = IF(rm2_fft * F(ref * ref)) - cf**2 / n_ov
+                md = IF(m1_fft * F(rot_mov * rot_mov)) - cm**2 / n_ov
+                den = np.sqrt(np.maximum(fd, 0) * np.maximum(md, 0))
+                tol = 1e3 * eps * np.max(np.abs(den))
+                xcorr = np.where(den > tol,
+                                 np.clip(num / np.maximum(den, tol),
+                                         -1, 1), 0.0)
+                xcorr[n_ov <= overlap_ratio * n_ov.max()] = 0.0
+                idx = np.unravel_index(np.argmax(xcorr), xcorr.shape)
+                shifts = np.asarray(idx) - (np.asarray(ref.shape) - 1)
+                return shifts.astype(float)
             # Guizar-Sicairos matrix-multiply DFT registration
             ref_f = np.fft.fft2(reference_image)
             mov_f = np.fft.fft2(moving_image)
@@ -511,8 +580,42 @@ def _install_stubs():
         metrics_m = _mod("skimage.metrics")
         skimage.metrics = metrics_m
 
-        def structural_similarity(a, b, **kw):
-            raise NotImplementedError("stub ssim")
+        def structural_similarity(a, b, win_size=7, data_range=None,
+                                  gaussian_weights=False, sigma=1.5,
+                                  use_sample_covariance=True, K1=0.01,
+                                  K2=0.03, **kw):
+            # skimage SSIM (Wang et al. 2004) with gaussian or uniform
+            # windows
+            from scipy.ndimage import gaussian_filter, uniform_filter
+
+            a = np.asarray(a, float)
+            b = np.asarray(b, float)
+            if data_range is None:
+                data_range = a.max() - a.min()
+            if gaussian_weights:
+                truncate = 3.5
+                if win_size is None:
+                    r = int(truncate * sigma + 0.5)
+                    win_size = 2 * r + 1
+                filt = lambda x: gaussian_filter(x, sigma,
+                                                 truncate=truncate)
+            else:
+                if win_size is None:
+                    win_size = 7
+                filt = lambda x: uniform_filter(x, win_size)
+            NP = win_size ** a.ndim
+            cov_norm = NP / (NP - 1) if use_sample_covariance else 1.0
+            ux, uy = filt(a), filt(b)
+            uxx, uyy, uxy = filt(a * a), filt(b * b), filt(a * b)
+            vx = cov_norm * (uxx - ux * ux)
+            vy = cov_norm * (uyy - uy * uy)
+            vxy = cov_norm * (uxy - ux * uy)
+            C1 = (K1 * data_range) ** 2
+            C2 = (K2 * data_range) ** 2
+            S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+                (ux**2 + uy**2 + C1) * (vx + vy + C2))
+            pad = (win_size - 1) // 2
+            return S[pad:-pad, pad:-pad].mean()
 
         metrics_m.structural_similarity = structural_similarity
 

@@ -1,0 +1,199 @@
+"""Parity tests for the full recentering suite (satspots, radon, 2d fits,
+DFT upsampling with mask/log, speckle alignment)."""
+
+import numpy as np
+import pytest
+
+from vip_tpu.preproc.recentering import (cube_recenter_2dfit,
+                                         cube_recenter_dft_upsampling,
+                                         cube_recenter_satspots,
+                                         cube_recenter_via_speckles,
+                                         frame_center_radon,
+                                         frame_center_satspots, radon)
+
+from ref_oracle import load_ref
+
+
+@pytest.fixture(scope="module")
+def ref_rec():
+    return load_ref("vip_hci.preproc.recentering")
+
+
+def _gauss(yy, xx, cy, cx, sigma=1.5, amp=1.0):
+    return amp * np.exp(-((yy - cy)**2 + (xx - cx)**2) / (2 * sigma**2))
+
+
+def _satspot_frame(sz=64, offy=0.8, offx=-0.5):
+    yy, xx = np.mgrid[:sz, :sz]
+    cy = (sz - 1) / 2 + offy
+    cx = (sz - 1) / 2 + offx
+    fr = _gauss(yy, xx, cy, cx, 4.0, 20.0)
+    r = 15
+    spots = []
+    for dy, dx in ((r, -r), (r, r), (-r, -r), (-r, r)):  # X configuration
+        fr += _gauss(yy, xx, cy + dy, cx + dx, 1.5, 10.0)
+        spots.append((cx + dx, cy + dy))
+    rng = np.random.default_rng(1)
+    fr += rng.normal(0, 0.01, (sz, sz))
+    # xy order: top-left, top-right, bottom-left, bottom-right
+    return fr, tuple(spots)
+
+
+def test_frame_center_satspots_parity(ref_rec):
+    fr, xy = _satspot_frame()
+    xy_int = tuple((int(round(x)), int(round(y))) for (x, y) in xy)
+    ours = frame_center_satspots(fr, xy_int, subi_size=11, verbose=False)
+    theirs = ref_rec.frame_center_satspots(fr, xy_int, subi_size=11,
+                                           verbose=False)
+    assert np.allclose(ours, theirs, atol=2e-3)
+    # true center (31.5+0.8, 31.5-0.5); frame center (32, 32) for even size
+    # -> shifts (dy, dx) = (-0.3, +1.0)
+    assert abs(ours[0] + 0.3) < 0.1 and abs(ours[1] - 1.0) < 0.1
+
+
+def test_cube_recenter_satspots_parity(ref_rec):
+    frames, xys = [], None
+    for k in range(3):
+        fr, xy = _satspot_frame(offy=0.3 * k, offx=-0.2 * k)
+        frames.append(fr)
+        if xys is None:
+            xys = tuple((int(round(x)), int(round(y))) for (x, y) in xy)
+    cube = np.array(frames)
+    ours = cube_recenter_satspots(cube, xys, subi_size=11, plot=False,
+                                  verbose=False, full_output=True)
+    theirs = ref_rec.cube_recenter_satspots(cube, xys, subi_size=11,
+                                            plot=False, verbose=False,
+                                            full_output=True)
+    assert np.allclose(ours[0], theirs[0], atol=2e-2)
+    assert np.allclose(ours[1], theirs[1], atol=2e-3)
+    assert np.allclose(ours[2], theirs[2], atol=2e-3)
+
+
+def test_radon_transform_parity(ref_rec):
+    rng = np.random.default_rng(2)
+    img = rng.normal(0, 1, (32, 32))
+    theta = np.linspace(0, 360, 24, endpoint=False)
+    ours = radon(img, theta)
+    import ref_oracle
+    skt = ref_oracle.load_ref("skimage.transform")
+    theirs = skt.radon(img, theta)
+    assert np.allclose(ours, theirs, atol=1e-9)
+
+
+def test_frame_center_radon_parity(ref_rec):
+    sz = 41
+    yy, xx = np.mgrid[:sz, :sz]
+    cy_t, cx_t = (sz - 1) / 2 + 0.6, (sz - 1) / 2 - 0.4
+    fr = np.zeros((sz, sz))
+    # elongated speckles pointing at the (offset) star in "+" config
+    for ang in (0, 90, 180, 270):
+        th = np.deg2rad(ang)
+        for rr in np.arange(3, 16, 0.5):
+            fr += _gauss(yy, xx, cy_t + rr * np.sin(th),
+                         cx_t + rr * np.cos(th), 1.2, 1.0)
+    kwargs = dict(hsize_ini=1.0, step_ini=0.2, n_iter=2, tol=0.05,
+                  satspots_cfg="+", gauss_fit=True, hpf=False, nproc=1,
+                  verbose=False, plot=False)
+    ours = frame_center_radon(fr.copy(), **kwargs)
+    theirs = ref_rec.frame_center_radon(fr.copy(), **kwargs)
+    assert np.allclose(ours, theirs, atol=2e-3)
+    # NOTE the reference returns ori_cent + opt_shift (sign flipped wrt its
+    # own "Star location" wording, see its "# ORI: -" comment) — i.e. the
+    # mirrored star position 2*cent - star. We replicate that behavior.
+    cy0 = cx0 = (sz - 1) / 2 + 0.5  # frame_center of odd->... = 20
+    assert abs(ours[0] - (2 * 20 - cy_t)) < 0.25
+    assert abs(ours[1] - (2 * 20 - cx_t)) < 0.25
+
+
+def test_cube_recenter_2dfit_parity(ref_rec):
+    rng = np.random.default_rng(3)
+    sz, n = 31, 5
+    yy, xx = np.mgrid[:sz, :sz]
+    offs = rng.uniform(-1.5, 1.5, (n, 2))
+    cube = np.array([_gauss(yy, xx, sz // 2 + dy, sz // 2 + dx, 2.0, 10.0)
+                     + rng.normal(0, 0.01, (sz, sz))
+                     for dy, dx in offs])
+    for model in ("gauss", "moff"):
+        ours = cube_recenter_2dfit(cube, fwhm=4.0, subi_size=9, model=model,
+                                   full_output=True, verbose=False,
+                                   plot=False)
+        theirs = ref_rec.cube_recenter_2dfit(cube, fwhm=4.0, subi_size=9,
+                                             model=model, full_output=True,
+                                             verbose=False, plot=False)
+        assert np.allclose(ours[1], theirs[1], atol=2e-3), model
+        assert np.allclose(ours[2], theirs[2], atol=2e-3), model
+        assert np.allclose(ours[0], theirs[0], atol=2e-2), model
+        # recovered shifts undo the injected offsets
+        assert np.allclose(ours[1], -offs[:, 0], atol=0.05)
+        assert np.allclose(ours[2], -offs[:, 1], atol=0.05)
+
+
+def test_dft_upsampling_log_subi_parity(ref_rec):
+    rng = np.random.default_rng(4)
+    sz, n = 32, 4
+    yy, xx = np.mgrid[:sz, :sz]
+    offs = np.array([[0.0, 0.0], [0.6, -0.4], [-0.8, 0.3], [0.2, 0.9]])
+    cube = np.array([_gauss(yy, xx, sz / 2 + dy, sz / 2 + dx, 2.0, 50.0)
+                     + rng.normal(0, 0.01, (sz, sz))
+                     for dy, dx in offs])
+    ours = cube_recenter_dft_upsampling(cube, upsample_factor=100,
+                                        subi_size=None, log=True,
+                                        full_output=True, verbose=False,
+                                        plot=False, nproc=1)
+    theirs = ref_rec.cube_recenter_dft_upsampling(
+        cube, upsample_factor=100, subi_size=None, log=True,
+        full_output=True, verbose=False, plot=False, nproc=1)
+    assert np.allclose(ours[1], theirs[1], atol=1e-6)
+    assert np.allclose(ours[2], theirs[2], atol=1e-6)
+    # shifts recover the injected offsets (relative to frame 0)
+    assert np.allclose(ours[1][1:], -offs[1:, 0], atol=0.05)
+
+    # subi_size path: absolute recentering via 2d fit of collapsed cube
+    ours2 = cube_recenter_dft_upsampling(cube, upsample_factor=100,
+                                         subi_size=9, fwhm=4.0,
+                                         full_output=True, verbose=False,
+                                         plot=False, nproc=1)
+    theirs2 = ref_rec.cube_recenter_dft_upsampling(
+        cube, upsample_factor=100, subi_size=9, fwhm=4.0,
+        full_output=True, verbose=False, plot=False, nproc=1)
+    assert np.allclose(ours2[1], theirs2[1], atol=2e-3)
+    assert np.allclose(ours2[2], theirs2[2], atol=2e-3)
+
+
+def test_dft_upsampling_masked_parity(ref_rec):
+    rng = np.random.default_rng(5)
+    sz, n = 32, 3
+    base = rng.normal(0, 1, (sz, sz))
+    from scipy.ndimage import gaussian_filter, shift as ndshift
+    base = gaussian_filter(base, 1.5)
+    cube = np.array([base,
+                     ndshift(base, (1.0, -2.0), order=3),
+                     ndshift(base, (-2.0, 1.0), order=3)])
+    mask = np.zeros((sz, sz), dtype=bool)
+    mask[4:-4, 4:-4] = True
+    ours = cube_recenter_dft_upsampling(cube, mask=mask, full_output=True,
+                                        verbose=False, plot=False, nproc=1)
+    theirs = ref_rec.cube_recenter_dft_upsampling(
+        cube, mask=mask, full_output=True, verbose=False, plot=False,
+        nproc=1)
+    assert np.allclose(ours[1], theirs[1], atol=1e-8)
+    assert np.allclose(ours[2], theirs[2], atol=1e-8)
+    assert np.allclose(ours[1], [0, -1, 2], atol=0.3)
+
+
+def test_cube_recenter_via_speckles_smoke():
+    rng = np.random.default_rng(6)
+    sz, n = 32, 5
+    from scipy.ndimage import gaussian_filter, shift as ndshift
+    base = gaussian_filter(rng.normal(0, 1, (sz, sz)), 1.2) * 5 + 10
+    offs = rng.uniform(-1, 1, (n, 2))
+    cube = np.array([ndshift(base, o, order=3) for o in offs])
+    out = cube_recenter_via_speckles(cube, alignment_iter=6, fwhm=4,
+                                     subframesize=27, plot=False,
+                                     full_output=True)
+    cube_reg = out[0]
+    shifts_x, shifts_y = out[3], out[4]
+    # recovered relative shifts match the injected offsets (frame-to-frame)
+    rel_y = offs[:, 0] - offs[0, 0]
+    rec_y = shifts_y - shifts_y[0]
+    assert np.allclose(-rec_y, rel_y, atol=0.2)

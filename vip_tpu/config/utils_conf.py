@@ -204,3 +204,39 @@ def redirect_output(filename):
 def eval_func_tuple(f_args):
     """Apply f to the rest of the tuple (reference helper)."""
     return f_args[0](*f_args[1:])
+
+
+def algo_calculates_decorator(*calculated_attributes):
+    """Decorator marking which attributes a PostProc method calculates
+    (reference config/utils_conf.py:236-305)."""
+    from functools import wraps
+    from inspect import Parameter, signature
+
+    def decorator(fkt):
+        @wraps(fkt)
+        def wrapper(self, *args, **kwargs):
+            res = fkt(self, *args, **kwargs)
+            sig = signature(fkt)
+            all_kwargs = {k: v.default for k, v in sig.parameters.items()
+                          if v.default is not Parameter.empty}
+            all_kwargs.update(kwargs)
+            if not hasattr(self, "_called_calculators"):
+                self._called_calculators = []
+            self._called_calculators.append(fkt.__name__)
+            if all_kwargs.get("verbose", False):
+                self._show_attribute_help(fkt.__name__)
+            return res
+
+        wrapper._calculates = set(calculated_attributes)
+        return wrapper
+
+    return decorator
+
+
+def print_precision(array, precision=3):
+    """Print an array with controlled precision
+    (reference config/utils_conf.py)."""
+    import numpy as np
+
+    with np.printoptions(precision=precision, suppress=True):
+        print(np.asarray(array))

@@ -124,10 +124,17 @@ class Header:
         for k in self._keys:
             v = self._values[k]
             comment = self._comments.get(k)
-            if v is None:
-                card = "{:8s}".format(k[:8])
+            if len(k) > 8 or " " in k:
+                # HIERARCH convention for long keywords
+                if v is None:
+                    card = "HIERARCH {} =".format(k)
+                else:
+                    card = "HIERARCH {} = {}".format(
+                        k, self._format_value(v).strip())
+            elif v is None:
+                card = "{:8s}".format(k)
             else:
-                card = "{:8s}= {}".format(k[:8], self._format_value(v))
+                card = "{:8s}= {}".format(k, self._format_value(v))
             if comment:
                 card += " / " + str(comment)
             cards.append(card[:CARD].ljust(CARD))
@@ -169,6 +176,29 @@ class Header:
                     h.comments_log.append(text)
                 else:
                     h.history_log.append(text)
+                continue
+            if key == "HIERARCH":
+                body_full = card[9:]
+                eq = body_full.find("= ")
+                if eq < 0:
+                    eq = body_full.find("=")
+                    if eq < 0:
+                        continue
+                    key = body_full[:eq].strip()
+                    h[key] = None
+                    continue
+                key = body_full[:eq].strip()
+                body = body_full[eq + 2:]
+                if body.lstrip().startswith("'"):
+                    start = body.index("'")
+                    end = body.index("'", start + 1)
+                    while end + 1 < len(body) and body[end + 1] == "'":
+                        end = body.index("'", end + 2)
+                    h[key] = cls._parse_value(body[:end + 1])
+                else:
+                    slash = body.find("/")
+                    h[key] = cls._parse_value(
+                        body[:slash] if slash >= 0 else body)
                 continue
             if card[8:10] != "= ":
                 h[key] = None

@@ -75,3 +75,65 @@ def dft_registration_batch(ref, cube, upsample_factor=1):
     freqs = jnp.fft.fft2(cube, axes=(-2, -1))
     return jax.vmap(lambda tf: dft_registration(ref_freq, tf,
                                                 upsample_factor))(freqs)
+
+
+def masked_register_translation(reference_image, moving_image,
+                                reference_mask, moving_mask=None,
+                                overlap_ratio=0.3):
+    """Masked translation registration (Padfield 2012), equivalent to
+    skimage phase_cross_correlation with ``reference_mask`` — integer-pixel
+    shifts from masked normalized cross-correlation, computed with
+    device FFTs. Returns (dy, dx) to apply to ``moving_image``.
+
+    Used by cube_recenter_dft_upsampling when a mask is provided
+    (reference recentering.py:1385-1409).
+    """
+    ref = jnp.asarray(reference_image, dtype=float)
+    mov = jnp.asarray(moving_image, dtype=float)
+    m1 = jnp.asarray(reference_mask, dtype=float)
+    m2 = m1 if moving_mask is None else jnp.asarray(moving_mask, dtype=float)
+
+    fixed = ref * m1
+    moving = mov * m2
+    rot_moving = moving[::-1, ::-1]
+    rot_m2 = m2[::-1, ::-1]
+
+    fshape = tuple(2 * s - 1 for s in ref.shape)
+
+    def F(x):
+        return jnp.fft.fft2(x, fshape)
+
+    def IF(x):
+        return jnp.fft.ifft2(x).real
+
+    eps = jnp.finfo(float).eps
+    fixed_fft = F(fixed)
+    rot_moving_fft = F(rot_moving)
+    m1_fft = F(m1)
+    rot_m2_fft = F(rot_m2)
+
+    n_overlap = IF(rot_m2_fft * m1_fft)
+    n_overlap = jnp.maximum(n_overlap, eps)
+    corr_fixed = IF(rot_m2_fft * fixed_fft)
+    corr_moving = IF(m1_fft * rot_moving_fft)
+    numerator = IF(rot_moving_fft * fixed_fft) \
+        - corr_fixed * corr_moving / n_overlap
+
+    fixed_den = IF(rot_m2_fft * F(fixed * fixed)) \
+        - corr_fixed**2 / n_overlap
+    moving_den = IF(m1_fft * F(rot_moving * rot_moving)) \
+        - corr_moving**2 / n_overlap
+    denom = jnp.sqrt(jnp.maximum(fixed_den, 0) * jnp.maximum(moving_den, 0))
+
+    tol = 1e3 * eps * jnp.max(jnp.abs(denom))
+    xcorr = jnp.where(denom > tol, jnp.clip(numerator / jnp.maximum(
+        denom, tol), -1, 1), 0.0)
+
+    keep = n_overlap > overlap_ratio * jnp.max(n_overlap)
+    xcorr = jnp.where(keep, xcorr, 0.0)
+
+    amax = jnp.argmax(xcorr)
+    idx = jnp.stack(jnp.unravel_index(amax, xcorr.shape))
+    shifts = idx - (jnp.asarray(ref.shape) - 1)
+    import numpy as _np
+    return _np.asarray(shifts, dtype=float)
