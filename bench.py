@@ -24,6 +24,12 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", 1000))
 SIZE = int(os.environ.get("BENCH_SIZE", 512))
 NCOMP = int(os.environ.get("BENCH_NCOMP", 10))
 REPS = int(os.environ.get("BENCH_REPS", 3))
+# rotation mode for the derotation stage:
+#  'fft-small' = 3-shear FFT rotation on a 1.25x canvas (default; same
+#     rotation math as the reference's 'vip-fft', smaller zero-pad margin)
+#  'fft'       = the reference's exact 4x-padded flux-preserving pipeline
+#  'interp'    = bicubic gather rotation (reference's OpenCV analog)
+ROT_MODE = os.environ.get("BENCH_ROT", "fft-small")
 
 
 def main():
@@ -42,9 +48,13 @@ def main():
     # chunk the derotation so the 4x-padded complex FFT working set fits HBM
     chunk = int(os.environ.get("BENCH_CHUNK", 25))
 
+    chunk_interp = int(os.environ.get("BENCH_CHUNK_INTERP", 125))
+
     def run():
-        return pca_adi_pipeline(cube_d, ang_d, ncomp=NCOMP, method="eigen",
-                                collapse="median", chunk=chunk)
+        return pca_adi_pipeline(
+            cube_d, ang_d, ncomp=NCOMP, method="eigen", collapse="median",
+            chunk=chunk_interp if ROT_MODE != "fft" else chunk,
+            rot_mode=ROT_MODE, interpolation="bicubic")
 
     # compile + warm-up (fetch a scalar to force execution on remote/async
     # backends where block_until_ready may return early)
@@ -62,7 +72,7 @@ def main():
     assert np.isfinite(checksum)
 
     print(json.dumps({
-        "metric": f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}",
+        "metric": f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_{ROT_MODE}",
         "value": round(best, 4),
         "unit": "seconds",
         "vs_baseline": round(1.0 / best, 3),

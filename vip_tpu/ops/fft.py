@@ -218,3 +218,93 @@ def _frame_center_static(ny, nx):
     if nx % 2:
         cx -= 0.5
     return int(cy), int(cx)
+
+
+def _packed_shear(z, c1, c2, ax):
+    """One FFT shear applied to a complex pack ``z = f1 + i f2`` of two
+    real frame batches with per-frame shear coefficients c1/c2 (arrays
+    broadcastable over the batch).
+
+    Uses the shift-free formulation: translation of line ``q`` by
+    ``c * (q - N/2)`` pixels via signed-integer-frequency phase ramps.
+    The Hermitian split recovers each frame's spectrum so the two packed
+    frames can receive different shear phases, then they are re-packed for
+    a single inverse FFT. This halves FFT traffic vs one complex FFT per
+    frame (the frames are real) and avoids the 4 fftshift copies per
+    shear of the exact-parity path.
+    """
+    N = z.shape[-1]
+    kint = jnp.fft.fftfreq(N, d=1.0 / N).astype(z.real.dtype)  # signed ints
+    q = jnp.arange(N, dtype=z.real.dtype) - N / 2
+
+    F = jnp.fft.fft(z, axis=ax)
+    # F_rev[k] = F[(N - k) mod N] along ax
+    Frev = jnp.roll(jnp.flip(F, axis=ax), 1, axis=ax)
+    F1 = 0.5 * (F + jnp.conj(Frev))
+    F2 = -0.5j * (F - jnp.conj(Frev))
+
+    if ax == 2 or ax == -1:            # x-shear: shift row i by c*(i-N/2)
+        ramp = jnp.einsum("i,k->ik", q, kint) / N    # (row, freq)
+    else:                              # y-shear: shift col j by c*(j-N/2)
+        ramp = jnp.einsum("k,j->kj", kint, q) / N    # (freq, col)
+    ph1 = jnp.exp((-2j * jnp.pi) * c1[:, None, None] * ramp[None])
+    ph2 = jnp.exp((-2j * jnp.pi) * c2[:, None, None] * ramp[None])
+    G = F1 * ph1 + 1j * (F2 * ph2)
+    return jnp.fft.ifft(G, axis=ax)
+
+
+def rotate_fft_fast_batch(cube, angles):
+    """Rotate a batch of even square real frames by per-frame angles with
+    packed, shift-free 3-shear FFTs (speed mode).
+
+    Same rotation math as ``rotate_fft`` (quadrant rot90 + 3 shears about
+    the (N/2, N/2) center) but: two real frames ride one complex FFT, the
+    fftshift sandwiches are folded into signed-frequency phase ramps, and
+    intermediate imaginary residue (Nyquist-bin leakage, ~1e-6 relative) is
+    dropped at unpack. Use ``rotate_fft`` for exact reference parity.
+    """
+    cube = jnp.asarray(cube)
+    n, N, _ = cube.shape
+    real_dtype = jnp.result_type(cube.dtype, jnp.float32)
+    angles = jnp.asarray(angles, real_dtype) % 360.0
+
+    # quadrant decomposition (same as rotate_fft)
+    d = angles % 90.0
+    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
+    use_rot = angles > 45.0
+    k = jnp.where(use_rot, jnp.rint(angles / 90.0), 0.0).astype(jnp.int32) % 4
+    dangle = jnp.where(use_rot, dangle_gt, angles)
+
+    # rot90 about the (N/2, N/2) center of an even frame == rot90 of the
+    # (N+1)x(N+1) zero-extended frame, cropped back (cf. rotate_fft)
+    ext = jnp.zeros((n, N + 1, N + 1), cube.dtype).at[:, :-1, :-1].set(cube)
+
+    def _quad(km, fr):
+        return jax.lax.switch(km, [lambda a: a,
+                                   lambda a: jnp.rot90(a, 1),
+                                   lambda a: jnp.rot90(a, 2),
+                                   lambda a: jnp.rot90(a, 3)], fr)
+
+    ext = jax.vmap(_quad)(k, ext)
+    work = ext[:, :-1, :-1].astype(real_dtype)
+
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)
+    b = -jnp.sin(jnp.deg2rad(dangle))
+
+    # pack frame pairs into complex (pad an extra zero frame if n is odd)
+    if n % 2:
+        work = jnp.concatenate([work, jnp.zeros((1, N, N), real_dtype)])
+        a = jnp.concatenate([a, jnp.zeros((1,), real_dtype)])
+        b = jnp.concatenate([b, jnp.zeros((1,), real_dtype)])
+    z = work[0::2] + 1j * work[1::2]
+    a1, a2 = a[0::2], a[1::2]
+    b1, b2 = b[0::2], b[1::2]
+
+    z = _packed_shear(z, a1, a2, ax=2)
+    z = _packed_shear(z, b1, b2, ax=1)
+    z = _packed_shear(z, a1, a2, ax=2)
+
+    out = jnp.empty((z.shape[0] * 2, N, N), real_dtype)
+    out = out.at[0::2].set(jnp.real(z))
+    out = out.at[1::2].set(jnp.imag(z))
+    return out[:n].astype(cube.dtype)

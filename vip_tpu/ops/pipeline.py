@@ -19,9 +19,57 @@ from ..preproc.derotation import _fft_rotate_geometry
 __all__ = ["pca_adi_pipeline", "derotate_collapse", "median_adi_pipeline"]
 
 
-def _derotate_frames(cube, angles, chunk=None):
-    """Derotate (rotate by -angles) with the reference's pad pipeline,
-    optionally chunked to bound HBM."""
+def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
+                     interpolation="bicubic"):
+    """Derotate (rotate by -angles). rot_mode='fft' uses the reference's
+    exact flux-preserving 3-shear pad pipeline; rot_mode='interp' uses the
+    batched gather rotation (speed mode — the analog of the reference's
+    OpenCV path, reference README.rst:183), optionally chunked to bound
+    HBM."""
+    if rot_mode == "interp":
+        from .interp_rotation import rotate_interp_batch
+
+        if chunk is None or chunk >= cube.shape[0]:
+            return rotate_interp_batch(cube, -angles, mode=interpolation)
+        return jax.lax.map(
+            lambda fa: rotate_interp_batch(fa[0][None], -fa[1][None],
+                                           mode=interpolation)[0],
+            (cube, angles), batch_size=chunk)
+    if rot_mode == "fft-small":
+        # 1.25x-padded, packed 3-shear FFT rotation restricted to the
+        # inscribed circular FoV: for circle-masked content the shear
+        # intermediates reach at most 1.082R (|x| <= R sqrt(1+tan(22.5)^2))
+        # for the |angle|<=45 deg quadrant-reduced rotations, so a 1.25x
+        # canvas is wrap-free and the exact mode's 4x flux-preserving
+        # canvas is unnecessary. Pixels outside the inscribed circle are
+        # zeroed (the corners are outside the scientific FoV).
+        sz = cube.shape[-1]
+        pad_to = -(-int(sz * 1.25) // 2) * 2  # even ceil
+        m0 = (pad_to - sz) // 2
+        m1 = pad_to - sz - m0
+        qq = jnp.arange(sz) - sz / 2
+        fov = (qq[:, None]**2 + qq[None, :]**2) < (sz / 2) ** 2
+
+        from .fft import rotate_fft_fast_batch
+
+        def _rot_small(frames, angs):
+            frames = jnp.where(fov[None], frames, 0.0)
+            padded = jnp.pad(frames, ((0, 0), (m0, m1), (m0, m1)))
+            out = rotate_fft_fast_batch(padded, angs)
+            return out[:, m0:m0 + sz, m0:m0 + sz]
+
+        if chunk is None or chunk >= cube.shape[0]:
+            return _rot_small(cube, -angles)
+        n = cube.shape[0]
+        nch = -(-n // chunk)
+        pad_n = nch * chunk - n
+        cube_p = jnp.pad(cube, ((0, pad_n), (0, 0), (0, 0)))
+        ang_p = jnp.pad(-angles, (0, pad_n))
+        cube_c = cube_p.reshape(nch, chunk, *cube.shape[1:])
+        ang_c = ang_p.reshape(nch, chunk)
+        out = jax.lax.map(lambda fa: _rot_small(fa[0], fa[1]),
+                          (cube_c, ang_c))
+        return out.reshape(nch * chunk, *cube.shape[1:])[:n]
     from ..preproc.derotation import rotate_fft_pipeline
 
     if chunk is None or chunk >= cube.shape[0]:
@@ -32,10 +80,12 @@ def _derotate_frames(cube, angles, chunk=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ncomp", "method", "collapse", "scaling", "chunk"),
+    static_argnames=("ncomp", "method", "collapse", "scaling", "chunk",
+                     "rot_mode", "interpolation"),
 )
 def pca_adi_pipeline(cube, angles, ncomp=10, method="eigen", collapse="median",
-                     scaling=None, chunk=None):
+                     scaling=None, chunk=None, rot_mode="fft",
+                     interpolation="bicubic"):
     """Full-frame PCA-ADI reduction as a single XLA program.
 
     cube: (n, y, x); angles: (n,) derotation angles [deg]. Returns the
@@ -47,18 +97,22 @@ def pca_adi_pipeline(cube, angles, ncomp=10, method="eigen", collapse="median",
     V = svd_top(M, ncomp, method=method)
     recon = (M @ V.T) @ V
     resid = (cube.reshape(n, -1) - recon).reshape(n, y, x)
-    der = _derotate_frames(resid, angles, chunk=chunk)
+    der = _derotate_frames(resid, angles, chunk=chunk, rot_mode=rot_mode,
+                           interpolation=interpolation)
     from ..preproc.subsampling import collapse_jax
 
     return collapse_jax(der, mode=collapse)
 
 
-@functools.partial(jax.jit, static_argnames=("collapse", "chunk"))
-def derotate_collapse(cube, angles, collapse="median", chunk=None):
+@functools.partial(jax.jit, static_argnames=("collapse", "chunk", "rot_mode",
+                                             "interpolation"))
+def derotate_collapse(cube, angles, collapse="median", chunk=None,
+                      rot_mode="fft", interpolation="bicubic"):
     """Derotate + collapse only (the tail of every ADI algorithm)."""
     from ..preproc.subsampling import collapse_jax
 
-    der = _derotate_frames(cube, angles, chunk=chunk)
+    der = _derotate_frames(cube, angles, chunk=chunk, rot_mode=rot_mode,
+                           interpolation=interpolation)
     return collapse_jax(der, mode=collapse)
 
 

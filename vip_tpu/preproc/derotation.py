@@ -248,6 +248,15 @@ def cube_derotate(array, angle_list, imlib="vip-fft",
         if has_mask:
             out[mask] = mask_val
         return out
+    elif imlib == "tpu-interp":
+        # batched gather rotation on device — speed mode, one fused program
+        from ..ops.interp_rotation import rotate_interp_batch
+
+        mode = "bilinear" if interpolation == "bilinear" else "bicubic"
+        work = np.nan_to_num(np.asarray(array, dtype=float))
+        return np.asarray(rotate_interp_batch(jnp.asarray(work),
+                                              jnp.asarray(-angle_list),
+                                              mode=mode))
     else:
         return np.stack([
             frame_rotate(array[i], -angle_list[i], imlib=imlib,

@@ -271,3 +271,17 @@ def frame_deconvolution(array, psf, n_it=30):
         relative_blur = array / np.where(conv == 0, 1e-12, conv)
         im_deconv *= sconvolve(relative_blur, psf_mirror, mode="same")
     return im_deconv
+
+
+def cube_filter_iuwt(cube, coeff=5, rel_coeff=1, full_output=False):
+    """IUWT filtering of a cube ([KEN15]/[DAB15], reference
+    filters.py:63-105); the per-frame decomposition is one batched device
+    program."""
+    from .iuwt import iuwt_decomposition_batch
+
+    cube = np.asarray(cube, dtype=float)
+    cube_coeff = iuwt_decomposition_batch(cube, coeff)
+    cubeout = cube_coeff[:, :rel_coeff].sum(axis=1)
+    if full_output:
+        return cubeout, cube_coeff
+    return cubeout
