@@ -122,6 +122,13 @@ def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=Fals
     return results
 
 
+def pool_imap(nproc, fkt, *args, **kwargs):
+    """Lazy variant of pool_map (reference utils_conf.py:554-613); yields
+    results one at a time."""
+    for res in pool_map(nproc, fkt, *args, **kwargs):
+        yield res
+
+
 def make_chunks(lst, n):
     """Split ``lst`` into ``n`` chunks (reference utils_conf.py:615-635)."""
     lst = list(lst)

@@ -51,17 +51,20 @@ def fft_shear(arr, c, ax, phase=None):
     (derotation.py:625-640) with its fftshift sequence.
     """
     N = arr.shape[0]
-    if phase is None:
-        real_dtype = jnp.zeros((), jnp.result_type(arr, jnp.float32)).real.dtype
-        phase = _shear_phase(N, real_dtype)
-    s = jnp.fft.fftshift(arr)
-    s = jnp.fft.fft(s, axis=ax)
-    s = jnp.fft.fftshift(s)
-    s = jnp.exp(-2j * jnp.pi * c * phase) * s
-    s = jnp.fft.fftshift(s)
-    s = jnp.fft.ifft(s, axis=ax)
-    s = jnp.fft.fftshift(s)
-    return s
+    real_dtype = jnp.zeros((), jnp.result_type(arr, jnp.float32)).real.dtype
+    # shift-free formulation: the reference's fftshift sandwich
+    # (derotation.py:625-640) is algebraically identical (for even N) to a
+    # signed-integer-frequency phase ramp — same values to 1e-16, but
+    # without the four full-array fftshift copies per shear
+    kint = jnp.fft.fftfreq(N, d=1.0 / N).astype(real_dtype)
+    q = jnp.arange(N, dtype=real_dtype) - N / 2
+    if ax == 1:
+        ramp = jnp.outer(q, kint) / N       # (row, freq)
+    else:
+        ramp = jnp.outer(kint, q) / N       # (freq, col)
+    s = jnp.fft.fft(arr, axis=ax)
+    s = jnp.exp(-2j * jnp.pi * c * ramp) * s
+    return jnp.fft.ifft(s, axis=ax)
 
 
 def rotate_fft(array, angle):
