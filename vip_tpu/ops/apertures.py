@@ -156,17 +156,30 @@ def snr_at(image, sourcey, sourcex, cy, cx, fwhm, n_max, window,
 @functools.partial(
     jax.jit,
     static_argnames=("fwhm", "n_max", "window", "exclude_negative_lobes",
-                     "use2alone"),
+                     "use2alone", "chunk"),
 )
 def snrmap_engine(image, coords_y, coords_x, cy, cx, fwhm, n_max, window,
                   exclude_negative_lobes=False, image2=None,
-                  use2alone=False):
+                  use2alone=False, chunk=4096):
     """Batched S/N at many positions: the whole S/N map in one XLA program
-    (replaces the pool over pixels at snr_source.py:121-122)."""
+    (replaces the pool over pixels at snr_source.py:121-122). ``chunk``
+    bounds the vmapped pixel batch per step (keeps the compiled program
+    and the aperture-window working set small on large frames)."""
     def one(y, x):
         return snr_at(image, y, x, cy, cx, fwhm, n_max, window,
                       exclude_negative_lobes=exclude_negative_lobes,
                       image2=image2, use2alone=use2alone)[1]
 
-    return jax.vmap(one)(coords_y.astype(image.dtype),
-                         coords_x.astype(image.dtype))
+    ys = coords_y.astype(image.dtype)
+    xs = coords_x.astype(image.dtype)
+    npix = ys.shape[0]
+    if chunk is None or npix <= chunk:
+        return jax.vmap(one)(ys, xs)
+    nch = -(-npix // chunk)
+    pad = nch * chunk - npix
+    ys_p = jnp.pad(ys, (0, pad), constant_values=cy + fwhm + 2)
+    xs_p = jnp.pad(xs, (0, pad), constant_values=cx)
+    out = jax.lax.map(
+        lambda yx: jax.vmap(one)(yx[0], yx[1]),
+        (ys_p.reshape(nch, chunk), xs_p.reshape(nch, chunk)))
+    return out.reshape(-1)[:npix]
