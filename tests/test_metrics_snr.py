@@ -76,3 +76,24 @@ def test_significance_parity(ref_snr):
     ref = ref_snr.significance(5.0, rad=12.0, fwhm=4.0, verbose=False)
     got = significance(5.0, rad=12.0, fwhm=4.0, verbose=False)
     assert abs(ref - got) < 1e-10
+
+
+def test_snrmap_fast_matches_exact():
+    """Polar fast S/N map tracks the exact engine (detection-map grade)."""
+    import numpy as np
+    from vip_tpu.metrics.snr_source import snrmap, snrmap_fast
+
+    rng = np.random.default_rng(0)
+    sz = 100
+    fr = rng.standard_normal((sz, sz)).astype(np.float32)
+    yy, xx = np.mgrid[:sz, :sz]
+    fr += 8 * np.exp(-((yy - 35)**2 + (xx - 70)**2) / 4.0)
+    exact = snrmap(fr, 4.0, plot=False, verbose=False)
+    fast = snrmap_fast(fr, 4.0)
+    m = (np.hypot(yy - 50, xx - 50) > 6) & (np.hypot(yy - 50, xx - 50) < 42)
+    corr = np.corrcoef(fast[m], exact[m])[0, 1]
+    assert corr > 0.98
+    # the injected source is a strong detection in both
+    assert fast[35, 70] > 10 and exact[35, 70] > 10
+    # relative peak agreement within 10%
+    assert abs(fast[35, 70] - exact[35, 70]) / exact[35, 70] < 0.1

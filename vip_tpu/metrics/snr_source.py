@@ -16,7 +16,7 @@ from ..ops.apertures import aperture_flux, snrmap_engine, snr_at
 from ..var.coords import dist, frame_center
 from ..var.shapes import disk_coords, get_annulus_segments
 
-__all__ = ["snr", "snrmap", "significance", "frame_report",
+__all__ = ["snr", "snrmap", "snrmap_fast", "significance", "frame_report",
            "indep_ap_centers"]
 
 
@@ -402,3 +402,27 @@ def frame_report(array, fwhm, source_xy=None, verbose=True, **snr_arguments):
             print(SEP)
 
     return source_xy, obj_flux, snr_centpx, meansnr_pixels
+
+
+def snrmap_fast(array, fwhm, n_theta=0, exclude_negative_lobes=False,
+                verbose=False):
+    """Fast full-frame S/N map on device (TPU speed mode).
+
+    Polar reformulation of the Mawet+14 map (see
+    ops.apertures.snrmap_polar_engine): exact aperture photometry becomes
+    one convolution, the ring statistics become Fourier comb sums per
+    radius. Accuracy vs the exact ``snrmap``: ~0.99 correlation,
+    ~0.2 S/N rms; use ``snrmap`` for publication values at sources.
+    """
+    from ..ops.apertures import snrmap_polar_engine
+
+    if verbose:
+        start_time = time_ini()
+    out = np.asarray(snrmap_polar_engine(
+        jnp.asarray(np.asarray(array, dtype=np.float32)), float(fwhm),
+        n_theta=int(n_theta),
+        exclude_negative_lobes=bool(exclude_negative_lobes)))
+    if verbose:
+        print("Fast S/N map created on device")
+        timing(start_time)
+    return out
