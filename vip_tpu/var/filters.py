@@ -18,6 +18,8 @@ __all__ = [
     "frame_filter_highpass",
     "cube_filter_lowpass",
     "cube_filter_highpass",
+    "cube_filter_iuwt",
+    "cube_filter_lowpass",
     "frame_deconvolution",
     "fft",
     "ifft",

@@ -20,6 +20,7 @@ __all__ = [
     "get_square",
     "get_circle",
     "get_ellipse",
+    "get_ell_annulus",
     "get_annulus_segments",
     "get_annular_wedge",
     "mask_circle",
@@ -464,3 +465,25 @@ def prepare_matrix(array, scaling=None, mask_center_px=None, mode="fullfr",
 def reshape_matrix(array, y, x):
     """Matrix of vectorized frames → cube (reference shapes.py:876-912)."""
     return np.asarray(array).reshape(array.shape[0], y, x)
+
+
+def get_ell_annulus(data, a, b, PA, width, cy=None, cx=None, mode="ind"):
+    """Centered elliptical annulus of a 2d frame
+    (reference shapes.py:678-737)."""
+    array = frame_or_shape(data)
+    hwa = width / 2
+    hwb = (width * b / a) / 2
+    big_ellipse = get_ellipse(array, a + hwa, b + hwb, PA, cy=cy, cx=cx,
+                              mode="bool")
+    small_ellipse = get_ellipse(array, a - hwa, b - hwb, PA, cy=cy, cx=cx,
+                                mode="bool")
+    ell_ann_mask = big_ellipse ^ small_ellipse
+    if mode == "ind":
+        return np.where(ell_ann_mask)
+    elif mode == "val":
+        return array[ell_ann_mask]
+    elif mode == "mask":
+        return array * ell_ann_mask
+    elif mode == "bool":
+        return ell_ann_mask
+    raise ValueError("mode '{}' unknown!".format(mode))
