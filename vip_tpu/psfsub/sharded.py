@@ -24,7 +24,8 @@ from jax.experimental.shard_map import shard_map
 
 from ..preproc.derotation import rotate_fft_pipeline
 
-__all__ = ["sharded_pca_adi", "make_sharded_pca_adi"]
+__all__ = ["sharded_pca_adi", "make_sharded_pca_adi",
+           "make_sharded_median_adi"]
 
 
 def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
@@ -34,9 +35,8 @@ def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
     are (globally) the full arrays; they will be consumed sharded along the
     frame axis.
     """
-    if collapse not in ("mean",):
-        raise ValueError("sharded collapse currently supports 'mean' "
-                         "(median requires a gather; use mean for scaling)")
+    if collapse not in ("mean", "median"):
+        raise ValueError("sharded collapse supports 'mean' and 'median'")
 
     def step(cube_loc, angles_loc):
         n_loc, y, x = cube_loc.shape
@@ -68,11 +68,13 @@ def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
         der = jax.vmap(rotate_fft_pipeline)(resid, -angles_loc)
 
         # ---- cross-device collapse ----
+        if collapse == "median":
+            return _sharded_median(der, axis)
         n_total = n_loc * jax.lax.psum(jnp.ones(()), axis)
         return jax.lax.psum(jnp.sum(der, axis=0), axis) / n_total
 
     sharded = shard_map(step, mesh=mesh, in_specs=(P("frames"), P("frames")),
-                        out_specs=P())
+                        out_specs=P(), check_rep=False)
     return jax.jit(sharded)
 
 
@@ -92,3 +94,40 @@ def sharded_pca_adi(cube, angles, ncomp=5, mesh=None):
     cube_sh = jax.device_put(cube, NamedSharding(mesh, P("frames")))
     ang_sh = jax.device_put(angles, NamedSharding(mesh, P("frames")))
     return np.asarray(fn(cube_sh, ang_sh))
+
+
+def _sharded_median(der_loc, axis):
+    """Median over the (sharded) frame axis via an all_to_all reshard:
+    frame-sharded (n_loc, y, x) -> pixel-sharded (n, y_loc, x) so every
+    device holds all frames of its row slab, local median, then
+    all_gather back to the full frame. Collectives ride ICI."""
+    full = jax.lax.all_to_all(der_loc, axis, split_axis=1, concat_axis=0,
+                              tiled=True)            # (n, y_loc, x)
+    med_loc = jnp.median(full, axis=0)               # (y_loc, x)
+    return jax.lax.all_gather(med_loc, axis, tiled=True)  # (y, x)
+
+
+def make_sharded_median_adi(mesh, axis="frames", collapse="median"):
+    """Sharded full-frame median-ADI: the temporal median model needs all
+    frames per pixel, so it runs pixel-sharded (all_to_all), the residual
+    derotation runs frame-sharded, and the final collapse reshards again.
+    """
+
+    def step(cube_loc, angles_loc):
+        n_loc, y, x = cube_loc.shape
+        # temporal median per pixel: reshard to (n, y_loc, x)
+        full = jax.lax.all_to_all(cube_loc, axis, split_axis=1,
+                                  concat_axis=0, tiled=True)
+        med_loc = jnp.median(full, axis=0)                 # (y_loc, x)
+        med = jax.lax.all_gather(med_loc, axis, tiled=True)  # (y, x)
+        resid = cube_loc - med[None]
+        der = jax.vmap(rotate_fft_pipeline)(resid, -angles_loc)
+        if collapse == "median":
+            return _sharded_median(der, axis)
+        n_total = n_loc * jax.lax.psum(jnp.ones(()), axis)
+        return jax.lax.psum(jnp.sum(der, axis=0), axis) / n_total
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P("frames"), P("frames")), out_specs=P(),
+                        check_rep=False)
+    return jax.jit(sharded)
