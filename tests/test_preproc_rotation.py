@@ -97,3 +97,31 @@ def test_find_indices_adi_parity(ref_derot):
             ref_n = ref_derot._find_indices_adi(angles, frame, thr, nframes=6)
             got_n = _find_indices_adi(angles, frame, thr, nframes=6)
             assert np.array_equal(ref_n, got_n)
+
+
+def test_cube_derotate_fft_small_imlib():
+    """imlib='vip-fft-small' (packed 1.25x-canvas speed mode) agrees with
+    the exact vip-fft path inside the inscribed circular FoV on smooth,
+    band-limited content."""
+    from vip_tpu.preproc.derotation import cube_derotate
+
+    rng = np.random.default_rng(7)
+    n, sz = 8, 64
+    yy, xx = np.mgrid[:sz, :sz] - sz / 2
+    # smooth circle-supported content (gaussian blobs well inside the FoV)
+    cube = np.zeros((n, sz, sz))
+    for i in range(n):
+        cy, cx = rng.uniform(-15, 15, 2)
+        cube[i] = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0))
+    angs = np.linspace(-160.0, 140.0, n)
+
+    exact = cube_derotate(cube.copy(), angs, imlib="vip-fft")
+    fast = cube_derotate(cube.copy(), angs, imlib="vip-fft-small")
+    fov = (yy ** 2 + xx ** 2) < (sz / 2 - 3) ** 2
+    err = np.abs(exact - fast)[:, fov].max()
+    assert err < 5e-3
+
+    # odd-size frames transparently fall back to the exact path
+    odd = cube_derotate(cube[:, :-1, :-1].copy(), angs,
+                        imlib="vip-fft-small")
+    assert odd.shape == (n, sz - 1, sz - 1)

@@ -134,3 +134,40 @@ def test_pca_annular_eigen_rdi_parity(ref_psfsub, cube_angles):
                                  **kwargs)
     got = pca_annular(cube.copy(), angles, cube_ref=cref.copy(), **kwargs)
     assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_grid_fullfr_parity(ref_psfsub, cube_angles):
+    """pca_grid batched-derotation fast path vs the reference's per-pc loop
+    (reference utils_pca.py:254-321), incl. the S/N-optimization branch."""
+    from vip_tpu.psfsub.utils_pca import pca_grid
+
+    cube, angles = cube_angles
+    # plant a companion so the S/N grid has a real optimum
+    from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
+    from vip_tpu.var.fit_2d import create_synth_psf
+    psfn = normalize_psf(np.asarray(create_synth_psf("gauss", shape=(11, 11),
+                                                     fwhm=4.0)),
+                         fwhm=4.0, verbose=False)
+    cube_fc = cube_inject_companions(cube, psfn, angles, flevel=30,
+                                     rad_dists=[14], theta=0, verbose=False)
+    kwargs = dict(fwhm=4.0, range_pcs=(1, 6, 1), source_xy=(44, 30),
+                  mode="fullfr", full_output=True, verbose=False)
+    ref = ref_psfsub.pca_grid(cube_fc.copy(), angles, **kwargs)
+    got = pca_grid(cube_fc.copy(), angles, **kwargs)
+    # (cubeout, finalfr, df, opt_npc)
+    assert np.max(np.abs(np.asarray(ref[0]) - np.asarray(got[0]))) < 1e-7
+    assert ref[3] == got[3]
+    assert np.allclose(np.asarray(ref[2]["S/Ns"]),
+                       np.asarray(got[2]["S/Ns"]), atol=1e-6)
+
+
+def test_pca_grid_annular_parity(ref_psfsub, cube_angles):
+    from vip_tpu.psfsub.utils_pca import pca_grid
+
+    cube, angles = cube_angles
+    kwargs = dict(range_pcs=(1, 5, 1), mode="annular", annulus_width=12,
+                  fwhm=4.0, source_xy=(44, 30), full_output=True,
+                  verbose=False)
+    ref = ref_psfsub.pca_grid(cube.copy(), angles, **kwargs)
+    got = pca_grid(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(np.asarray(ref[0]) - np.asarray(got[0]))) < 1e-7

@@ -119,6 +119,47 @@ def snr(array, source_xy, fwhm, full_output=False, array2=None,
     return snr_vale
 
 
+def snr_multi(array, xs, ys, fwhm, exclude_negative_lobes=False,
+              exclude_theta_range=None):
+    """Mawet+14 S/N and source aperture flux at several test positions with
+    ONE device aperture-photometry call.
+
+    Same statistics as :func:`snr` (reference snr_source.py:321-455) — the
+    ring-aperture centers of every position are concatenated so the frame
+    crosses the host↔device link once instead of once per position (the
+    per-position route costs a full-frame transfer + dispatch round-trip
+    each call, which dominates over a remote-device tunnel).
+
+    Returns (snr_values, source_fluxes), both shape (len(xs),).
+    """
+    array = np.asarray(array, dtype=float)
+    rad = fwhm / 2.0
+    all_yy, all_xx, counts = [], [], []
+    for x_, y_ in zip(xs, ys):
+        yy, xx = indep_ap_centers(array, (x_, y_), fwhm,
+                                  exclude_negative_lobes,
+                                  exclude_theta_range)
+        all_yy.append(yy)
+        all_xx.append(xx)
+        counts.append(len(yy))
+    fluxes_all = np.asarray(aperture_flux(
+        jnp.asarray(array), np.concatenate(all_yy), np.concatenate(all_xx),
+        rad))
+    snrs = np.empty(len(xs))
+    f_sources = np.empty(len(xs))
+    ofs = 0
+    for i, cnt in enumerate(counts):
+        fluxes = fluxes_all[ofs:ofs + cnt]
+        ofs += cnt
+        f_source = fluxes[0]
+        bckg = fluxes[1:]
+        n2 = bckg.shape[0]
+        snrs[i] = (f_source - bckg.mean()) / (bckg.std(ddof=1)
+                                              * np.sqrt(1 + (1 / n2)))
+        f_sources[i] = f_source
+    return snrs, f_sources
+
+
 def snrmap(array, fwhm, approximated=False, plot=False, known_sources=None,
            nproc=None, array2=None, use2alone=False,
            exclude_negative_lobes=False, verbose=True, **kwargs):

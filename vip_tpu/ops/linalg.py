@@ -91,8 +91,19 @@ def svd_top(matrix, ncomp, method="lapack", key=None, full_output=False):
     """
     n = matrix.shape[0]
     if method == "lapack":
-        # svd of M.T: left SVs of Mᵀ are the right SVs of M
-        U2, S2, V2 = jnp.linalg.svd(matrix.T, full_matrices=False)
+        # svd of M.T: left SVs of Mᵀ are the right SVs of M. For tall Mᵀ
+        # (n_px ≫ n_frames, the PCA norm) reduce with the standard
+        # tall-skinny QR first: SVD(Mᵀ) = (Q·Ur)·S·Vᵀ with R = Ur·S·Vᵀ,
+        # so the expensive iterative SVD only sees the small n×n factor.
+        # Numerically equivalent to the direct SVD; on TPU it turns a
+        # ~100 s jnp.linalg.svd of a 65536×200 matrix into a blocked
+        # Householder QR (MXU-friendly) + a 200×200 SVD.
+        if matrix.shape[1] > 4 * n:
+            Q, R = jnp.linalg.qr(matrix.T)
+            Ur, S2, V2 = jnp.linalg.svd(R, full_matrices=False)
+            U2 = Q @ Ur
+        else:
+            U2, S2, V2 = jnp.linalg.svd(matrix.T, full_matrices=False)
         V = U2[:, :ncomp].T        # (ncomp, p)
         S = S2[:ncomp]
         U = V2[:ncomp].T           # (n, ncomp) — rows of V2 are Mᵀ's right SVs

@@ -8,8 +8,11 @@ running on device. ``pca_annulus`` is the NEGFC forward-model workhorse
 jittable so MCMC walkers can batch over it.
 """
 
-import numpy as np
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import time_ini, timing
 from ..preproc.derotation import cube_derotate
@@ -19,6 +22,42 @@ from ..var.shapes import prepare_matrix, reshape_matrix
 from .svd import svd_wrapper
 
 __all__ = ["pca_grid", "pca_annulus", "pca_incremental"]
+
+
+@functools.partial(jax.jit, static_argnames=("pcs", "shape", "chunk",
+                                             "rot_mode", "collapse",
+                                             "scatter"))
+def _pca_grid_device(matrix, V, angle_list, syy, sxx, *, pcs, shape, chunk,
+                     rot_mode, collapse, scatter):
+    """Device-resident pca_grid core: build the residual cube of every
+    truncation in ``pcs`` from the vectorized matrix (matmuls against the
+    shared right-singular-vector basis), derotate all of them as one
+    chunked FFT-rotation program and collapse on device. Only the k final
+    frames leave the device — the k full residual cubes never cross the
+    host↔device link (the reference instead runs truncate_svd_get_finframe
+    per pc through a fork pool, utils_pca.py:254-321)."""
+    from ..ops.pipeline import _derotate_frames
+
+    n_fr, y_in, x_in = shape
+    k = len(pcs)
+    res_all = []
+    for pc in pcs:
+        tr = V[:pc] @ matrix.T
+        res = matrix - tr.T @ V[:pc]
+        if scatter:
+            z = jnp.zeros((n_fr, y_in, x_in), res.dtype)
+            res_all.append(z.at[:, syy, sxx].set(res))
+        else:
+            res_all.append(res.reshape(n_fr, y_in, x_in))
+    stack = jnp.concatenate(res_all, axis=0)
+    der = _derotate_frames(stack, jnp.tile(angle_list, k), chunk=chunk,
+                           rot_mode=rot_mode)
+    der = der.reshape(k, n_fr, y_in, x_in)
+    if collapse == "median":
+        return jnp.median(der, axis=1)
+    if collapse == "mean":
+        return jnp.mean(der, axis=1)
+    return jnp.sum(der, axis=1)
 
 
 def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
@@ -72,33 +111,25 @@ def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
         return cube_collapse(residuals_der, mode=collapse, w=weights)
 
     def get_snr(frame, y, x, fwhm, fmerit):
-        from ..metrics.snr_source import snr
+        # all test positions share ONE batched aperture-photometry call
+        # (see metrics.snr_source.snr_multi) — the reference instead calls
+        # snr() per pixel of the test disk (utils_pca.py:60-95)
+        from ..metrics.snr_source import snr_multi
 
+        if fmerit == "px":
+            snr_pixels, fluxes = snr_multi(
+                frame, [x], [y], fwhm,
+                exclude_negative_lobes=exclude_negative_lobes)
+            return snr_pixels[0], fluxes[0]
+        yy, xx = disk_coords((y, x), fwhm / 2.0,
+                             (frame.shape[0], frame.shape[1]))
+        snr_pixels, fluxes = snr_multi(
+            frame, xx, yy, fwhm,
+            exclude_negative_lobes=exclude_negative_lobes)
         if fmerit == "max":
-            yy, xx = disk_coords((y, x), fwhm / 2.0,
-                                 (frame.shape[0], frame.shape[1]))
-            res = [snr(frame, (x_, y_), fwhm, plot=False, verbose=False,
-                       exclude_negative_lobes=exclude_negative_lobes,
-                       full_output=True)
-                   for y_, x_ in zip(yy, xx)]
-            snr_pixels = np.array(res, dtype=object)[:, -1]
-            fluxes = np.array(res, dtype=object)[:, 2]
             argm = np.argmax(snr_pixels)
             return np.max(snr_pixels), fluxes[argm]
-        elif fmerit == "px":
-            res = snr(frame, (x, y), fwhm, plot=False, verbose=False,
-                      exclude_negative_lobes=exclude_negative_lobes,
-                      full_output=True)
-            return res[-1], np.array(res, dtype=object)[2]
         elif fmerit == "mean":
-            yy, xx = disk_coords((y, x), fwhm / 2.0,
-                                 (frame.shape[0], frame.shape[1]))
-            res = [snr(frame, (x_, y_), fwhm, plot=False, verbose=False,
-                       exclude_negative_lobes=exclude_negative_lobes,
-                       full_output=True)
-                   for y_, x_ in zip(yy, xx)]
-            snr_pixels = np.array(res, dtype=object)[:, -1]
-            fluxes = np.array(res, dtype=object)[:, 2]
             return np.mean(snr_pixels), np.mean(fluxes)
 
     if start_time is None:
@@ -160,22 +191,84 @@ def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
     if verbose:
         timing(start_time)
 
+    imlib = rot_options.get("imlib", "vip-fft")
+    other_rot = {kk: vv for kk, vv in rot_options.items() if kk != "imlib"}
+    device_ok = (
+        scale_list is None and weights is None
+        and collapse in ("median", "mean", "sum")
+        and imlib in ("vip-fft", "vip-fft-small") and not other_rot
+        and np.isfinite(cube).all()
+        and (imlib == "vip-fft" or (cube.shape[-1] % 2 == 0
+                                    and cube.shape[-2] == cube.shape[-1]))
+    )
+    if device_ok:
+        # Fully device-resident grid: all k truncated reconstructions are
+        # matmuls against the same V, so the residual stacks are BUILT on
+        # device from the (small) vectorized matrix, derotated as one
+        # chunked FFT-rotation program over k*n frames, and collapsed
+        # there — only k final frames come back to the host. (The
+        # reference loops truncate_svd_get_finframe per pc through the
+        # fork pool, utils_pca.py:254-321; a host-side stack here would
+        # ship k full residual cubes across the host↔device link.)
+        from ..preproc.derotation import _auto_chunk
+
+        n_fr, y_in, x_in = cube.shape[0], cube.shape[-2], cube.shape[-1]
+        k = len(pclist)
+        chunk = _auto_chunk(k * n_fr, x_in, matrix.dtype.itemsize)
+        rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
+        if rot_mode == "fft-small":
+            chunk = min(k * n_fr, 4 * chunk)
+        pcs = tuple(int(p) for p in pclist)
+        if mode == "fullfr":
+            syy = sxx = jnp.zeros(0, jnp.int32)
+        else:
+            syy = jnp.asarray(annind[0], jnp.int32)
+            sxx = jnp.asarray(annind[1], jnp.int32)
+        frames = np.asarray(_pca_grid_device(
+            jnp.asarray(matrix), jnp.asarray(V),
+            jnp.asarray(np.asarray(angle_list, dtype=matrix.dtype)),
+            syy, sxx, pcs=pcs, shape=(n_fr, y_in, x_in), chunk=chunk,
+            rot_mode=rot_mode, collapse=collapse,
+            scatter=mode != "fullfr"))
+        frlist = list(frames)
+    elif scale_list is None:
+        # host fallback (weights / trimmean / masked cubes / custom
+        # rot_options): still one stacked derotation instead of k.
+        n_fr, y_in, x_in = cube.shape[0], cube.shape[-2], cube.shape[-1]
+        k = len(pclist)
+        res_stack = np.zeros((k, n_fr, y_in, x_in), dtype=float)
+        for i, pc in enumerate(pclist):
+            transformed = np.dot(V[:pc], matrix.T)
+            residuals = matrix - np.dot(transformed.T, V[:pc])
+            if mode == "fullfr":
+                res_stack[i] = residuals.reshape(n_fr, y_in, x_in)
+            else:
+                res_stack[i][:, annind[0], annind[1]] = residuals
+        der = cube_derotate(res_stack.reshape(k * n_fr, y_in, x_in),
+                            np.tile(np.asarray(angle_list), k),
+                            **rot_options)
+        der = np.asarray(der).reshape(k, n_fr, y_in, x_in)
+        frlist = [cube_collapse(der[i], mode=collapse, w=weights)
+                  for i in range(k)]
+    else:
+        # mSDI (scale_list) path: per-pc inverse wavelength rescaling sits
+        # between reconstruction and derotation, so keep the per-pc route.
+        if mode == "fullfr":
+            frlist = [truncate_svd_get_finframe(matrix, angle_list, pc, V)
+                      for pc in pclist]
+        else:
+            frlist = [truncate_svd_get_finframe_ann(matrix, annind,
+                                                    angle_list, pc, V)
+                      for pc in pclist]
     snrlist = []
     fluxlist = []
-    frlist = []
-    for pc in pclist:
-        if mode == "fullfr":
-            frame = truncate_svd_get_finframe(matrix, angle_list, pc, V)
-        else:
-            frame = truncate_svd_get_finframe_ann(matrix, annind, angle_list,
-                                                  pc, V)
-        if x is not None and y is not None and fwhm is not None:
+    if x is not None and y is not None and fwhm is not None:
+        for frame in frlist:
             snr_value, flux = get_snr(frame, y, x, fwhm, fmerit)
             if np.isnan(snr_value):
                 snr_value = 0
             snrlist.append(snr_value)
             fluxlist.append(flux)
-        frlist.append(frame)
 
     cubeout = np.array(frlist)
 
