@@ -247,3 +247,58 @@ def print_precision(array, precision=3):
 
     with np.printoptions(precision=precision, suppress=True):
         print(np.asarray(array))
+
+
+class SaveableEmpty:
+    """Empty shell used by ``Saveable`` to restore an object without calling
+    __init__ (reference utils_conf.py:47-53)."""
+
+    pass
+
+
+class NoProgressbar:
+    """Wraps an iterable with the ``Progressbar`` interface but without any
+    output (reference utils_conf.py:215-227)."""
+
+    def __init__(self, iterable=None):
+        self.iterable = iterable
+
+    def __iter__(self):
+        return self.iterable.__iter__()
+
+    def __next__(self):
+        return self.iterable.__next__()
+
+
+class FixedObj:
+    """Marker wrapper produced by ``iterable()`` so ``pool_map`` passes the
+    value through instead of repeating it (reference utils_conf.py:408-411)."""
+
+    def __init__(self, v):
+        self.v = v
+
+
+def repeat(*args):
+    """``itertools.repeat`` applied to every argument
+    (reference utils_conf.py:593-612)."""
+    import itertools as itt
+
+    return [itt.repeat(a) for a in args]
+
+
+def lines_of_code():
+    """Print the number of source lines per file and in total
+    (reference utils_conf.py:663-692)."""
+    cur_path = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.dirname(cur_path)
+    loclist = []
+    for pydir, _, pyfiles in os.walk(path):
+        for pyfile in pyfiles:
+            if pyfile != "__init__.py" and pyfile.endswith(".py"):
+                total = os.path.join(pydir, pyfile)
+                with open(total) as fh:
+                    loclist.append((len(fh.read().splitlines()),
+                                    os.path.relpath(total, path)))
+    for count, filename in sorted(loclist):
+        print(f"{count:05d} lines in {filename}")
+    print(f"\nTotal: {sum(x[0] for x in loclist)} lines in ({path})")

@@ -79,3 +79,14 @@ def autocorr_test(chain):
     N = chain.shape[1]
     tau = autocorr(chain)
     return tau / N
+
+
+def next_pow_two(n):
+    """Smallest power of two >= n (reference fm/utils_mcmc.py:106-110)."""
+    return _next_pow_two(n)
+
+
+def auto_window(taus, c):
+    """Sokal auto-windowing for the integrated autocorrelation time
+    (reference fm/utils_mcmc.py:131-135)."""
+    return _auto_window(taus, c)

@@ -1006,3 +1006,20 @@ def cube_fix_badpix_interp(array, bpm_mask, mode="fft", excl_mask=None,
     if full_output and mode == "fft":
         return array_corr, recon
     return array_corr
+
+
+def get_err_spec(F_i, W, ind, npix, G_i, dims):
+    """Error-spectrum update of the FFT-based bad-pixel interpolation
+    (reference badpixremoval.py:2226-2254, a numba double loop): subtract
+    the contribution of the newly estimated Fourier component ``F_i`` at
+    frequency ``ind`` (plus its Hermitian partner unless self-conjugate)
+    from the current error spectrum ``G_i``. The per-pixel loop collapses
+    to two rolls of the window spectrum ``W``."""
+    ny, nx = dims
+    self_conj = ((ind[0] % (ny / 2) == 0) and (ind[1] % (nx / 2) == 0))
+    conv = F_i * np.roll(np.asarray(W), (ind[0], ind[1]), axis=(0, 1))
+    if not self_conj:
+        conv = conv + np.conj(F_i) * np.roll(np.asarray(W),
+                                             (-ind[0], -ind[1]),
+                                             axis=(0, 1))
+    return G_i - conv / float(npix)

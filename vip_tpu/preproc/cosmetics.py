@@ -232,3 +232,33 @@ def approx_stellar_position(cube, fwhm, return_test=False, verbose=False):
     if return_test:
         return star_approx_idx, test_result
     return star_approx_idx
+
+
+def nan_corr_2d(obj_tmp, neighbor_box, min_neighbors, half_res_y, verbose,
+                full_output=True):
+    """Correct the NaN pixels of one frame with the iterative sigma filter
+    (reference cosmetics.py:454-497). Returns the corrected frame and,
+    with ``full_output``, the number of corrected pixels."""
+    from ..stats.clip_sigma import sigma_filter
+
+    obj_tmp = np.asarray(obj_tmp, dtype=float)
+    n_y, n_x = obj_tmp.shape
+    if half_res_y:
+        if n_y % 2 != 0:
+            raise ValueError("The input frames do not have an even number "
+                             "of rows. Hence, you should probably not be "
+                             "using the option half_res_y = True.")
+        n_y = n_y // 2
+        obj_tmp = obj_tmp[::2].copy()
+
+    nan_map = np.where(np.isnan(obj_tmp), 1.0, 0.0)
+    nnanpix = int(nan_map.sum())
+    obj_tmp = sigma_filter(obj_tmp, nan_map, neighbor_box=neighbor_box,
+                           min_neighbors=min_neighbors, verbose=verbose,
+                           half_res_y=half_res_y)
+    if half_res_y:
+        obj_tmp = np.repeat(obj_tmp, 2, axis=0)
+
+    if full_output:
+        return obj_tmp, nnanpix
+    return obj_tmp

@@ -380,3 +380,73 @@ def _define_annuli(angle_list, ann, n_annuli, fwhm, radius_int, annulus_width,
             print("Ann {}    Ann center: {:3.0f}    N segments: {} ".format(
                 ann + 1, ann_center, n_segments))
     return pa_threshold, inner_radius, ann_center
+
+
+def tensor_fft_shear(arr, arr_ori, c, ax):
+    """One FFT shear pass of the accelerated 3-shear rotation
+    (reference derotation.py:709-724, a torch.Tensor routine). Here the
+    "tensor" is a device array; same fftshift-sandwich math.
+
+    ``arr`` is the (1, y, x) working array (may be complex), ``arr_ori``
+    the centered coordinate ramp along the *other* axis, ``c`` the shear
+    coefficient and ``ax`` the FFT axis (1 or 2 for the batch layout)."""
+    arr = jnp.asarray(np.asarray(arr))
+    arr_ori = jnp.asarray(np.asarray(arr_ori))
+    ax2 = 1 - (ax - 1) % 2
+    freqs = jnp.fft.fftfreq(arr_ori.shape[ax2])
+    sh_freqs = jnp.fft.fftshift(freqs)
+    arr_u = jnp.tile(sh_freqs, (arr_ori.shape[ax - 1], 1))
+    if ax == 2:
+        arr_u = arr_u.T
+    s_x = jnp.fft.fftshift(arr)
+    s_x = jnp.fft.fft(s_x, axis=ax)
+    s_x = jnp.fft.fftshift(s_x)
+    s_x = jnp.exp(-2j * jnp.pi * c * arr_u * arr_ori) * s_x
+    s_x = jnp.fft.fftshift(s_x)
+    s_x = jnp.fft.ifft(s_x, axis=ax)
+    return jnp.fft.fftshift(s_x)
+
+
+def tensor_rotate_fft(tensor, angle):
+    """Rotate a (1, y, x) device array by ``angle`` with the 3-shear FFT
+    method (reference derotation.py:643-706, the reference's torch/GPU
+    batch path). Assumes the frame is centered on (cy+0.5, cx+0.5) for
+    even dims, like the reference. For batched per-frame angles prefer
+    ``vip_tpu.ops.fft.rotate_fft_fast_batch``."""
+    tensor = jnp.asarray(np.asarray(tensor), dtype=float)
+    if tensor.ndim == 2:
+        tensor = tensor[None]
+    y_ori, x_ori = tensor.shape[1:]
+
+    angle = float(angle) % 360.0
+    if angle > 45:
+        dangle = angle % 90
+        if dangle > 45:
+            dangle = -(90 - dangle)
+        nangle = int(np.rint(angle / 90))
+        tensor_in = jnp.rot90(tensor, nangle, axes=(1, 2))
+    else:
+        dangle = angle
+        tensor_in = tensor
+
+    if y_ori % 2 or x_ori % 2:
+        # FFT rotation center sits at cx+0.5/cy+0.5 — crop to even dims
+        tensor_in = tensor_in[:, :-1, :-1]
+
+    a = np.tan(np.deg2rad(dangle) / 2)
+    b = -np.sin(np.deg2rad(dangle))
+
+    y_new, x_new = tensor_in.shape[1:]
+    yy, xx = np.mgrid[0:y_new, 0:x_new]
+    cy, cx = frame_center(np.zeros((y_ori, x_ori)))
+    arr_y = jnp.asarray(yy - cy)
+    arr_x = jnp.asarray(xx - cx)
+
+    s_x = tensor_fft_shear(tensor_in, arr_x, a, ax=2)
+    s_xy = tensor_fft_shear(s_x, arr_y, b, ax=1)
+    s_xyx = tensor_fft_shear(s_xy, arr_x, a, ax=2)
+
+    if y_ori % 2 or x_ori % 2:
+        out = jnp.zeros((1, s_xyx.shape[1] + 1, s_xyx.shape[2] + 1))
+        return out.at[0, :-1, :-1].set(jnp.real(s_xyx[0]))
+    return jnp.real(s_xyx)

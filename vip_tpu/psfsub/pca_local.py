@@ -485,3 +485,60 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
     if full_output:
         return cube_out, cube_der, frame
     return frame
+
+
+def do_pca_patch(matrix, frame, angle_list, fwhm, pa_threshold, ann_center,
+                 svd_mode, ncomp, min_frames_lib, max_frames_lib, tol,
+                 matrix_ref, matrix_sig_segm):
+    """SVD/PCA of one frame's annulus patch against its PA-thresholded
+    library (reference pca_local.py:830-910). Public for API parity — the
+    batched annular path (``pca_annular``) supersedes it; this helper
+    serves external callers that drive the per-frame decomposition
+    themselves.
+
+    Returns (residuals, ncomp_used, library_size) like the reference.
+    """
+    from .svd import get_eigenvectors
+
+    msg = "Too few frames left in the PCA library. "
+    msg += "Accepted indices length ({:.0f}) less than {:.0f}. "
+    msg += "Try decreasing either delta_rot or min_frames_lib."
+    if pa_threshold != 0:
+        indices_left = _find_indices_adi(angle_list, frame, pa_threshold,
+                                         truncate=True,
+                                         max_frames=max_frames_lib)
+        if matrix_sig_segm is not None:
+            data_ref = matrix[indices_left] - matrix_sig_segm[indices_left]
+        else:
+            data_ref = matrix[indices_left]
+        if data_ref.shape[0] < min_frames_lib and matrix_ref is None:
+            raise RuntimeError(msg.format(len(indices_left), min_frames_lib))
+    else:
+        if matrix_sig_segm is not None:
+            data_ref = matrix - matrix_sig_segm
+        else:
+            data_ref = matrix
+
+    if matrix_ref is not None:
+        if data_ref is not None:
+            data_ref = np.vstack((matrix_ref, data_ref))
+        else:
+            data_ref = matrix_ref
+
+    curr_frame = matrix[frame]
+    if matrix_sig_segm is not None:
+        curr_frame_emp = matrix[frame] - matrix_sig_segm[frame]
+    else:
+        curr_frame_emp = curr_frame
+    npc = max(ncomp) if isinstance(ncomp, list) else ncomp
+    V = get_eigenvectors(npc, data_ref, svd_mode, noise_error=tol)
+
+    if isinstance(ncomp, list):
+        residuals = []
+        for npc_tmp in ncomp:
+            transformed = np.dot(curr_frame_emp, V[:npc_tmp].T)
+            residuals.append(curr_frame - np.dot(transformed.T, V[:npc_tmp]))
+    else:
+        transformed = np.dot(curr_frame_emp, V.T)
+        residuals = curr_frame - np.dot(transformed.T, V)
+    return residuals, V.shape[0], data_ref.shape[0]

@@ -93,3 +93,93 @@ def iuwt_decomposition_batch(cube, scale_count, scale_adjust=0,
     fn = lambda fr: _iuwt_decompose(fr, int(scale_count),
                                     int(scale_adjust), False)
     return np.asarray(vmap(fn)(jnp.asarray(cube, dtype=float)))
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible public helpers (reference iuwt.py:67-395). The
+# reference splits its implementation into 'ser' (single-core numpy) and
+# 'mp' (fork-pool row/column slices) variants; on an accelerator both map
+# to the same jitted program, so these are thin numpy-exact wrappers kept
+# for API/unit-test parity (the 'filter' argument is honored).
+# ---------------------------------------------------------------------------
+def ser_a_trous(C0, filter, scale):
+    """One à-trous pass with an arbitrary 5-tap filter and the reference's
+    edge-reflection convention (reference iuwt.py:162-205)."""
+    f = np.asarray(filter, dtype=float)
+    x = np.asarray(C0, dtype=float)
+    s1, s2 = 2 ** scale, 2 ** (scale + 1)
+
+    def _pass(x):
+        tmp = f[2] * x
+        tmp[s2:, :] += f[0] * x[:-s2, :]
+        tmp[:s2, :] += f[0] * x[s2 - 1::-1, :]
+        tmp[s1:, :] += f[1] * x[:-s1, :]
+        tmp[:s1, :] += f[1] * x[s1 - 1::-1, :]
+        tmp[:-s1, :] += f[3] * x[s1:, :]
+        tmp[-s1:, :] += f[3] * x[:-s1 - 1:-1, :]
+        tmp[:-s2, :] += f[4] * x[s2:, :]
+        tmp[-s2:, :] += f[4] * x[:-s2 - 1:-1, :]
+        return tmp
+
+    return _pass(_pass(x).T).T
+
+
+def ser_iuwt_decomposition(in1, scale_count, scale_adjust, store_smoothed):
+    """Serial-API IUWT decomposition (reference iuwt.py:67-118); runs the
+    jitted device program."""
+    res = _iuwt_decompose(np.asarray(in1, float), int(scale_count),
+                          int(scale_adjust), bool(store_smoothed))
+    if store_smoothed:
+        return np.asarray(res[0]), np.asarray(res[1])
+    return np.asarray(res)
+
+
+def ser_iuwt_recomposition(in1, scale_adjust, smoothed_array):
+    """Serial-API IUWT recomposition (reference iuwt.py:120-160)."""
+    return iuwt_recomposition(in1, scale_adjust,
+                              smoothed_array=smoothed_array)
+
+
+def mp_a_trous(C0, wavelet_filter, scale, core_count):
+    """Multiprocessing-API à-trous pass (reference iuwt.py:306-354);
+    ``core_count`` is accepted and ignored — the whole frame is one device
+    computation."""
+    return ser_a_trous(C0, wavelet_filter, scale)
+
+
+def mp_a_trous_kernel(C0, wavelet_filter, scale, slice_ind, slice_width,
+                      r_or_c="row"):
+    """One row/column slice of the à-trous convolution, as dispatched by the
+    reference's fork pool (reference iuwt.py:356-395). Computes the 1-D pass
+    along the requested direction and returns the requested slice."""
+    f = np.asarray(wavelet_filter, dtype=float)
+    x = np.asarray(C0, dtype=float)
+    if r_or_c == "col":
+        x = x.T
+    s1, s2 = 2 ** scale, 2 ** (scale + 1)
+    tmp = f[2] * x
+    tmp[s2:, :] += f[0] * x[:-s2, :]
+    tmp[:s2, :] += f[0] * x[s2 - 1::-1, :]
+    tmp[s1:, :] += f[1] * x[:-s1, :]
+    tmp[:s1, :] += f[1] * x[s1 - 1::-1, :]
+    tmp[:-s1, :] += f[3] * x[s1:, :]
+    tmp[-s1:, :] += f[3] * x[:-s1 - 1:-1, :]
+    tmp[:-s2, :] += f[4] * x[s2:, :]
+    tmp[-s2:, :] += f[4] * x[:-s2 - 1:-1, :]
+    if r_or_c == "col":
+        tmp = tmp.T
+        return tmp[:, slice_ind * slice_width:(slice_ind + 1) * slice_width]
+    return tmp[slice_ind * slice_width:(slice_ind + 1) * slice_width]
+
+
+def mp_iuwt_decomposition(in1, scale_count, scale_adjust, store_smoothed,
+                          core_count):
+    """Multiprocessing-API IUWT decomposition (reference iuwt.py:205-260);
+    ``core_count`` ignored — one device program."""
+    return ser_iuwt_decomposition(in1, scale_count, scale_adjust,
+                                  store_smoothed)
+
+
+def mp_iuwt_recomposition(in1, scale_adjust, core_count, smoothed_array):
+    """Multiprocessing-API IUWT recomposition (reference iuwt.py:262-304)."""
+    return ser_iuwt_recomposition(in1, scale_adjust, smoothed_array)
