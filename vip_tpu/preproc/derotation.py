@@ -237,6 +237,33 @@ def cube_derotate(array, angle_list, imlib="vip-fft",
                                      or array.shape[-2] != array.shape[-1]):
         imlib = "vip-fft"  # speed mode needs even square frames
 
+    if imlib in ("vip-fft", "vip-fft-small") \
+            and isinstance(array, jax.Array) \
+            and not isinstance(array, np.ndarray):
+        # device-resident fast path: when the cube is already a device
+        # array (e.g. PCA residuals straight from the projection), keep it
+        # there — a numpy round-trip costs two cube-sized host<->device
+        # transfers. Masked (non-finite / mask_val) cubes fall back to the
+        # host path below for the reference's mask bookkeeping.
+        dev = jnp.asarray(array, dtype=jnp.result_type(array.dtype,
+                                                       jnp.float32))
+        if np.isnan(mask_val):
+            clean = bool(jnp.isfinite(dev).all())
+        else:
+            clean = not bool(jnp.any(dev == mask_val))
+        if clean:
+            angs = jnp.asarray(angle_list, dev.dtype)
+            if imlib == "vip-fft":
+                if chunk == "auto":
+                    chunk = _auto_chunk(n, array.shape[-1],
+                                        dev.dtype.itemsize)
+                return _cube_rotate_fft(dev, -angs, chunk)
+            if chunk == "auto":
+                chunk = min(n, max(1, 4 * _auto_chunk(
+                    n, array.shape[-1], dev.dtype.itemsize)))
+            return _derotate_small_jit(dev, angs, chunk)
+        array = np.asarray(array)
+
     if imlib == "vip-fft":
         if chunk == "auto":
             chunk = _auto_chunk(n, array.shape[-1], array.dtype.itemsize)

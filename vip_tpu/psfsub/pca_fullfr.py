@@ -281,8 +281,10 @@ def _adi_rdi_pca(cube, cube_ref, angle_list, ncomp, source_xy, delta_rot,
         residuals_cube = residuals_result[0]
         reconstructed = residuals_result[1]
         V = residuals_result[2]
-        pcs = reshape_matrix(V, y, x) if not left_eigv else V.T
-        recon = reshape_matrix(reconstructed, y, x)
+        # .reshape keeps device arrays device-resident (reshape_matrix
+        # would force a host transfer of the full reconstruction cube)
+        pcs = V.reshape(-1, y, x) if not left_eigv else V.T
+        recon = reconstructed.reshape(-1, y, x)
         recon_cube = None
     else:
         # Rotation-threshold path: per-frame libraries (static host indices),
@@ -743,8 +745,12 @@ def _project_subtract(cube, cube_ref, ncomp, scaling, mask_center_px,
         matrix_sig=jnp.asarray(matrix_sig),
         full_output=True,
     )
-    residuals, reconstructed, V = (np.asarray(r) for r in res)
-    residuals_res = reshape_matrix(residuals, y, x)
+    # keep the results device-resident: the residual cube feeds straight
+    # into the (device) derotation+collapse, so converting to numpy here
+    # would round-trip ~3 cube-sized transfers over the host<->device link
+    # per pca() call. Consumers materialize lazily via np.asarray.
+    residuals, reconstructed, V = res
+    residuals_res = residuals.reshape(residuals.shape[0], y, x)
     if full_output:
         return residuals_res, reconstructed, V
     return residuals_res
