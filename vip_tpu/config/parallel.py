@@ -84,7 +84,7 @@ def sharded_frame_map(fun, mesh, axis_name="frames", out_specs=None):
     ``axis_name``. This is the multi-chip analogue of the reference's
     frame-level ``pool_map`` parallelism.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if out_specs is None:
         out_specs = P(axis_name)

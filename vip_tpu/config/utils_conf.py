@@ -14,8 +14,11 @@ forks.
 import os
 import sys
 from contextlib import contextmanager
+from os.path import exists
 
 import numpy as np
+
+_PACKAGE_VERSION = "0.1.0"  # kept in sync with vip_tpu.__version__
 
 sep = "-" * 80
 
@@ -161,38 +164,54 @@ def Progressbar(iterable=None, desc=None, total=None, leave=True, backend=None,
 class Saveable:
     """Mixin adding compressed-``.npz`` save/load with class tagging.
 
-    Reference: utils_conf.py:56-130. Arrays are stored as-is; other
-    attributes are pickled through numpy object arrays.
+    Uses the same on-disk layout as the reference (utils_conf.py:56-130):
+    one npz entry per attribute in ``_saved_attributes``, plus
+    ``_vip_object`` / ``_vip_version`` tags and ``_item_<name>`` markers
+    for scalar (non-array) attributes — so files written here load in the
+    reference package and vice versa.
     """
 
     def save(self, filename: str):
-        import pickle
-
-        state = {}
-        for key, val in self.__dict__.items():
-            state[key] = val
-        payload = {
-            "__class__": type(self).__name__,
-            "__pickle__": np.frombuffer(pickle.dumps(state), dtype=np.uint8),
-        }
-        np.savez_compressed(filename, **payload)
+        names = getattr(self, "_saved_attributes", None)
+        if names is None:
+            names = sorted(self.__dict__)
+        entries = {"_vip_object": type(self).__name__,
+                   "_vip_version": _PACKAGE_VERSION}
+        for name in names:
+            if not hasattr(self, name):
+                continue
+            value = getattr(self, name)
+            entries[name] = value
+            if not isinstance(value, np.ndarray):
+                entries["_item_" + name] = True
+        np.savez_compressed(filename, **entries)
         return filename
 
     @classmethod
     def load(cls, filename: str):
-        import pickle
-
-        if not filename.endswith(".npz"):
+        filename = str(filename)
+        if not filename.endswith(".npz") and not exists(filename):
             filename = filename + ".npz"
-        with np.load(filename, allow_pickle=False) as f:
-            clsname = str(f["__class__"])
+        with np.load(filename, allow_pickle=True) as f:
+            if "_vip_object" not in f:
+                raise RuntimeError(
+                    f"{filename} is not a saved VIP object")
+            clsname = f["_vip_object"].item()
             if clsname != cls.__name__:
-                raise TypeError(
-                    f"File {filename} holds a {clsname}, not a {cls.__name__}"
-                )
-            state = pickle.loads(f["__pickle__"].tobytes())
-        obj = cls.__new__(cls)
-        obj.__dict__.update(state)
+                raise RuntimeError(
+                    f"File {filename} holds a {clsname}, not a "
+                    f"{cls.__name__}; use {clsname}.load() instead")
+            obj = cls.__new__(cls)
+            for key in f.files:
+                if key.startswith("_"):
+                    continue
+                value = f[key]
+                if "_item_" + key in f.files:
+                    value = value.item()
+                setattr(obj, key, value)
+        for name in getattr(cls, "_saved_attributes", ()):
+            if not hasattr(obj, name):
+                setattr(obj, name, None)
         return obj
 
 

@@ -79,6 +79,21 @@ def print_algo_params(function_parameters: dict) -> None:
             print(f"- {key} : {value}")
 
 
+def resolve_algo_params(params_class, all_args, all_kwargs):
+    """One-stop unpack used by every algorithm entry point: split
+    ``all_kwargs`` into dataclass params vs ``rot_options``, honor a
+    pre-built params object passed under ``ALGO_KEY``, and instantiate
+    the dataclass otherwise. Returns (algo_params, rot_options)."""
+    from .paramenum import ALGO_KEY
+
+    class_params, rot_options = separate_kwargs_dict(
+        initial_kwargs=all_kwargs, parent_class=params_class)
+    algo_params = rot_options.pop(ALGO_KEY, None)
+    if algo_params is None:
+        algo_params = params_class(*all_args, **class_params)
+    return algo_params, rot_options
+
+
 def separate_kwargs_dict(initial_kwargs: dict, parent_class: Any):
     """Split kwargs into (params accepted by ``parent_class``, the rest).
 

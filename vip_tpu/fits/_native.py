@@ -6,6 +6,7 @@ native path is usable. All callers must fall back to numpy when not.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -15,9 +16,18 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fits_io.cpp")
 _SO = os.path.join(_HERE, "_fits_io.so")
+_STAMP = _SO + ".srchash"
 
 _lib = None
 _tried = False
+
+
+def _src_hash():
+    try:
+        with open(_SRC, "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+    except OSError:
+        return None
 
 
 def _build():
@@ -25,9 +35,28 @@ def _build():
            "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        digest = _src_hash()
+        if digest:
+            with open(_STAMP, "w") as fh:
+                fh.write(digest)
         return True
     except Exception:
         return False
+
+
+def _stale():
+    """The binary is reused only when the recorded source hash matches;
+    mtimes are unreliable (git does not preserve them)."""
+    if not os.path.exists(_SO):
+        return True
+    digest = _src_hash()
+    if digest is None:
+        return False  # no source to compare against; trust the binary
+    try:
+        with open(_STAMP) as fh:
+            return fh.read().strip() != digest
+    except OSError:
+        return True
 
 
 def _load():
@@ -35,9 +64,7 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SO)
-                                   < os.path.getmtime(_SRC)):
+    if _stale():
         if not _build():
             return None
     try:

@@ -78,6 +78,9 @@ def _read_hdu_data(path, hdu, precision=np.float32):
     header = hdu["header"]
     bscale = float(header.get("BSCALE", 1.0))
     bzero = float(header.get("BZERO", 0.0))
+    if hdu["bitpix"] not in _BITPIX_DTYPE:
+        raise ValueError("Unsupported BITPIX value {} in FITS header of {}"
+                         .format(hdu["bitpix"], path))
     out = _native.decode(path, hdu["offset"], shape, hdu["bitpix"],
                          bscale, bzero, precision)
     if out is not None:

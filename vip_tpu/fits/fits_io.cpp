@@ -88,6 +88,12 @@ void decode_range(const uint8_t *src, OutT *dst, int64_t n, int bitpix,
 template <typename OutT>
 int decode_file(const char *path, int64_t offset, int64_t n, int bitpix,
                 double bscale, double bzero, OutT *dst) {
+    switch (bitpix) {
+    case 8: case 16: case 32: case 64: case -32: case -64:
+        break;
+    default:
+        return -5;  // unknown BITPIX: refuse rather than leave dst garbage
+    }
     int fd = open(path, O_RDONLY);
     if (fd < 0) return -1;
     struct stat st;

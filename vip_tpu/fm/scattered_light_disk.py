@@ -84,6 +84,16 @@ def _scattered_light_core(x_map, y_map, lz0_map, dl_map, valid, ll,
     return jnp.where(valid, smap * (dl_map / 2.0 * pxInAU**2), 0.0)
 
 
+def _print_block(title, rows):
+    """Underlined section header followed by one line per row."""
+    bar = "-" * len(title)
+    print(bar)
+    print(title)
+    print(bar)
+    for row in rows:
+        print(row)
+
+
 class ScatteredLightDisk:
     """Synthetic scattered-light disk image generator.
 
@@ -156,22 +166,22 @@ class ScatteredLightDisk:
 
     def print_info(self):
         """Print disk and image parameters."""
-        print('-----------------------------------')
-        print('Geometrical properties of the image')
-        print('-----------------------------------')
-        print('Image size: {0:d} px by {1:d} px'.format(self.nx, self.ny))
-        print('Pixel size: {0:.4f} arcsec/px or {1:.2f} au/px'.format(
-            self.pxInArcsec, self.pxInAU))
-        print('Distance of the star {0:.1f} pc'.format(self.distance))
-        print('From {0:.1f} au to {1:.1f} au in X'.format(
-            self.x_vector[0], self.x_vector[self.nx - 1]))
-        print('From {0:.1f} au to {1:.1f} au in Y'.format(
-            self.y_vector[0], self.y_vector[self.nx - 1]))
-        print('Position angle of the disc: {0:.2f} degrees'.format(self.pa))
-        print('Inclination {0:.2f} degrees'.format(self.itilt))
-        print('Argument of pericenter {0:.2f} degrees'.format(self.omega))
+        rows = [
+            f"Image size: {self.nx:d} px by {self.ny:d} px",
+            f"Pixel size: {self.pxInArcsec:.4f} arcsec/px or "
+            f"{self.pxInAU:.2f} au/px",
+            f"Distance of the star {self.distance:.1f} pc",
+            f"From {self.x_vector[0]:.1f} au to "
+            f"{self.x_vector[-1]:.1f} au in X",
+            f"From {self.y_vector[0]:.1f} au to "
+            f"{self.y_vector[self.nx - 1]:.1f} au in Y",
+            f"Position angle of the disc: {self.pa:.2f} degrees",
+            f"Inclination {self.itilt:.2f} degrees",
+            f"Argument of pericenter {self.omega:.2f} degrees",
+        ]
         if self.flux_max is not None:
-            print('Maximum flux of the disk {0:.2f}'.format(self.flux_max))
+            rows.append(f"Maximum flux of the disk {self.flux_max:.2f}")
+        _print_block("Geometrical properties of the image", rows)
         self.dust_density.print_info()
         self.phase_function.print_info()
 
@@ -321,9 +331,7 @@ class Dust_distribution:
 
     def print_info(self, pxInAu=None):
         """Print the dust distribution parameters."""
-        print('----------------------------')
-        print('Dust distribution parameters')
-        print('----------------------------')
+        _print_block("Dust distribution parameters", [])
         self.dust_distribution_calc.print_info(pxInAu)
 
 
@@ -353,61 +361,47 @@ class DustEllipticalDistribution2PowerLaws:
         self.set_radial_density(ain=ain, aout=aout, a=a, e=e, amin=amin,
                                 dens_at_r0=dens_at_r0)
 
+    @staticmethod
+    def _sanitize(name, value, lo=None, hi=None, lo_sub=None, hi_sub=None):
+        """Clamp an out-of-range disk parameter to its nearest safe value,
+        warning like the reference does (scattered_light_disk.py:544-604)."""
+        if lo is not None and value < lo:
+            print(f"Warning: {name}={value:.2f} is below {lo}; "
+                  f"using {lo_sub}")
+            return lo_sub
+        if hi is not None and value > hi:
+            print(f"Warning: {name}={value:.2f} is above {hi}; "
+                  f"using {hi_sub}")
+            return hi_sub
+        return value
+
     def set_vertical_density(self, ksi0=1., gamma=2., beta=1.):
-        """Set the vertical density parameters (clamping as the reference)."""
-        if gamma < 0.:
-            print('Warning the vertical exponent gamma is negative')
-            print('Gamma was changed from {0:6.2f} to 0.1'.format(gamma))
-            gamma = 0.1
-        if ksi0 < 0.:
-            print('Warning the scale height ksi0 is negative')
-            print('ksi0 was changed from {0:6.2f} to 0.1'.format(ksi0))
-            ksi0 = 0.1
-        if beta < 0.:
-            print('Warning the flaring coefficient beta is negative')
-            print('beta was changed from {0:6.2f} to 0 (flat disk)'
-                  .format(beta))
-            beta = 0.
-        self.ksi0 = float(ksi0)
-        self.gamma = float(gamma)
-        self.beta = float(beta)
-        self.zmax = ksi0 * (-np.log(self.accuracy))**(1. / gamma)
+        """Set the vertical profile: scale height ``ksi0``, shape exponent
+        ``gamma`` and flaring index ``beta`` (all clamped to >= 0)."""
+        self.gamma = float(self._sanitize("gamma", gamma, lo=0., lo_sub=0.1))
+        self.ksi0 = float(self._sanitize("ksi0", ksi0, lo=0., lo_sub=0.1))
+        self.beta = float(self._sanitize("beta", beta, lo=0., lo_sub=0.))
+        self.zmax = self.ksi0 * (-np.log(self.accuracy)) ** (1. / self.gamma)
 
     def set_radial_density(self, ain=5., aout=-5., a=60., e=0., amin=0.,
                            dens_at_r0=1.):
-        """Set the radial density parameters (clamping as the reference)."""
-        if ain < 0.1:
-            print('Warning the inner slope is greater than 0.1')
-            print('ain was changed from {0:6.2f} to 0.1'.format(ain))
-            ain = 0.1
-        if aout > -0.1:
-            print('Warning the outer slope is greater than -0.1')
-            print('aout was changed from {0:6.2f} to -0.1'.format(aout))
-            aout = -0.1
-        if e < 0:
-            print('Warning the eccentricity is negative')
-            print('e was changed from {0:6.2f} to 0'.format(e))
-            e = 0.
-        if e >= 1:
-            print('Warning the eccentricity is greater or equal to 1')
-            print('e was changed from {0:6.2f} to 0.99'.format(e))
-            e = 0.99
-        if a < 0:
-            raise ValueError('Warning the semi-major axis a is negative')
-        if amin < 0:
-            raise ValueError('Warning the minimum radius a is negative')
-        if dens_at_r0 < 0:
-            raise ValueError('Warning the reference dust density at r0 is '
-                             'negative')
-        self.ain = float(ain)
-        self.aout = float(aout)
+        """Set the two-power-law radial profile: slopes ``ain``/``aout``,
+        reference radius ``a``, eccentricity ``e``, inner cutoff ``amin``."""
+        for name, value in (("a", a), ("amin", amin),
+                            ("dens_at_r0", dens_at_r0)):
+            if value < 0:
+                raise ValueError(f"disk parameter {name} must be >= 0, "
+                                 f"got {value}")
+        self.ain = float(self._sanitize("ain", ain, lo=0.1, lo_sub=0.1))
+        self.aout = float(self._sanitize("aout", aout, hi=-0.1, hi_sub=-0.1))
+        self.e = float(self._sanitize("e", self._sanitize(
+            "e", e, lo=0., lo_sub=0.), hi=0.99, hi_sub=0.99))
         self.a = float(a)
-        self.e = float(e)
-        self.p = self.a * (1 - self.e**2)
+        self.p = self.a * (1 - self.e ** 2)
         self.amin = float(amin)
-        self.pmin = self.amin * (1 - self.e**2)
+        self.pmin = self.amin * (1 - self.e ** 2)
         self.dens_at_r0 = float(dens_at_r0)
-        self.rmax = self.a * self.accuracy**(1 / self.aout)
+        self.rmax = self.a * self.accuracy ** (1 / self.aout)
         if self.ain != self.aout:
             self.apeak = self.a * np.power(
                 -self.ain / self.aout, 1. / (2. * (self.ain - self.aout)))
@@ -465,43 +459,48 @@ class DustEllipticalDistribution2PowerLaws:
             a_minus_hwhm = newton(half_max_density, start)
         except RuntimeError:
             a_minus_hwhm = np.nan
+        vert_fwhm = 2. * self.ksi0 * np.power(np.log10(2.), 1. / self.gamma)
         if pxInAu is not None:
-            print('Reference semi-major axis: {0:.1f}au or {1:.1f}px'.format(
-                self.a, self.a / pxInAu))
-            print('Semi-major axis at maximum dust density in plane z=0: '
-                  '{0:.1f}au or {1:.1f}px (same as ref sma if ain=-aout)'
-                  .format(self.apeak, self.apeak / pxInAu))
+            rows = [
+                f"Reference semi-major axis: {self.a:.1f}au or "
+                f"{self.a / pxInAu:.1f}px",
+                "Semi-major axis at maximum dust density in plane z=0: "
+                f"{self.apeak:.1f}au or {self.apeak / pxInAu:.1f}px "
+                "(same as ref sma if ain=-aout)",
+            ]
         else:
-            print('Reference semi-major axis: {0:.1f}au'.format(self.a))
-            print('Semi-major axis at maximum dust density in plane z=0: '
-                  '{0:.1f}au (same as ref sma if ain=-aout)'
-                  .format(self.apeak))
-            print('Semi-major axis at half max dust density: {0:.1f}au / '
-                  '{1:.1f}au for the inner/outer edge, or a FWHM of {2:.1f}au'
-                  .format(a_minus_hwhm, a_plus_hwhm,
-                          a_plus_hwhm - a_minus_hwhm))
-        print('Ellipticity: {0:.3f}'.format(self.e))
-        print('Inner slope: {0:.2f}'.format(self.ain))
-        print('Outer slope: {0:.2f}'.format(self.aout))
-        print('Density at the reference semi-major axis: {0:4.3e}'
-              .format(self.dens_at_r0) + '(arbitrary unit)')
+            rows = [
+                f"Reference semi-major axis: {self.a:.1f}au",
+                "Semi-major axis at maximum dust density in plane z=0: "
+                f"{self.apeak:.1f}au (same as ref sma if ain=-aout)",
+                "Semi-major axis at half max dust density: "
+                f"{a_minus_hwhm:.1f}au / {a_plus_hwhm:.1f}au for the "
+                f"inner/outer edge, or a FWHM of "
+                f"{a_plus_hwhm - a_minus_hwhm:.1f}au",
+            ]
+        rows += [
+            f"Ellipticity: {self.e:.3f}",
+            f"Inner slope: {self.ain:.2f}",
+            f"Outer slope: {self.aout:.2f}",
+            f"Density at the reference semi-major axis: "
+            f"{self.dens_at_r0:4.3e}(arbitrary unit)",
+        ]
         if self.amin > 0:
-            print('Minimum radius (sma): {0:.2f}au'.format(self.amin))
-        print('Scale height: {0:.2f} au at {1:.2f}'.format(self.ksi0,
-                                                           self.a))
-        print('Vertical profile index: {0:.2f}'.format(self.gamma))
-        print('Disc vertical FWHM: {0:.2f} at {1:.2f}'.format(
-            2. * self.ksi0 * np.power(np.log10(2.), 1. / self.gamma),
-            self.a))
-        print('Flaring coefficient: {0:.2f}'.format(self.beta))
-        print('------------------------------------')
-        print('Properties for numerical integration')
-        print('------------------------------------')
-        print('Requested accuracy {0:.2e}'.format(self.accuracy))
-        print('Maximum radius for integration: {0:.2f} au'.format(self.rmax))
-        print('Maximum height for integration: {0:.2f} au'.format(self.zmax))
-        print('Inclination threshold: {0:.2f} degrees'
-              .format(self.itiltthreshold))
+            rows.append(f"Minimum radius (sma): {self.amin:.2f}au")
+        rows += [
+            f"Scale height: {self.ksi0:.2f} au at {self.a:.2f}",
+            f"Vertical profile index: {self.gamma:.2f}",
+            f"Disc vertical FWHM: {vert_fwhm:.2f} at {self.a:.2f}",
+            f"Flaring coefficient: {self.beta:.2f}",
+        ]
+        for row in rows:
+            print(row)
+        _print_block("Properties for numerical integration", [
+            f"Requested accuracy {self.accuracy:.2e}",
+            f"Maximum radius for integration: {self.rmax:.2f} au",
+            f"Maximum height for integration: {self.zmax:.2f} au",
+            f"Inclination threshold: {self.itiltthreshold:.2f} degrees",
+        ])
 
 
 class Phase_function:
@@ -516,34 +515,25 @@ class Phase_function:
             raise TypeError('The dictionnary describing the phase function '
                             'must contain the key "name"')
         self.type = spf_dico['name']
-        if 'polar' not in spf_dico.keys():
-            self.polar = False
-        else:
-            if not isinstance(spf_dico['polar'], bool):
-                raise TypeError('The dictionnary describing the polarisation '
-                                'must be a boolean')
-            self.polar = spf_dico['polar']
-            if 'polar_polynom_coeff' in spf_dico.keys():
-                self.polar_polynom = True
-                if isinstance(spf_dico['polar_polynom_coeff'],
-                              (tuple, list, np.ndarray)):
-                    self.polar_polynom_coeff = \
-                        spf_dico['polar_polynom_coeff']
-                else:
-                    raise TypeError('The dictionnary describing the '
-                                    'polarisation polynomial function must '
-                                    'be an array.')
-            else:
-                self.polar_polynom = False
-        if self.type == 'HG':
-            self.phase_function_calc = HenyeyGreenstein_SPF(spf_dico)
-        elif self.type == 'DoubleHG':
-            self.phase_function_calc = DoubleHenyeyGreenstein_SPF(spf_dico)
-        elif self.type == 'interpolated':
-            self.phase_function_calc = Interpolated_SPF(spf_dico)
-        else:
+        self.polar = spf_dico.get('polar', False)
+        if not isinstance(self.polar, bool):
+            raise TypeError('The dictionnary describing the polarisation '
+                            'must be a boolean')
+        coeffs = spf_dico.get('polar_polynom_coeff') if self.polar else None
+        self.polar_polynom = coeffs is not None
+        if self.polar_polynom:
+            if not isinstance(coeffs, (tuple, list, np.ndarray)):
+                raise TypeError('The dictionnary describing the '
+                                'polarisation polynomial function must '
+                                'be an array.')
+            self.polar_polynom_coeff = coeffs
+        backends = {'HG': HenyeyGreenstein_SPF,
+                    'DoubleHG': DoubleHenyeyGreenstein_SPF,
+                    'interpolated': Interpolated_SPF}
+        if self.type not in backends:
             raise TypeError('Type of phase function not understood: '
                             '{0:s}'.format(self.type))
+        self.phase_function_calc = backends[self.type](spf_dico)
 
     def compute_phase_function_from_cosphi(self, cos_phi):
         """Phase function value(s) at cos(phi)."""
@@ -558,29 +548,30 @@ class Phase_function:
 
     def print_info(self):
         """Print the phase function type and parameters."""
-        print('----------------------------')
-        print('Phase function parameters')
-        print('----------------------------')
-        print('Type of phase function: {0:s}'.format(self.type))
-        print('Linear polarisation: {0!r}'.format(self.polar))
+        _print_block("Phase function parameters",
+                     [f"Type of phase function: {self.type}",
+                      f"Linear polarisation: {self.polar!r}"])
         self.phase_function_calc.print_info()
 
     def plot_phase_function(self):
-        """Plot the SPF (matplotlib import gated for headless envs)."""
+        """Plot the SPF (matplotlib import gated for headless envs).
+
+        Note: like the reference (scattered_light_disk.py:869-890), the
+        polar modulation ends up applied twice in this plot."""
+        import matplotlib.pyplot as plt
+
         phi = np.arange(0, 180, 1)
-        phase_func = self.compute_phase_function_from_cosphi(
+        spf = self.compute_phase_function_from_cosphi(
             np.cos(np.deg2rad(phi)))
         if self.polar:
             if getattr(self, 'polar_polynom', False):
-                phase_func = np.polyval(self.polar_polynom_coeff,
-                                        phi) * phase_func
+                spf = np.polyval(self.polar_polynom_coeff, phi) * spf
             else:
-                phase_func = (1 - np.cos(np.deg2rad(phi))**2) / \
-                    (1 + np.cos(np.deg2rad(phi))**2) * phase_func
-        import matplotlib.pyplot as plt
+                cos2 = np.cos(np.deg2rad(phi)) ** 2
+                spf = (1 - cos2) / (1 + cos2) * spf
         plt.close(0)
         plt.figure(0)
-        plt.plot(phi, phase_func)
+        plt.plot(phi, spf)
         plt.xlabel('Scattering phase angle in degrees')
         plt.ylabel('Scattering phase function')
         plt.grid()

@@ -1,4 +1,9 @@
-"""MCMC convergence utilities (reference vip_hci/fm/utils_mcmc.py)."""
+"""MCMC convergence diagnostics.
+
+Behavioral parity with reference vip_hci/fm/utils_mcmc.py (Gelman-Rubin
+R-hat and the emcee integrated-autocorrelation-time recipe), implemented
+as vectorized numpy over whole walker batches.
+"""
 
 import numpy as np
 
@@ -7,78 +12,84 @@ __all__ = ["gelman_rubin", "gelman_rubin_from_chain", "autocorr",
 
 
 def gelman_rubin(x):
-    """Gelman-Rubin R̂ between Markov chains (utils_mcmc.py:18-71)."""
-    if np.shape(x) < (2,):
+    """Gelman-Rubin R-hat over the last two axes (..., n_chains, n_samples).
+
+    R-hat = (pooled variance + between/m) / within, with the pooled
+    variance mixing the within- and between-chain estimates
+    (reference utils_mcmc.py:18-71).
+    """
+    x = np.asarray(x, dtype=float)
+    if x.ndim < 2 or x.shape[-2] < 2:
         raise ValueError("Gelman-Rubin diagnostic requires multiple chains "
                          "of the same length")
-    m, n = np.shape(x)
-    B_over_n = np.sum((np.mean(x, 1) - np.mean(x)) ** 2) / (m - 1)
-    W = np.sum([(x[i] - xbar) ** 2 for i, xbar in
-                enumerate(np.mean(x, 1))]) / (m * (n - 1))
-    s2 = W * (n - 1) / n + B_over_n
-    V = s2 + B_over_n / m
-    return V / W
+    m, n = x.shape[-2:]
+    chain_means = x.mean(axis=-1)
+    between = chain_means.var(axis=-1, ddof=1)  # B/n
+    within = x.var(axis=-1, ddof=1).mean(axis=-1)  # W
+    pooled = within * (n - 1) / n + between
+    return (pooled + between / m) / within
 
 
 def gelman_rubin_from_chain(chain, burnin):
-    """R̂ per parameter from a (walkers, steps, ndim) chain
-    (utils_mcmc.py:74-103)."""
-    dim = chain.shape[2]
-    k = chain.shape[1]
-    thr0 = int(np.floor(burnin * k))
-    thr1 = int(np.floor((1 - burnin) * k * 0.25))
-    rhat = np.zeros(dim)
-    for j in range(dim):
-        part1 = chain[:, thr0:thr0 + thr1, j].reshape((-1))
-        part2 = chain[:, thr0 + 3 * thr1:thr0 + 4 * thr1, j].reshape((-1))
-        series = np.vstack((part1, part2))
-        rhat[j] = gelman_rubin(series)
-    return rhat
+    """Per-parameter R-hat from a (walkers, steps, ndim) chain, comparing
+    the first and last quarter of the post-burnin samples (reference
+    utils_mcmc.py:74-103)."""
+    chain = np.asarray(chain, dtype=float)
+    nsteps = chain.shape[1]
+    start = int(np.floor(burnin * nsteps))
+    quarter = int(np.floor((1 - burnin) * nsteps * 0.25))
+    # flatten walkers within each quarter -> two pseudo-chains per param
+    head = chain[:, start:start + quarter]
+    tail = chain[:, start + 3 * quarter:start + 4 * quarter]
+    ndim = chain.shape[2]
+    head = head.transpose(2, 0, 1).reshape(ndim, -1)
+    tail = tail.transpose(2, 0, 1).reshape(ndim, -1)
+    return gelman_rubin(np.stack([head, tail], axis=1))
 
 
 def _next_pow_two(n):
-    i = 1
-    while i < n:
-        i = i << 1
-    return i
+    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 def autocorr_func_1d(x, norm=True):
-    x = np.atleast_1d(x)
-    if len(x.shape) != 1:
-        raise ValueError("invalid dimensions for 1D autocorrelation function")
-    n = _next_pow_two(len(x))
-    f = np.fft.fft(x - np.mean(x), n=2 * n)
-    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
-    acf /= 4 * n
+    """Autocorrelation function of one (or a batch of) series via FFT
+    (the emcee recipe; reference utils_mcmc.py:113-128)."""
+    x = np.asarray(x, dtype=float)
+    was_1d = x.ndim == 1
+    x = np.atleast_2d(x)
+    n = x.shape[-1]
+    size = 2 * _next_pow_two(n)
+    centered = x - x.mean(axis=-1, keepdims=True)
+    spec = np.fft.rfft(centered, size, axis=-1)
+    acf = np.fft.irfft(spec * np.conj(spec), size, axis=-1)[..., :n]
+    acf /= 4 * _next_pow_two(n)
     if norm:
-        acf /= acf[0]
-    return acf
+        acf = acf / acf[..., :1]
+    return acf[0] if was_1d else acf
 
 
 def _auto_window(taus, c):
-    m = np.arange(len(taus)) < c * taus
-    if np.any(m):
-        return np.argmin(m)
-    return len(taus) - 1
+    """Sokal auto-window: first lag M with M >= c * tau(M)."""
+    crossed = np.arange(len(taus)) >= c * taus
+    if crossed.all():
+        return len(taus) - 1
+    if not crossed.any():
+        return 0
+    return int(np.argmax(crossed))
 
 
 def autocorr(y, c=5.0):
-    """Integrated autocorrelation time estimate (emcee recipe)."""
-    f = np.zeros(y.shape[1])
-    for yy in y:
-        f += autocorr_func_1d(yy)
-    f /= len(y)
-    taus = 2.0 * np.cumsum(f) - 1.0
-    window = _auto_window(taus, c)
-    return taus[window]
+    """Integrated autocorrelation time of a (walkers, steps) chain: mean
+    of the per-walker normalized ACFs, windowed a la Sokal."""
+    y = np.asarray(y, dtype=float)
+    mean_acf = autocorr_func_1d(y).reshape(y.shape[0], -1).mean(axis=0)
+    taus = 2.0 * np.cumsum(mean_acf) - 1.0
+    return taus[_auto_window(taus, c)]
 
 
 def autocorr_test(chain):
-    """tau/N — chain considered converged when below 1/ac_c."""
-    N = chain.shape[1]
-    tau = autocorr(chain)
-    return tau / N
+    """tau/N — the chain is considered converged when below 1/ac_c."""
+    return autocorr(chain) / chain.shape[1]
 
 
 def next_pow_two(n):

@@ -8,8 +8,9 @@ from typing import List, Union
 
 import numpy as np
 
-from ..config import ALGO_KEY, Progressbar, time_ini, timing
-from ..config.utils_param import separate_kwargs_dict
+from ..config import Progressbar, time_ini, timing
+from ..config.utils_param import (resolve_algo_params,
+                                  separate_kwargs_dict)
 from ..preproc.derotation import cube_derotate
 from ..preproc.subsampling import cube_collapse
 from ..psfsub.nmf_fullfr import NMF_Params, nmf
@@ -40,16 +41,11 @@ class INMF_Params(NMF_Params):
 
 def inmf(*all_args: List, **all_kwargs: dict):
     """Iterative NMF (reference inmf_fullfr.py:42-586)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=INMF_Params)
-    nmf_params, _ = separate_kwargs_dict(initial_kwargs=class_params,
-                                         parent_class=NMF_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = INMF_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        INMF_Params, all_args, all_kwargs)
+    nmf_params, _ = separate_kwargs_dict(
+        initial_kwargs=separate_kwargs_dict(all_kwargs, INMF_Params)[0],
+        parent_class=NMF_Params)
 
     start_time = time_ini(algo_params.verbose)
     nmf_params["full_output"] = True

@@ -14,8 +14,9 @@ from typing import List, Union
 
 import numpy as np
 
-from ..config import ALGO_KEY, Progressbar, time_ini, timing
-from ..config.utils_param import separate_kwargs_dict
+from ..config import Progressbar, time_ini, timing
+from ..config.utils_param import (resolve_algo_params,
+                                  separate_kwargs_dict)
 from ..preproc.derotation import cube_derotate
 from ..preproc.subsampling import cube_collapse
 from ..psfsub.pca_fullfr import PCA_Params, pca
@@ -49,16 +50,11 @@ class IPCA_Params(PCA_Params):
 def ipca(*all_args: List, **all_kwargs: dict):
     """Iterative PCA (reference ipca_fullfr.py:96-873, mode None /
     'Christiaens24' paths)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=IPCA_Params)
-    pca_params, _ = separate_kwargs_dict(initial_kwargs=class_params,
-                                         parent_class=PCA_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = IPCA_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        IPCA_Params, all_args, all_kwargs)
+    pca_params, _ = separate_kwargs_dict(
+        initial_kwargs=separate_kwargs_dict(all_kwargs, IPCA_Params)[0],
+        parent_class=PCA_Params)
 
     start_time = time_ini(algo_params.verbose)
     pca_params["full_output"] = True

@@ -5,8 +5,9 @@ from typing import List, Union
 
 import numpy as np
 
-from ..config import ALGO_KEY, time_ini, timing
-from ..config.utils_param import separate_kwargs_dict
+from ..config import time_ini, timing
+from ..config.utils_param import (resolve_algo_params,
+                                  separate_kwargs_dict)
 from ..preproc.derotation import cube_derotate
 from ..psfsub.rollsub import ROLL_SUB_Params, roll_sub
 from .utils_greedy import find_significant_signals
@@ -27,16 +28,12 @@ class IROLL_SUB_Params(ROLL_SUB_Params):
 
 def iroll(*all_args: List, **all_kwargs: dict):
     """Iterative roll subtraction (reference irollsub.py:50-210)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=IROLL_SUB_Params)
-    roll_params, _ = separate_kwargs_dict(initial_kwargs=class_params,
-                                          parent_class=ROLL_SUB_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = IROLL_SUB_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        IROLL_SUB_Params, all_args, all_kwargs)
+    roll_params, _ = separate_kwargs_dict(
+        initial_kwargs=separate_kwargs_dict(all_kwargs,
+                                            IROLL_SUB_Params)[0],
+        parent_class=ROLL_SUB_Params)
 
     roll_params["full_output"] = True
     array = np.asarray(algo_params.cube, dtype=float).copy()

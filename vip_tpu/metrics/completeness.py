@@ -42,6 +42,22 @@ def _algo_args(algo):
                     "'verbose'")
 
 
+def _median_fwhm(fwhm):
+    """Scalar FWHM: the median over IFS channels when a vector is given."""
+    return np.median(fwhm) if isinstance(fwhm, (np.ndarray, list)) else fwhm
+
+
+def _check_cube_psf(cube, angle_list, psf):
+    """Shared input validation for the completeness drivers."""
+    n_fr = cube.shape[0] if cube.ndim == 3 else cube.shape[1]
+    if n_fr != angle_list.shape[0]:
+        raise TypeError("Input parallactic angles vector has wrong length")
+    if cube.ndim == 3 and psf.ndim != 2:
+        raise TypeError("Template PSF is not a frame (for ADI case)")
+    if cube.ndim == 4 and psf.ndim != 3:
+        raise TypeError("Template PSF is not a cube (for ADI+IFS case)")
+
+
 def _estimate_snr_fc(a, b, level, n_fc, cube, psf, angle_list, fwhm, algo,
                      algo_dict, snrmap_empty, starphot=1, approximated=True):
     """Inject one fake companion at (r=a, theta=b/n_fc*360) and return
@@ -51,15 +67,8 @@ def _estimate_snr_fc(a, b, level, n_fc, cube, psf, angle_list, fwhm, algo,
                                     flevel=level * starphot, plsc=0.1,
                                     rad_dists=a, theta=b / n_fc * 360,
                                     n_branches=1, verbose=False)
-    if isinstance(fwhm, (np.ndarray, list)):
-        fwhm_med = np.median(fwhm)
-    else:
-        fwhm_med = fwhm
-
-    if cube.ndim == 4:
-        cy, cx = frame_center(cube[0, 0, :, :])
-    else:
-        cy, cx = frame_center(cube[0])
+    fwhm_med = _median_fwhm(fwhm)
+    cy, cx = frame_center(cube[0, 0] if cube.ndim == 4 else cube[0])
 
     argl = _algo_args(algo)
     algo_dict = dict(algo_dict)
@@ -68,74 +77,62 @@ def _estimate_snr_fc(a, b, level, n_fc, cube, psf, angle_list, fwhm, algo,
     if "fwhm" in argl:
         algo_dict["fwhm"] = fwhm_med
 
-    if "radius_int" in argl:
-        if algo_dict.get("asize") is None:
-            annulus_width = int(np.ceil(fwhm))
-        else:
-            annulus_width = algo_dict.get("asize")
-        if a > 2 * annulus_width:
-            n_annuli = 5
-            radius_int = (a // annulus_width - 2) * annulus_width
-        else:
-            n_annuli = 4
-            radius_int = (a // annulus_width - 1) * annulus_width
-        if 2 * (radius_int + n_annuli * annulus_width) < cube.shape[-1]:
-            cubefc_crop = cube_crop_frames(
-                cubefc, int(2 * (radius_int + n_annuli * annulus_width)),
-                xy=(cx, cy), verbose=False)
-        else:
-            cubefc_crop = cubefc
-        frame_temp = algo(cube=cubefc_crop, angle_list=angle_list,
-                          radius_int=radius_int, **algo_dict)
-        frame_fin = np.zeros((cube.shape[-2], cube.shape[-1]))
-        indices = get_annulus_segments(
-            frame_fin, 0, radius_int + n_annuli * annulus_width, 1)
-        sub = (frame_fin.shape[0] - frame_temp.shape[0]) // 2
-        frame_fin[indices[0][0], indices[0][1]] = frame_temp[
-            indices[0][0] - sub, indices[0][1] - sub]
+    annular = "radius_int" in argl
+    if annular:
+        # annular algos only need a few annuli around the injection radius:
+        # crop, reduce, paste the result back onto a full-size frame
+        asize = algo_dict.get("asize") or int(np.ceil(fwhm))
+        n_annuli = 5 if a > 2 * asize else 4
+        radius_int = (a // asize - (2 if a > 2 * asize else 1)) * asize
+        extent = int(radius_int + n_annuli * asize)
+        work = cubefc
+        if 2 * extent < cube.shape[-1]:
+            work = cube_crop_frames(cubefc, 2 * extent, xy=(cx, cy),
+                                    verbose=False)
+        reduced = np.array(algo(cube=work, angle_list=angle_list,
+                                radius_int=radius_int, **algo_dict))
+        frame_fin = np.zeros(cube.shape[-2:])
+        ys, xs = get_annulus_segments(frame_fin, 0, extent, 1)[0]
+        off = (frame_fin.shape[0] - reduced.shape[0]) // 2
+        frame_fin[ys, xs] = reduced[ys - off, xs - off]
     else:
-        frame_fin = algo(cube=cubefc, angle_list=angle_list, **algo_dict)
+        frame_fin = np.array(algo(cube=cubefc, angle_list=angle_list,
+                                  **algo_dict))
 
-    frame_fin = np.array(frame_fin)
-    snrmap_temp = np.zeros_like(frame_fin)
     cy, cx = frame_center(frame_fin)
-    if "radius_int" in argl:
+    if annular:
         mask = get_annulus_segments(frame_fin, a - (fwhm_med // 2),
                                     fwhm_med + 1, mode="mask")[0]
     else:
         width = min(frame_fin.shape) / 2 - 1.5 * fwhm_med
         mask = get_annulus_segments(frame_fin, (fwhm_med / 2) + 2, width,
                                     mode="mask")[0]
-    bmask = np.ma.make_mask(mask, shrink=False)
-    yy, xx = np.where(bmask)
+    yy, xx = np.where(np.ma.make_mask(mask, shrink=False))
 
+    snr_new = np.zeros_like(frame_fin)
     if approximated:
-        snrmap_temp[yy, xx] = _snrmap_approx(frame_fin, yy, xx, fwhm_med,
-                                             cy, cx, frame_fin.shape[0],
-                                             frame_fin.shape[1])
+        snr_new[yy, xx] = _snrmap_approx(frame_fin, yy, xx, fwhm_med, cy, cx,
+                                         *frame_fin.shape)
     else:
         for (y0, x0) in zip(yy, xx):
-            res = snr(frame_fin, (x0, y0), fwhm_med, plot=False,
-                      exclude_negative_lobes=True, full_output=True,
-                      verbose=False)
-            snrmap_temp[y0, x0] = res[-1]
+            snr_new[y0, x0] = snr(frame_fin, (x0, y0), fwhm_med, plot=False,
+                                  exclude_negative_lobes=True,
+                                  full_output=True, verbose=False)[-1]
 
-    snrmap_fin = np.where(
-        abs(np.nan_to_num(snrmap_temp)) > 0.000001, 0, snrmap_empty
-    ) + np.nan_to_num(snrmap_temp)
+    # overlay the injected-region SNR onto the empty map
+    snr_new = np.nan_to_num(snr_new)
+    merged = np.where(np.abs(snr_new) > 1e-6, 0, snrmap_empty) + snr_new
 
+    # split the map into the aperture around the injection vs the rest
     y, x = frame_fin.shape
-    twopi = 2 * np.pi
-    sigposy = int(y / 2 + np.sin(b / n_fc * twopi) * a)
-    sigposx = int(x / 2 + np.cos(b / n_fc * twopi) * a)
-
-    dy = np.arange(y)[:, None] - sigposy
-    dx = np.arange(x)[None, :] - sigposx
-    indc = np.where(dy**2 + dx**2 < 4**2)
-    max_target = np.nan_to_num(snrmap_fin[indc[0], indc[1]]).max()
-    snrmap_fin[indc[0], indc[1]] = 0
-    max_map = np.nan_to_num(snrmap_fin).max()
-    return max_target - max_map, b
+    azim = 2 * np.pi * b / n_fc
+    at_y = int(y / 2 + np.sin(azim) * a)
+    at_x = int(x / 2 + np.cos(azim) * a)
+    near = ((np.arange(y)[:, None] - at_y) ** 2
+            + (np.arange(x)[None, :] - at_x) ** 2) < 16
+    max_target = np.nan_to_num(merged[near]).max()
+    max_rest = np.nan_to_num(np.where(near, 0, merged)).max()
+    return max_target - max_rest, b
 
 
 def _run_batch(nproc, a, bs, level, n_fc, cube, psf, angle_list, fwhm, algo,
@@ -146,17 +143,89 @@ def _run_batch(nproc, a, bs, level, n_fc, cube, psf, angle_list, fwhm, algo,
                     snrmap_empty, starphot, approximated=approximated)
 
 
+class _DetectionLedger:
+    """Monotonic detection memo over the ``n_fc`` azimuthal injection
+    positions at one radius.
+
+    Detectability is assumed monotonic in the injected flux (the same
+    assumption that lets the reference re-probe only its non-detected set,
+    completeness.py:526-589): once position ``b`` is detected at some
+    level it counts as detected at any higher level, and a miss carries
+    down to any lower level. ``count(level)`` therefore only needs the
+    algorithm re-run for positions whose threshold is still inside the
+    queried gap.
+    """
+
+    def __init__(self, prober, n_fc):
+        self._prober = prober
+        self._lowest_hit = np.full(n_fc, np.inf)
+        self._highest_miss = np.full(n_fc, -np.inf)
+
+    def count(self, level):
+        """Number of detected positions at ``level``, probing only the
+        positions whose state is unknown there."""
+        unknown = np.where((level < self._lowest_hit)
+                           & (level > self._highest_miss))[0]
+        if unknown.size:
+            hits = self._prober(level, unknown)
+            hit_idx = unknown[hits]
+            miss_idx = unknown[~hits]
+            self._lowest_hit[hit_idx] = np.minimum(
+                self._lowest_hit[hit_idx], level)
+            self._highest_miss[miss_idx] = np.maximum(
+                self._highest_miss[miss_idx], level)
+        return int(np.sum(level >= self._lowest_hit))
+
+
+def _level_for_count(ledger, start_level, target, max_iter, err_msg):
+    """Search for a flux level at which exactly ``target`` of the
+    positions are detected: geometric expansion to bracket the target
+    count, then secant steps on (count, level) with a bisection fallback.
+    """
+    level = start_level
+    lo = hi = None  # (level, count) with count < target / >= target
+    for _ in range(max_iter):
+        count = ledger.count(level)
+        if count == target:
+            return level
+        if count < target:
+            if lo is None or level > lo[0]:
+                lo = (level, count)
+        else:
+            if hi is None or level < hi[0]:
+                hi = (level, count)
+        if lo is None:
+            level = hi[0] * 0.5
+        elif hi is None:
+            level = lo[0] * 1.5
+        else:
+            lo_lvl, lo_cnt = lo
+            hi_lvl, hi_cnt = hi
+            level = lo_lvl + (hi_lvl - lo_lvl) * (target - lo_cnt) \
+                / max(hi_cnt - lo_cnt, 1)
+            if not lo_lvl < level < hi_lvl:
+                level = 0.5 * (lo_lvl + hi_lvl)
+    raise ValueError(err_msg.format(max_iter, level))
+
+
+_ERR_MSG = ("Could not converge on a contrast level matching required "
+            "completeness within {} iterations. Tested level: {}. Is "
+            "there too much self-subtraction? Consider decreasing ncomp "
+            "if using PCA, or increasing minimum requested radius.")
+
+
 def _empty_snrmap(cube, angle_list, fwhm_med, fwhm, algo, algo_dict, nproc,
                   snr_approximation):
     """Post-process the empty cube and compute its SNR map."""
     argl = _algo_args(algo)
+    algo_dict = dict(algo_dict)
+    algo_dict["verbose"] = False
     if "cube" in argl and "angle_list" in argl:
         if "fwhm" in argl:
             frame_fin = algo(cube=cube, angle_list=angle_list,
-                             fwhm=fwhm_med, verbose=False, **algo_dict)
+                             fwhm=fwhm_med, **algo_dict)
         else:
-            frame_fin = algo(cube=cube, angle_list=angle_list,
-                             verbose=False, **algo_dict)
+            frame_fin = algo(cube=cube, angle_list=angle_list, **algo_dict)
     else:
         raise ValueError("'cube' and 'angle_list' must be arguments of algo")
     return snrmap(np.array(frame_fin), fwhm_med,
@@ -177,21 +246,9 @@ def completeness_curve(cube, angle_list, psf, fwhm, algo, an_dist=None,
     Returns (an_dist, cont_curve).
     """
     angle_list = np.asarray(angle_list)
-    if cube.ndim == 3 and (cube.shape[0] != angle_list.shape[0]):
-        raise TypeError("Input parallactic angles vector has wrong length")
-    if cube.ndim == 4 and (cube.shape[1] != angle_list.shape[0]):
-        raise TypeError("Input parallactic angles vector has wrong length")
-    if cube.ndim == 3 and psf.ndim != 2:
-        raise TypeError("Template PSF is not a frame (for ADI case)")
-    if cube.ndim == 4 and psf.ndim != 3:
-        raise TypeError("Template PSF is not a cube (for ADI+IFS case)")
-    if nproc is None:
-        nproc = 1
-
-    if isinstance(fwhm, (np.ndarray, list)):
-        fwhm_med = np.median(fwhm)
-    else:
-        fwhm_med = fwhm
+    _check_cube_psf(cube, angle_list, psf)
+    nproc = nproc or 1
+    fwhm_med = _median_fwhm(fwhm)
 
     if an_dist is None:
         an_dist = np.array(range(2 * round(fwhm_med),
@@ -228,169 +285,22 @@ def completeness_curve(cube, angle_list, psf, fwhm, algo, an_dist=None,
     psf = normalize_psf(psf, fwhm=fwhm, verbose=False,
                         size=min(new_psf_size, psf.shape[1]))
 
-    err_msg = ("Could not converge on a contrast level matching required "
-               "completeness within {} iterations. Tested level: {}. Is "
-               "there too much self-subtraction? Consider decreasing ncomp "
-               "if using PCA, or increasing minimum requested radius.")
+    target = round(completeness * n_fc)
 
-    for k in range(len(an_dist)):
-        a = an_dist[k]
-        level = ini_contrast[k]
-        pos_detect = []
-        detect_bound = [None, None]
-        level_bound = [None, None]
-        ii = 0
+    for k, a in enumerate(an_dist):
         if verbose:
             print("*** Calculating contrast at r = {} ***".format(a))
 
-        pos_non_detect_temp = pos_detect_temp = None
-        val_non_detect_temp = val_detect_temp = None
-
-        while len(pos_detect) == 0 and ii < max_iter:
-            pos_detect, pos_non_detect = [], []
-            val_detect, val_non_detect = [], []
-            res = _run_batch(nproc, a, range(0, n_fc), level, n_fc, cube,
-                             psf, angle_list, fwhm, algo, algo_dict,
+        def prober(level, positions, _a=a):
+            res = _run_batch(nproc, _a, positions, level, n_fc, cube, psf,
+                             angle_list, fwhm, algo, algo_dict,
                              snrmap_empty, starphot, snr_approximation)
-            for res_i in res:
-                if res_i[0] > 0:
-                    pos_detect.append(res_i[1])
-                    val_detect.append(res_i[0])
-                else:
-                    pos_non_detect.append(res_i[1])
-                    val_non_detect.append(res_i[0])
-            if len(pos_detect) == 0:
-                level = level * 1.5
-            ii += 1
+            by_pos = dict((b, margin) for margin, b in res)
+            return np.array([by_pos[b] > 0 for b in positions])
 
-        if verbose:
-            print("Found contrast level for first TP detection: "
-                  "{}".format(level))
-        if ii == max_iter:
-            raise ValueError(err_msg.format(max_iter, level))
-
-        if len(pos_detect) > round(completeness * n_fc):
-            detect_bound[1] = len(pos_detect)
-            level_bound[1] = level
-        elif len(pos_detect) < round(completeness * n_fc):
-            detect_bound[0] = len(pos_detect)
-            level_bound[0] = level
-            pos_non_detect_temp = pos_non_detect.copy()
-            val_non_detect_temp = val_non_detect.copy()
-            pos_detect_temp = pos_detect.copy()
-            val_detect_temp = val_detect.copy()
-
-        cond1 = detect_bound[0] is None or detect_bound[1] is None
-        cond2 = len(pos_detect) != round(completeness * n_fc)
-        ii = 0
-        while cond1 and cond2 and ii < max_iter:
-            if detect_bound[0] is None:
-                level = level * 0.5
-                pos_detect, pos_non_detect = [], []
-                val_detect, val_non_detect = [], []
-                res = _run_batch(nproc, a, range(0, n_fc), level, n_fc,
-                                 cube, psf, angle_list, fwhm, algo,
-                                 algo_dict, snrmap_empty, starphot,
-                                 snr_approximation)
-                for res_i in res:
-                    if res_i[0] > 0:
-                        pos_detect.append(res_i[1])
-                        val_detect.append(res_i[0])
-                    else:
-                        pos_non_detect.append(res_i[1])
-                        val_non_detect.append(res_i[0])
-                comp_temp = round(completeness * n_fc)
-                if len(pos_detect) > comp_temp and level_bound[1] > level:
-                    detect_bound[1] = len(pos_detect)
-                    level_bound[1] = level
-                elif len(pos_detect) < comp_temp:
-                    detect_bound[0] = len(pos_detect)
-                    level_bound[0] = level
-                    pos_non_detect_temp = pos_non_detect.copy()
-                    val_non_detect_temp = val_non_detect.copy()
-                    pos_detect_temp = pos_detect.copy()
-                    val_detect_temp = val_detect.copy()
-            elif detect_bound[1] is None:
-                level = level * 1.5
-                res = _run_batch(nproc, a,
-                                 -np.sort(-np.array(pos_non_detect)), level,
-                                 n_fc, cube, psf, angle_list, fwhm, algo,
-                                 algo_dict, snrmap_empty, starphot,
-                                 snr_approximation)
-                it = len(pos_non_detect) - 1
-                for res_i in res:
-                    if res_i[0] > 0:
-                        pos_detect.append(res_i[1])
-                        val_detect.append(res_i[0])
-                        del pos_non_detect[it]
-                        del val_non_detect[it]
-                    it -= 1
-                comp_temp = round(completeness * n_fc)
-                if len(pos_detect) > comp_temp:
-                    detect_bound[1] = len(pos_detect)
-                    level_bound[1] = level
-                elif len(pos_detect) < comp_temp and level_bound[0] < level:
-                    detect_bound[0] = len(pos_detect)
-                    level_bound[0] = level
-                    pos_non_detect_temp = pos_non_detect.copy()
-                    val_non_detect_temp = val_non_detect.copy()
-                    pos_detect_temp = pos_detect.copy()
-                    val_detect_temp = val_detect.copy()
-            cond1 = detect_bound[0] is None or detect_bound[1] is None
-            cond2 = len(pos_detect) != round(completeness * n_fc)
-            ii += 1
-
-        if verbose:
-            print("Found lower and upper bounds of sought contrast: "
-                  "{}".format(level_bound))
-        if ii == max_iter:
-            raise ValueError(err_msg.format(max_iter, level))
-
-        if len(pos_detect) != round(completeness * n_fc):
-            pos_non_detect = pos_non_detect_temp.copy()
-            val_non_detect = val_non_detect_temp.copy()
-            pos_detect = pos_detect_temp.copy()
-            val_detect = val_detect_temp.copy()
-
-        ii = 0
-        while len(pos_detect) != round(completeness * n_fc) \
-                and ii < max_iter:
-            fact = (level_bound[1] - level_bound[0]) / (detect_bound[1] -
-                                                        detect_bound[0])
-            level = level_bound[0] + fact * (completeness * n_fc -
-                                             detect_bound[0])
-            res = _run_batch(nproc, a, -np.sort(-np.array(pos_non_detect)),
-                             level, n_fc, cube, psf, angle_list, fwhm, algo,
-                             algo_dict, snrmap_empty, starphot,
-                             snr_approximation)
-            it = len(pos_non_detect) - 1
-            for res_i in res:
-                if res_i[0] > 0:
-                    pos_detect.append(res_i[1])
-                    val_detect.append(res_i[0])
-                    del pos_non_detect[it]
-                    del val_non_detect[it]
-                it -= 1
-            comp_temp = round(completeness * n_fc)
-            if len(pos_detect) > comp_temp:
-                detect_bound[1] = len(pos_detect)
-                level_bound[1] = level
-            elif len(pos_detect) < comp_temp and level_bound[0] < level:
-                detect_bound[0] = len(pos_detect)
-                level_bound[0] = level
-                pos_non_detect_temp = pos_non_detect.copy()
-                val_non_detect_temp = val_non_detect.copy()
-                pos_detect_temp = pos_detect.copy()
-                val_detect_temp = val_detect.copy()
-            if len(pos_detect) != comp_temp:
-                pos_non_detect = pos_non_detect_temp.copy()
-                val_non_detect = val_non_detect_temp.copy()
-                pos_detect = pos_detect_temp.copy()
-                val_detect = val_detect_temp.copy()
-            ii += 1
-
-        if ii == max_iter:
-            raise ValueError(err_msg.format(max_iter, level))
+        ledger = _DetectionLedger(prober, n_fc)
+        level = _level_for_count(ledger, ini_contrast[k], target, max_iter,
+                                 _ERR_MSG)
         if verbose:
             print("=> found final contrast for {}% completeness: "
                   "{}".format(completeness * 100, level))
@@ -425,21 +335,9 @@ def completeness_map(cube, angle_list, psf, fwhm, algo, an_dist,
     Returns (an_dist, comp_levels, contrast_matrix[:, 1:-1]).
     """
     angle_list = np.asarray(angle_list)
-    if cube.ndim == 3 and (cube.shape[0] != angle_list.shape[0]):
-        raise TypeError("Input parallactic angles vector has wrong length")
-    if cube.ndim == 4 and (cube.shape[1] != angle_list.shape[0]):
-        raise TypeError("Input parallactic angles vector has wrong length")
-    if cube.ndim == 3 and psf.ndim != 2:
-        raise TypeError("Template PSF is not a frame (for ADI case)")
-    if cube.ndim == 4 and psf.ndim != 3:
-        raise TypeError("Template PSF is not a cube (for ADI+IFS case)")
-    if nproc is None:
-        nproc = 1
-
-    if isinstance(fwhm, (np.ndarray, list)):
-        fwhm_med = np.median(fwhm)
-    else:
-        fwhm_med = fwhm
+    _check_cube_psf(cube, angle_list, psf)
+    nproc = nproc or 1
+    fwhm_med = _median_fwhm(fwhm)
 
     new_psf_size = int(round(3 * fwhm_med))
     if new_psf_size % 2 == 0:
@@ -465,149 +363,46 @@ def completeness_map(cube, angle_list, psf, fwhm, algo, an_dist,
                                  algo_dict, nproc, snr_approximation)
 
     contrast_matrix = np.zeros((len(an_dist), n_fc + 1))
-    detect_pos_matrix = [[]] * (n_fc + 1)
+    max_iter = 100
 
-    for k in range(len(an_dist)):
-        a = an_dist[k]
-        level = ini_contrast[k]
-        pos_detect = []
-        det_bound = [None, None]
-        lvl_bound = [None, None]
-        print("Starting annulus " + "{}".format(a))
+    for k, a in enumerate(an_dist):
+        if verbose:
+            print("Starting annulus {}".format(a))
 
-        while len(pos_detect) == 0:
-            pos_detect, pos_non_detect = [], []
-            res = _run_batch(nproc, a, range(0, n_fc), level, n_fc, cube,
-                             psf, angle_list, fwhm, algo, algo_dict,
+        def prober(level, positions, _a=a):
+            res = _run_batch(nproc, _a, positions, level, n_fc, cube, psf,
+                             angle_list, fwhm, algo, algo_dict,
                              snrmap_empty, starphot, snr_approximation)
-            for res_i in res:
-                if res_i[0] > 0:
-                    pos_detect.append(res_i[1])
-                else:
-                    pos_non_detect.append(res_i[1])
-            contrast_matrix[k, len(pos_detect)] = level
-            detect_pos_matrix[len(pos_detect)] = [
-                list(pos_detect.copy()), list(pos_non_detect.copy())]
-            if len(pos_detect) == 0:
-                level = level * 1.5
+            by_pos = dict((b, margin) for margin, b in res)
+            return np.array([by_pos[b] > 0 for b in positions])
 
-        while contrast_matrix[k, 0] == 0:
-            level = level * 0.75
-            res = _run_batch(nproc, a, -np.sort(-np.array(pos_detect)),
-                             level, n_fc, cube, psf, angle_list, fwhm, algo,
-                             algo_dict, snrmap_empty, starphot,
-                             snr_approximation)
-            it = len(pos_detect) - 1
-            for res_i in res:
-                if res_i[0] < 0:
-                    pos_non_detect.append(res_i[1])
-                    del pos_detect[it]
-                it -= 1
-            contrast_matrix[k, len(pos_detect)] = level
-            detect_pos_matrix[len(pos_detect)] = [
-                list(pos_detect.copy()), list(pos_non_detect.copy())]
+        ledger = _DetectionLedger(prober, n_fc)
+        level_of = {}  # detection count -> a level realizing it
 
-        if verbose:
-            print("Lower bound ({:.0f}%) found: {}".format(100 / n_fc,
-                                                           level))
-        level = contrast_matrix[k, np.where(contrast_matrix[k, :] > 0)
-                                [0][-1]]
-        pos_detect = []
-        pos_non_detect = list(np.arange(0, n_fc))
+        class _Recorder:
+            """Ledger adapter noting every (count, level) pair seen, so
+            the searches for the remaining counts start pre-bracketed."""
 
-        while contrast_matrix[k, n_fc] == 0:
-            level = level * 1.25
-            res = _run_batch(nproc, a, -np.sort(-np.array(pos_non_detect)),
-                             level, n_fc, cube, psf, angle_list, fwhm, algo,
-                             algo_dict, snrmap_empty, starphot,
-                             snr_approximation)
-            it = len(pos_non_detect) - 1
-            for res_i in res:
-                if res_i[0] > 0:
-                    pos_detect.append(res_i[1])
-                    del pos_non_detect[it]
-                it -= 1
-            contrast_matrix[k, len(pos_detect)] = level
-            detect_pos_matrix[len(pos_detect)] = [
-                list(pos_detect.copy()), list(pos_non_detect.copy())]
+            @staticmethod
+            def count(level):
+                c = ledger.count(level)
+                level_of.setdefault(c, level)
+                return c
 
-        if verbose:
-            print("Upper bound ({:.0f}%) found: {}".format(
-                100 * (n_fc - 1) / n_fc, level))
-
-        missing = np.where(contrast_matrix[k, :] == 0)[0]
-        computed = np.where(contrast_matrix[k, :] > 0)[0]
-        while len(missing) > 0:
-            pos_temp = np.argmax(
-                (computed - missing[0])[computed < missing[0]])
-            det_bound[0] = computed[pos_temp]
-            lvl_bound[0] = contrast_matrix[k, det_bound[0]]
-            sort_temp = np.sort((missing[0] - computed))
-            sort_temp = sort_temp[np.sort((missing[0] - computed)) < 0]
-            det_bound[1] = -np.sort(-computed)[np.argmax(sort_temp)]
-            lvl_bound[1] = contrast_matrix[k, det_bound[1]]
-            it = 0
-            while len(pos_detect) != missing[0]:
-                if np.argmin([len(detect_pos_matrix[det_bound[1]][0]),
-                              len(detect_pos_matrix[det_bound[0]][1])]) == 0:
-                    pos_detect = list(np.sort(
-                        detect_pos_matrix[det_bound[1]][0]))
-                    pos_non_detect = list(np.sort(
-                        detect_pos_matrix[det_bound[1]][1]))
-                    num = lvl_bound[1] - lvl_bound[0]
-                    denom = det_bound[1] - det_bound[0]
-                    level = lvl_bound[1] + num * (missing[0] -
-                                                  det_bound[1]) / denom
-                    res = _run_batch(nproc, a,
-                                     -np.sort(-np.array(pos_detect)), level,
-                                     n_fc, cube, psf, angle_list, fwhm,
-                                     algo, algo_dict, snrmap_empty,
-                                     starphot, snr_approximation)
-                    it = len(pos_detect) - 1
-                    for res_i in res:
-                        if res_i[0] < 0:
-                            pos_non_detect.append(res_i[1])
-                            del pos_detect[it]
-                        it -= 1
-                else:
-                    pos_detect = list(np.sort(
-                        detect_pos_matrix[det_bound[0]][0]))
-                    pos_non_detect = list(np.sort(
-                        detect_pos_matrix[det_bound[0]][1]))
-                    num = lvl_bound[1] - lvl_bound[0]
-                    denom = det_bound[1] - det_bound[0]
-                    level = lvl_bound[0] + num * (missing[0] -
-                                                  det_bound[0]) / denom
-                    res = _run_batch(nproc, a,
-                                     -np.sort(-np.array(pos_non_detect)),
-                                     level, n_fc, cube, psf, angle_list,
-                                     fwhm, algo, algo_dict, snrmap_empty,
-                                     starphot, snr_approximation)
-                    it = len(pos_non_detect) - 1
-                    for res_i in res:
-                        if res_i[0] > 0:
-                            pos_detect.append(res_i[1])
-                            del pos_non_detect[it]
-                        it -= 1
-
-                if len(pos_detect) > missing[0]:
-                    det_bound[1] = len(pos_detect)
-                    lvl_bound[1] = level
-                elif len(pos_detect) < missing[0] and lvl_bound[0] < level:
-                    det_bound[0] = len(pos_detect)
-                    lvl_bound[0] = level
-                contrast_matrix[k, len(pos_detect)] = level
-                detect_pos_matrix[len(pos_detect)] = [
-                    list(pos_detect.copy()), list(pos_non_detect.copy())]
-                if len(pos_detect) == missing[0]:
-                    if verbose:
-                        print("Data point "
-                              + "{}".format(len(pos_detect) / n_fc)
-                              + " found. Still "
-                              + "{}".format(len(missing) - it - 1)
-                              + " data point(s) missing")
-            computed = np.where(contrast_matrix[k, :] > 0)[0]
-            missing = np.where(contrast_matrix[k, :] == 0)[0]
+        # every count in 1..n_fc-1 needs a realizing level; walk outward
+        # from the initial contrast, reusing everything discovered en route
+        _Recorder.count(ini_contrast[k])
+        for c in range(1, n_fc):
+            if c in level_of:
+                continue
+            known = np.array(sorted(level_of))
+            nearest = known[np.abs(known - c).argmin()]
+            _level_for_count(_Recorder, level_of[nearest], c, max_iter,
+                             _ERR_MSG)
+            if verbose:
+                print("Data point {} found.".format(c / n_fc))
+        for c, level in level_of.items():
+            contrast_matrix[k, c] = level
 
     comp_levels = np.linspace(1 / n_fc, 1 - 1 / n_fc, n_fc - 1,
                               endpoint=True)

@@ -46,7 +46,7 @@ def dft_registration(ref_freq, target_freq, upsample_factor=1):
     amax = jnp.argmax(jnp.abs(cc))
     maxima = jnp.stack(jnp.unravel_index(amax, shape)).astype(jnp.float64
                                                               if cc.real.dtype == jnp.float64 else jnp.float32)
-    midpoints = jnp.array([jnp.fix(s / 2) for s in shape],
+    midpoints = jnp.array([jnp.trunc(s / 2) for s in shape],
                           dtype=maxima.dtype)
     shifts = jnp.where(maxima > midpoints,
                        maxima - jnp.array(shape, dtype=maxima.dtype), maxima)
@@ -56,7 +56,7 @@ def dft_registration(ref_freq, target_freq, upsample_factor=1):
 
         u = float(upsample_factor)
         urs = int(math.ceil(u * 1.5))
-        dftshift = jnp.fix(urs / 2.0)
+        dftshift = jnp.trunc(urs / 2.0)
         shifts = jnp.round(shifts * u) / u
         sample_region_offset = dftshift - shifts * u
         data = upsampled_dft(jnp.conj(image_product), urs, u,

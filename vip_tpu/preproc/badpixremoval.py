@@ -236,6 +236,22 @@ def reject_outliers(data, test_value, m=5., stddev=None, debug=False):
     return 0
 
 
+def _trimmed_med_std(values, stddev):
+    """Median/std of one annulus after the reference's outlier trim
+    (badpixremoval.py:711-732). Its loop guard compares the running count
+    against the *initial* count, so at most one extreme value is ever
+    dropped — the minimum tested first, then the maximum."""
+    vals = np.asarray(values, dtype=float)
+    if vals.size:
+        if reject_outliers(vals, vals.min(), m=5, stddev=stddev):
+            vals = np.delete(vals, vals.argmin())
+        elif reject_outliers(vals, vals.max(), m=5, stddev=stddev):
+            vals = np.delete(vals, vals.argmax())
+    if not vals.size:
+        return np.nan, np.nan
+    return float(np.median(vals)), float(np.std(vals))
+
+
 def find_outliers(frame, sig_dist, in_bpix=None, stddev=None,
                   neighbor_box=3, min_thr=None, mid_thr=None):
     """Bad-pixel map from a local robust outlier test around each pixel
@@ -386,75 +402,43 @@ def cube_fix_badpix_annuli(array, fwhm, cy=None, cx=None, sig=5.,
         if half_res_y:
             d_bord_max = max(2 * (n_y - cy), 2 * cy, n_x - cx, cx)
 
-        big_ell_frame = np.zeros_like(array)
-        sma_ell_frame = np.zeros_like(array)
-        ann_frame_cumul = np.zeros_like(array)
-        n_neig = np.zeros(nrad, dtype=np.int16)
-        med_neig = np.zeros(nrad)
-        std_neig = np.zeros(nrad)
-        neighbours = np.zeros([nrad, n_y * n_x])
-
-        bpm_mask = excl_mask.copy().astype(bool)
+        bpm_mask = excl_mask.astype(bool).copy()
         if bpm_mask_ori is not None:
-            bpm_mask = bpm_mask + bpm_mask_ori.astype(bool)
+            bpm_mask |= bpm_mask_ori.astype(bool)
         if min_thr_np is not None:
-            bpm_mask[np.where(array < min_thr_np)] = 1
-        ind_bad = np.where(bpm_mask)
+            bpm_mask |= array < min_thr_np
+        valid = ~bpm_mask
 
-        for rr in range(nrad):
-            if rr > int(d_bord_max / ann_width):
-                rr_big = nrad
-                rr_sma = int(d_bord_max / ann_width)
-            else:
-                rr_big = rr
-                rr_sma = rr
-            if half_res_y:
-                big_ell_idx = _ellipse_idx(
-                    cy, cx, r_radius=((rr_big + 1) * ann_width) / 2,
-                    c_radius=(rr_big + 1) * ann_width, shape=(n_y, n_x))
-                if rr != 0:
-                    small_ell_idx = _ellipse_idx(
-                        cy, cx, r_radius=(rr_sma * ann_width) / 2,
-                        c_radius=rr_sma * ann_width, shape=(n_y, n_x))
-            else:
-                big_ell_idx = _disk_idx((cy, cx),
-                                        (rr_big + 1) * ann_width,
-                                        (n_y, n_x))
-                if rr != 0:
-                    small_ell_idx = _disk_idx((cy, cx),
-                                              rr_sma * ann_width,
-                                              (n_y, n_x))
-            big_ell_frame[big_ell_idx] = 1
-            if rr != 0:
-                sma_ell_frame[small_ell_idx] = 1
-            sma_ell_frame[ind_bad] = 1
-            ann_frame = big_ell_frame - sma_ell_frame
-            n_neig[rr] = ann_frame[np.where(ann_frame)].shape[0]
-            neighbours[rr, :n_neig[rr]] = array[np.where(ann_frame)]
-            ann_frame_cumul[np.where(ann_frame)] = rr
+        # pixel -> annulus index from the radial metric (elliptic when
+        # half_res_y); the strict-< disk membership of the reference's
+        # rasterized annuli is reproduced by searchsorted on the squared
+        # ring boundaries.
+        yy_g, xx_g = np.mgrid[:n_y, :n_x]
+        if half_res_y:
+            r2 = (2.0 * (yy_g - cy)) ** 2 + (xx_g - cx) ** 2
+        else:
+            r2 = (yy_g - cy) ** 2.0 + (xx_g - cx) ** 2
+        bounds = (np.arange(1, nrad + 1, dtype=float) * ann_width) ** 2
+        ann_idx = np.searchsorted(bounds, r2.ravel(),
+                                  side="right").reshape(n_y, n_x)
+        ann_idx = np.minimum(ann_idx, nrad - 1)
 
-            neigh = neighbours[rr, :n_neig[rr]]
-            n_rm = 0
-            n_pix_init = neigh.shape[0]
-            while neigh.shape[0] >= np.amin(n_neig[rr]) \
-                    and n_rm < n_pix_init / 5:
-                min_neigh = np.amin(neigh)
-                if reject_outliers(neigh, min_neigh, m=5, stddev=stddev):
-                    neigh = np.delete(neigh, np.argmin(neigh))
-                    n_rm += 1
-                else:
-                    max_neigh = np.amax(neigh)
-                    if reject_outliers(neigh, max_neigh, m=5,
-                                       stddev=stddev):
-                        neigh = np.delete(neigh, np.argmax(neigh))
-                        n_rm += 1
-                    else:
-                        break
-            n_neig[rr] = neigh.shape[0]
-            neighbours[rr, :n_neig[rr]] = neigh
-            neighbours[rr, n_neig[rr]:] = 0
-            med_neig[rr] = np.median(neigh)
-            std_neig[rr] = np.std(neigh)
+        # past the frame border the reference pools every remaining pixel
+        # into one outer region whose stats serve all outer annuli
+        rr_limit = int(d_bord_max / ann_width)
+        med_neig = np.full(nrad, np.nan)
+        std_neig = np.full(nrad, np.nan)
+        for rr in range(min(rr_limit + 1, nrad)):
+            med_neig[rr], std_neig[rr] = _trimmed_med_std(
+                array[valid & (ann_idx == rr)], stddev)
+        if nrad - 1 > rr_limit:
+            outer = valid & (ann_idx >= rr_limit)
+            med_neig[rr_limit + 1:], std_neig[rr_limit + 1:] = \
+                _trimmed_med_std(array[outer], stddev)
+
+        ann_frame_cumul = np.where(valid, ann_idx, 0)
+        if nrad - 1 > rr_limit:
+            ann_frame_cumul[valid & (ann_idx >= rr_limit)] = nrad - 1
 
         if protect_mask:
             if half_res_y:

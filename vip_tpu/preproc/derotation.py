@@ -26,21 +26,18 @@ from ..var.coords import frame_center
 
 __all__ = ["cube_derotate", "frame_rotate", "rotate_fft_pipeline"]
 
+# complex arithmetic must run under jit on the TPU backend
+_rotate_fft_jit = jax.jit(rotate_fft)
+
 
 # ---------------------------------------------------------------------------
 # geometry of the vip-fft padding pipeline (all static Python ints)
 # ---------------------------------------------------------------------------
-def _fft_rotate_geometry(y_ori, x_ori):
-    """Replicate frame_rotate's pad geometry (derotation.py:150-217).
-
-    Returns (canvas_y, canvas_x, place_y0, place_x0, crop_y0, crop_y1,
-    crop_x0, crop_x1) where canvas is the final ~4x zero-padded frame fed to
-    ``rotate_fft`` and crop recovers the original frame.
-    """
+def _prepad_placement(y_ori, x_ori, fac=1.5):
+    """Dims of the intermediate ~1.5x parity-preserving canvas and the
+    slice where the original frame sits (derotation.py:150-183)."""
     cy_ori = int(y_ori / 2 - 0.5) if y_ori % 2 else int(y_ori / 2)
     cx_ori = int(x_ori / 2 - 0.5) if x_ori % 2 else int(x_ori / 2)
-
-    fac = 1.5
     new_y = int(y_ori * fac)
     new_x = int(x_ori * fac)
     if y_ori % 2 != new_y % 2:
@@ -57,6 +54,21 @@ def _fft_rotate_geometry(y_ori, x_ori):
     x1_p = int(cx + cx_ori)
     if new_x % 2:
         x1_p += 1
+    return new_y, new_x, y0_p, y1_p, x0_p, x1_p
+
+
+def _fft_rotate_geometry(y_ori, x_ori):
+    """Replicate frame_rotate's pad geometry (derotation.py:150-217).
+
+    Returns (canvas_y, canvas_x, place_y0, place_x0, crop_y0, crop_y1,
+    crop_x0, crop_x1) where canvas is the final ~4x zero-padded frame fed to
+    ``rotate_fft`` and crop recovers the original frame.
+    """
+    fac = 1.5
+    new_y, new_x, y0_p, y1_p, x0_p, x1_p = _prepad_placement(y_ori, x_ori,
+                                                             fac)
+    cy = int(new_y / 2 - 0.5) if new_y % 2 else int(new_y / 2)
+    cx = int(new_x / 2 - 0.5) if new_x % 2 else int(new_x / 2)
 
     # frame_pad(fac=4/1.5, keep_parity=True) — cosmetics.py:158-238
     fac2 = 4 / fac
@@ -144,10 +156,15 @@ def frame_rotate(array, angle, imlib="vip-fft", interpolation="lanczos4",
             raise ValueError("'vip-fft' imlib does not allow custom centers")
         mask_ori = ~np.isfinite(array) if np.isnan(mask_val) \
             else (array == mask_val)
-        work = np.nan_to_num(array, copy=True)
         if edge_blend:
-            work = _edge_blend(work, mask_ori, edge_blend, interp_zeros, ker)
-        out = np.asarray(rotate_fft_pipeline(jnp.asarray(work), angle))
+            frame_nan = np.asarray(array, dtype=float).copy()
+            frame_nan[mask_ori] = np.nan
+            if interp_zeros:
+                frame_nan[frame_nan == 0] = np.nan
+            out = _rotate_fft_blended(frame_nan, angle, edge_blend, ker)
+        else:
+            work = np.nan_to_num(array, copy=True)
+            out = np.array(rotate_fft_pipeline(jnp.asarray(work), angle))
         if mask_ori.any():
             out[mask_ori] = mask_val
         return out
@@ -182,23 +199,103 @@ def frame_rotate(array, angle, imlib="vip-fft", interpolation="lanczos4",
                          "'opencv')")
 
 
-def _edge_blend(work, mask, mode, interp_zeros, ker):
-    """Gibbs-mitigation edge blending — placeholder for the reference's
-    noise/interp prepad (derotation.py:131-205). Currently interpolates
-    masked pixels with a gaussian lowpass."""
-    if not mask.any() and not interp_zeros:
-        return work
-    from ..var.filters import frame_filter_lowpass
+def _background_med_std(values, sigma=1.5, max_iter=5):
+    """Median/std of the finite values after iterative sigma clipping about
+    the median (the stats the reference draws its noise prepad from)."""
+    vals = np.asarray(values, dtype=float).ravel()
+    vals = vals[np.isfinite(vals)]
+    for _ in range(max_iter):
+        med = np.median(vals)
+        std = np.std(vals)
+        keep = np.abs(vals - med) < sigma * std
+        if keep.all() or not keep.any():
+            break
+        vals = vals[keep]
+    return float(np.median(vals)), float(np.std(vals))
 
-    filled = work.copy()
-    m = mask | ((work == 0) if interp_zeros else False)
-    if m.any():
-        tmp = work.copy()
-        tmp[m] = np.nan
-        smooth = frame_filter_lowpass(np.nan_to_num(tmp), mode="gauss",
-                                      fwhm_size=max(ker, 1))
-        filled[m] = smooth[m]
-    return filled
+
+def _edge_blend_canvas(frame_nan, mode, ker):
+    """Build the ~1.5x Gibbs-mitigation canvas (derotation.py:129-205).
+
+    ``frame_nan`` carries NaN at every invalid pixel. ``mode`` may contain
+    'noise' (fill the pad ring with sigma-clipped background noise) and/or
+    'interp' (extend the frame smoothly into the ring with a NaN-aware
+    gaussian convolution); combined, the smooth halo rides on zero-mean
+    noise. Returns the canvas plus the slice of the original frame.
+    """
+    y_ori, x_ori = frame_nan.shape
+    new_y, new_x, y0, y1, x0, x1 = _prepad_placement(y_ori, x_ori)
+    holes = ~np.isfinite(frame_nan)
+
+    with_noise = "noise" in mode
+    with_interp = "interp" in mode
+
+    if with_noise:
+        med, std = _background_med_std(frame_nan)
+        level = 0.0 if with_interp else med
+        canvas = np.random.normal(loc=level, scale=std, size=(new_y, new_x))
+    else:
+        canvas = np.zeros((new_y, new_x))
+    interior = canvas[y0:y1, x0:x1]
+    canvas[y0:y1, x0:x1] = np.where(holes, interior, frame_nan)
+
+    if with_interp:
+        sparse = np.full((new_y, new_x), np.nan)
+        sparse[y0:y1, x0:x1] = frame_nan
+        halo_fwhm = ker if ker else y_ori / 5
+        halo, covered = _masked_gauss_smooth(sparse, halo_fwhm)
+        ring = np.ones((new_y, new_x), dtype=bool)
+        ring[y0:y1, x0:x1] = False
+        if with_noise:
+            local, local_cov = _masked_gauss_smooth(sparse, 1)
+            hole_canvas = np.zeros_like(canvas, dtype=bool)
+            hole_canvas[y0:y1, x0:x1] = holes
+            canvas[hole_canvas] = np.where(local_cov[hole_canvas],
+                                           local[hole_canvas], 0.0)
+            # beyond the kernel's reach the reference ends at 0 (its NaNs
+            # survive the add and get zeroed), not bare noise
+            canvas[ring] = np.where(covered[ring],
+                                    canvas[ring] + halo[ring], 0.0)
+        else:
+            fill = ring.copy()
+            fill[y0:y1, x0:x1] = holes
+            canvas[fill] = np.where(covered[fill], halo[fill], 0.0)
+    canvas[~np.isfinite(canvas)] = 0.0
+    return canvas, (y0, x0)
+
+
+def _masked_gauss_smooth(sparse, fwhm):
+    """NaN-aware gaussian smoothing with an explicit coverage map: returns
+    (smooth, covered) where ``covered`` is False wherever the valid pixels
+    contribute negligible kernel weight (the finite-support kernel of the
+    reference's astropy convolution would leave NaN there)."""
+    from ..var.filters import (GAUSSIAN_FWHM_TO_SIGMA, _fft_convolve_same,
+                               gaussian_kernel_2d)
+
+    sigma = fwhm * GAUSSIAN_FWHM_TO_SIGMA
+    kernel = jnp.asarray(np.asarray(gaussian_kernel_2d(sigma, sigma)))
+    finite = np.isfinite(sparse)
+    conv = jax.jit(_fft_convolve_same)
+    num = np.asarray(conv(jnp.asarray(np.where(finite, sparse, 0.0)), kernel))
+    den = np.asarray(conv(jnp.asarray(finite.astype(float)), kernel))
+    covered = den > 1e-8
+    smooth = np.where(covered, num / np.where(covered, den, 1.0), 0.0)
+    return smooth, covered
+
+
+def _rotate_fft_blended(frame_nan, angle, mode, ker):
+    """Host-path rotation with the noise/interp prepad: build the blended
+    1.5x canvas, embed it in the 4x zero canvas, 3-shear rotate, crop."""
+    y_ori, x_ori = frame_nan.shape
+    canvas, (y0, x0) = _edge_blend_canvas(frame_nan, mode, ker)
+    (pad_y, pad_x, place_y0, place_x0,
+     cy0, cy1, cx0, cx1) = _fft_rotate_geometry(y_ori, x_ori)
+    big = np.zeros((pad_y, pad_x))
+    by0 = place_y0 - y0
+    bx0 = place_x0 - x0
+    big[by0:by0 + canvas.shape[0], bx0:bx0 + canvas.shape[1]] = canvas
+    out = np.array(_rotate_fft_jit(jnp.asarray(big), angle))
+    return out[cy0:cy1, cx0:cx1]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -275,15 +372,16 @@ def cube_derotate(array, angle_list, imlib="vip-fft",
         else:
             mask = work == mask_val
         has_mask = mask.any()
+        if edge_blend:
+            out = np.stack([
+                frame_rotate(array[i], -angle_list[i], imlib="vip-fft",
+                             mask_val=mask_val, edge_blend=edge_blend,
+                             interp_zeros=interp_zeros, ker=ker)
+                for i in range(n)
+            ])
+            return out
         if has_mask:
-            if edge_blend:
-                work = np.stack([
-                    _edge_blend(np.nan_to_num(work[i]), mask[i], edge_blend,
-                                interp_zeros, ker)
-                    for i in range(n)
-                ])
-            else:
-                work = np.where(mask, 0.0, work)
+            work = np.where(mask, 0.0, work)
         cube = jnp.asarray(work)
         out = np.array(_cube_rotate_fft(cube, jnp.asarray(-angle_list),
                                         chunk))

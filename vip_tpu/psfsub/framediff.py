@@ -14,9 +14,9 @@ from typing import List
 import numpy as np
 from scipy.spatial.distance import cdist
 
-from ..config import (ALGO_KEY, Collapse, Imlib, Interpolation, Metric,
+from ..config import (Collapse, Imlib, Interpolation, Metric,
                       time_ini, timing)
-from ..config.utils_param import separate_kwargs_dict
+from ..config.utils_param import resolve_algo_params
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
@@ -54,14 +54,8 @@ class FRAME_DIFF_Params:
 def frame_diff(*all_args: List, **all_kwargs: dict):
     """Pairwise subtraction of the most-correlated frames per annulus
     (reference framediff.py:52-143)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=FRAME_DIFF_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = FRAME_DIFF_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        FRAME_DIFF_Params, all_args, all_kwargs)
 
     cube = np.asarray(algo_params.cube, dtype=float)
     if algo_params.verbose:

@@ -13,13 +13,14 @@ from typing import List
 import numpy as np
 from scipy.linalg import qr
 
-from ..config import (ALGO_KEY, AutoRankMode, Collapse, LowRankMode,
+from ..config import (AutoRankMode, Collapse, LowRankMode,
                       ThreshMode, time_ini, timing)
-from ..config.utils_param import separate_kwargs_dict
+from ..config.utils_param import resolve_algo_params
 from ..preproc.derotation import cube_derotate
 from ..preproc.subsampling import cube_collapse
 from ..var.filters import cube_filter_highpass
 from ..var.shapes import get_annulus_segments
+from ..var.shapes import resolve_n_segments
 from .svd import get_eigenvectors, svd_wrapper
 
 __all__ = ["llsg", "thresholding", "LLSG_Params"]
@@ -62,14 +63,8 @@ class LLSG_Params:
 
 def llsg(*all_args: List, **all_kwargs: dict):
     """LLSG decomposition of an ADI cube (reference llsg.py:69-400)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=LLSG_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = LLSG_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        LLSG_Params, all_args, all_kwargs)
 
     if algo_params.cube.ndim != 3:
         raise TypeError("Input array is not a cube (3d array)")
@@ -96,53 +91,33 @@ def llsg(*all_args: List, **all_kwargs: dict):
     else:
         cube_init = np.asarray(algo_params.cube, dtype=float)
 
-    if algo_params.verbose:
-        start_time = time_ini()
+    start_time = time_ini() if algo_params.verbose else None
     n, y, x = algo_params.cube.shape
-
-    if algo_params.azimuth_overlap == 0:
-        algo_params.azimuth_overlap = None
-    if algo_params.radius_int is None:
-        algo_params.radius_int = 0
+    radius_int = algo_params.radius_int or 0
 
     if algo_params.asize is None:
         annulus_width = int(np.ceil(2 * algo_params.fwhm))
     else:
         annulus_width = int(algo_params.asize)
-    n_annuli = int((y / 2 - algo_params.radius_int) / annulus_width)
+    n_annuli = int((y / 2 - radius_int) / annulus_width)
 
-    if algo_params.n_segments is None:
-        n_segments = [4 for _ in range(n_annuli)]
-    elif isinstance(algo_params.n_segments, int):
-        n_segments = [algo_params.n_segments] * n_annuli
-    elif algo_params.n_segments == "auto":
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * annulus_width
-        for i in range(2, n_annuli):
-            radius = i * annulus_width
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
-    else:
-        n_segments = list(algo_params.n_segments)
+    n_segments = resolve_n_segments(algo_params.n_segments, n_annuli,
+                                    annulus_width, default=4)
 
     if algo_params.verbose:
         print(f"Annuli = {n_annuli}")
 
-    if algo_params.azimuth_overlap is None:
-        azimuth_overlap = 360
-    else:
-        azimuth_overlap = algo_params.azimuth_overlap
+    azimuth_overlap = algo_params.azimuth_overlap or 360
     n_rots = int(360 / azimuth_overlap)
 
-    matrix_s = np.zeros((n_rots, n, y, x))
-    if algo_params.full_output:
-        matrix_l = np.zeros((n_rots, n, y, x))
-        matrix_g = np.zeros((n_rots, n, y, x))
+    # accumulators per decomposition term, one plane per azimuth rotation
+    n_terms = 3 if algo_params.full_output else 1
+    terms = np.zeros((n_terms, n_rots, n, y, x))
 
     if algo_params.verbose:
         print("Processing annulus: ")
     for ann in range(n_annuli):
-        inner_radius = algo_params.radius_int + ann * annulus_width
+        inner_radius = radius_int + ann * annulus_width
         n_segments_ann = n_segments[ann]
         if algo_params.verbose:
             print(f"{ann + 1} : in_rad={inner_radius}, "
@@ -167,12 +142,10 @@ def llsg(*all_args: List, **all_kwargs: dict):
                     algo_params.random_seed, debug=algo_params.debug,
                     full_output=algo_params.full_output)
                 yy, xx = indices[j]
-                if algo_params.full_output:
-                    matrix_l[i, :, yy, xx] = patch[0]
-                    matrix_s[i, :, yy, xx] = patch[1]
-                    matrix_g[i, :, yy, xx] = patch[2]
-                else:
-                    matrix_s[i, :, yy, xx] = patch
+                # full_output order: (L, S, G); otherwise S alone
+                for term, values in enumerate(
+                        patch if algo_params.full_output else [patch]):
+                    terms[term, i, :, yy, xx] = values
 
     def derot_collapse(mat):
         ders = [cube_derotate(mat[k], algo_params.angle_list,
@@ -182,19 +155,16 @@ def llsg(*all_args: List, **all_kwargs: dict):
         return ders, cube_collapse(np.array(frames),
                                    mode=algo_params.collapse)
 
-    list_s_array_der, frame_s = derot_collapse(matrix_s)
-    if algo_params.full_output:
-        list_l_array_der, frame_l = derot_collapse(matrix_l)
-        list_g_array_der, frame_g = derot_collapse(matrix_g)
+    derotated = [derot_collapse(terms[t]) for t in range(n_terms)]
 
     if algo_params.verbose:
         print("")
         timing(start_time)
 
     if algo_params.full_output:
-        return (list_l_array_der, list_s_array_der, list_g_array_der,
-                frame_l, frame_s, frame_g)
-    return frame_s
+        (ders_l, frame_l), (ders_s, frame_s), (ders_g, frame_g) = derotated
+        return ders_l, ders_s, ders_g, frame_l, frame_s, frame_g
+    return derotated[0][1]
 
 
 def _decompose_patch(cube_init, indices, i_patch, n_segments_ann, rank,
@@ -225,87 +195,82 @@ def _patch_rlrps(array, array_ref, rank, low_rank_ref, low_rank_mode, thresh,
                  thresh_mode, max_iter, auto_rank_mode="noise", cevr=0.9,
                  residuals_tol=1e-2, random_seed=None, debug=False,
                  full_output=False):
-    """GoDec/SSGoDec patch decomposition (reference llsg.py:449-549)."""
-    L = array
-    L_ref = array_ref.T if low_rank_ref else None
-    S = np.zeros_like(L)
-    random_state = np.random.RandomState(random_seed)
-    itr = 0
+    """GoDec/SSGoDec patch decomposition (same alternation as reference
+    llsg.py:449-549): repeat { project the running estimate onto a rank-k
+    subspace; shrink what the projection left behind into the sparse
+    term; carry the unshrunk remainder forward }.
+    """
+    rng = np.random.RandomState(random_seed)
     power = 0
-    svdlib = "lapack"
 
-    while itr <= max_iter:
+    def low_rank_brp(M):
+        # bilateral random projection: sketch the row space, orthonormalize
+        sketch = rng.randn(M.shape[1], rank)
+        for _ in range(power + 1):
+            sketch = M.T @ (M @ sketch)
+        basis = qr(sketch, mode="economic")[0]
+        return (M @ basis) @ basis.T
+
+    def low_rank_svd_first(M):
+        # auto-rank on the first pass (CEVR / noise-decay criterion)
+        pcs = get_eigenvectors(rank, M, "lapack", mode=auto_rank_mode,
+                               cevr=cevr, noise_error=residuals_tol,
+                               data_ref=(array_ref.T if low_rank_ref
+                                         else None),
+                               debug=debug, collapse=True,
+                               scaling="temp-standard")
+        if low_rank_ref:
+            return pcs.shape[0], ((pcs @ M).T @ pcs).T
+        return pcs.shape[0], (M @ pcs.T) @ pcs
+
+    def low_rank_svd(M):
+        k = min(rank, *M.shape)
+        pcs = svd_wrapper(M, "lapack", k, False, random_state=rng)
+        return (M @ pcs.T) @ pcs
+
+    if low_rank_mode not in ("brp", "svd"):
+        raise RuntimeError("Low Rank estimation mode not recognized.")
+
+    running = array
+    sparse = np.zeros_like(array)
+    for step in range(max_iter + 1):
         if low_rank_mode == "brp":
-            Y2 = random_state.randn(L.shape[1], rank)
-            for _ in range(power + 1):
-                Y1 = np.dot(L, Y2)
-                Y2 = np.dot(L.T, Y1)
-            Q, _ = qr(Y2, mode="economic")
-            Lnew = np.dot(np.dot(L, Q), Q.T)
-        elif low_rank_mode == "svd":
-            if itr == 0:
-                PC = get_eigenvectors(rank, L, svdlib, mode=auto_rank_mode,
-                                      cevr=cevr, noise_error=residuals_tol,
-                                      data_ref=L_ref, debug=debug,
-                                      collapse=True,
-                                      scaling="temp-standard")
-                rank = PC.shape[0]
-                if low_rank_ref:
-                    Lnew = np.dot(np.dot(PC, L).T, PC).T
-                else:
-                    Lnew = np.dot(np.dot(L, PC.T), PC)
-            else:
-                rank_i = min(rank, min(L.shape[0], L.shape[1]))
-                PC = svd_wrapper(L, svdlib, rank_i, False,
-                                 random_state=random_state)
-                Lnew = np.dot(np.dot(L, PC.T), PC)
+            lowrank = low_rank_brp(running)
+        elif step == 0:
+            rank, lowrank = low_rank_svd_first(running)
         else:
-            raise RuntimeError("Low Rank estimation mode not recognized.")
+            lowrank = low_rank_svd(running)
 
-        T = L - Lnew + S
-        threshold = np.sqrt(_mad(T.ravel())) * thresh
+        leftover = running - lowrank + sparse
+        cut = np.sqrt(_mad(leftover.ravel())) * thresh
         if debug:
-            print(f"threshold = {threshold:.3f}")
-        S = thresholding(T, threshold, thresh_mode)
+            print(f"threshold = {cut:.3f}")
+        sparse = thresholding(leftover, cut, thresh_mode)
+        running = lowrank + leftover - sparse
 
-        T = T - S
-        L = Lnew + T
-        itr += 1
-
-    G = array - L - S
-    L = L.T
-    S = S.T
-    G = G.T
+    noise = array - running - sparse
     if full_output:
-        return L, S, G
-    return S
+        return running.T, sparse.T, noise.T
+    return sparse.T
 
 
 def thresholding(array, threshold, mode):
-    """Thresholding strategies (reference llsg.py:552-579)."""
-    x = array.copy()
+    """Elementwise shrinkage operators, vectorized (behavioral parity with
+    reference llsg.py:552-579): 'soft'/'hard'/'nng' act on |x| vs the
+    threshold, 'greater'/'less' are one-sided clips."""
+    x = np.asarray(array)
+    mag = np.abs(x)
     if mode == "soft":
-        j = np.abs(x) <= threshold
-        x[j] = 0
-        k = np.abs(x) > threshold
-        if np.isscalar(threshold):
-            x[k] = x[k] - np.sign(x[k]) * threshold
-        else:
-            x[k] = x[k] - np.sign(x[k]) * threshold[k]
-    elif mode == "hard":
-        j = np.abs(x) < threshold
-        x[j] = 0
-    elif mode == "nng":
-        j = np.abs(x) <= threshold
-        x[j] = 0
-        j = np.abs(x) > threshold
-        x[j] = x[j] - threshold**2 / x[j]
-    elif mode == "greater":
-        j = x < threshold
-        x[j] = 0
-    elif mode == "less":
-        j = x > threshold
-        x[j] = 0
-    else:
-        raise RuntimeError("Thresholding mode not recognized")
-    return x
+        return np.where(mag <= threshold, 0.0,
+                        x - np.sign(x) * threshold)
+    if mode == "hard":
+        return np.where(mag < threshold, 0.0, x)
+    if mode == "nng":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            shrunk = x - threshold ** 2 / x
+        return np.where(mag <= threshold, 0.0, shrunk)
+    if mode == "greater":
+        return np.where(x < threshold, 0.0, x)
+    if mode == "less":
+        return np.where(x > threshold, 0.0, x)
+    raise RuntimeError("Thresholding mode not recognized")

@@ -16,14 +16,15 @@ import numpy as np
 import scipy as sp
 from scipy.spatial.distance import cdist
 
-from ..config import (ALGO_KEY, Adimsdi, Collapse, Imlib, Interpolation,
+from ..config import (Adimsdi, Collapse, Imlib, Interpolation,
                       Metric, Solver, time_ini, timing)
-from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..config.utils_param import resolve_algo_params, setup_parameters
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
 from ..preproc.subsampling import cube_collapse
 from ..var.shapes import get_annulus_segments
+from ..var.shapes import resolve_n_segments
 
 __all__ = ["xloci", "XLOCI_Params"]
 
@@ -68,14 +69,8 @@ class XLOCI_Params:
 def xloci(*all_args: List, **all_kwargs: dict):
     """LOCI PSF subtraction for ADI (and ADI+mSDI) data
     (reference loci.py:71-334)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=XLOCI_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = XLOCI_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        XLOCI_Params, all_args, all_kwargs)
 
     cube = np.asarray(algo_params.cube, dtype=float)
 
@@ -203,15 +198,7 @@ def _leastsq_sdi_fr(cube, fr, scal, radius_int, fwhm, asize, n_segments,
     annulus_width = int(np.ceil(asize))
     n_annuli = int(np.floor((y_in / 2 - radius_int) / annulus_width))
 
-    if isinstance(n_segments, int):
-        n_segments = [n_segments for _ in range(n_annuli)]
-    elif n_segments == "auto":
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * annulus_width
-        for i in range(2, n_annuli):
-            radius = i * annulus_width
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
+    n_segments = resolve_n_segments(n_segments, n_annuli, annulus_width)
 
     cube_res = np.zeros_like(multispec_fr)
 
@@ -330,15 +317,7 @@ def _leastsq_adi(cube, angle_list, fwhm=4, metric="manhattan",
         delta_rot = [delta_rot] * n_annuli
 
     annulus_width = asize
-    if isinstance(n_segments, int):
-        n_segments = [n_segments] * n_annuli
-    elif n_segments == "auto":
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * annulus_width
-        for i in range(2, n_annuli):
-            radius = i * annulus_width
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
+    n_segments = resolve_n_segments(n_segments, n_annuli, annulus_width)
 
     cube_res = np.zeros_like(cube)
 

@@ -18,8 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import ALGO_KEY, Collapse, Imlib, Interpolation, time_ini, timing
-from ..config.utils_param import separate_kwargs_dict
+from ..config import Collapse, Imlib, Interpolation, time_ini, timing
+from ..config.utils_param import resolve_algo_params
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
@@ -72,15 +72,8 @@ def median_sub(*all_args: List, **all_kwargs: dict):
     Reference-parity signature via MEDIAN_SUB_Params; extra kwargs are
     rot_options (medsub.py:91-215).
     """
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=MEDIAN_SUB_Params
-    )
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = MEDIAN_SUB_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        MEDIAN_SUB_Params, all_args, all_kwargs)
 
     if algo_params.radius_int and len(rot_options) == 0:
         rot_options["mask_val"] = 0

@@ -13,9 +13,9 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..config import (ALGO_KEY, Collapse, HandleNeg, Initsvd, time_ini,
+from ..config import (Collapse, HandleNeg, Initsvd, time_ini,
                       timing)
-from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..config.utils_param import resolve_algo_params, setup_parameters
 from ..ops.nmf import nmf_fit, nmf_transform
 from ..preproc.derotation import _compute_pa_thresh, _find_indices_adi, \
     cube_derotate
@@ -54,14 +54,8 @@ class NMF_Params:
 def nmf(*all_args: List, **all_kwargs: dict):
     """Non-negative matrix factorization PSF subtraction
     (reference nmf_fullfr.py:60-344)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=NMF_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = NMF_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        NMF_Params, all_args, all_kwargs)
 
     array = np.asarray(algo_params.cube, dtype=float).copy()
     if array.ndim != 3:

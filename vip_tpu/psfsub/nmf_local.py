@@ -12,15 +12,16 @@ from typing import List, Tuple, Union
 
 import numpy as np
 
-from ..config import (ALGO_KEY, Collapse, HandleNeg, Imlib, Initsvd,
+from ..config import (Collapse, HandleNeg, Imlib, Initsvd,
                       Interpolation, time_ini, timing)
-from ..config.utils_param import separate_kwargs_dict
+from ..config.utils_param import resolve_algo_params
 from ..ops.nmf import nmf_fit, nmf_transform
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
 from ..preproc.subsampling import cube_collapse
 from ..var.shapes import get_annulus_segments, matrix_scaling
+from ..var.shapes import resolve_n_segments
 
 __all__ = ["nmf_annular", "NMF_ANNULAR_Params"]
 
@@ -59,14 +60,8 @@ class NMF_ANNULAR_Params:
 
 def nmf_annular(*all_args: List, **all_kwargs: dict):
     """NMF in concentric annuli (reference nmf_local.py:61-380)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=NMF_ANNULAR_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = NMF_ANNULAR_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        NMF_ANNULAR_Params, all_args, all_kwargs)
 
     if algo_params.verbose:
         start_time = time_ini()
@@ -88,15 +83,8 @@ def nmf_annular(*all_args: List, **all_kwargs: dict):
         delta_rot = [delta_rot] * n_annuli
 
     n_segments = algo_params.n_segments
-    if isinstance(n_segments, int):
-        n_segments = [n_segments for _ in range(n_annuli)]
-    elif n_segments == "auto":
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * algo_params.asize
-        for i in range(2, n_annuli):
-            radius = i * algo_params.asize
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
+    n_segments = resolve_n_segments(n_segments, n_annuli,
+                                    algo_params.asize)
 
     if algo_params.verbose:
         print(f"N annuli = {n_annuli}, FWHM = {algo_params.fwhm:.3f}")

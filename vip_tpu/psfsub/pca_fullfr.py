@@ -20,10 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import (ALGO_KEY, Adimsdi, Collapse, Imlib, Interpolation,
+from ..config import (Adimsdi, Collapse, Imlib, Interpolation,
                       SvdMode, check_array, check_enough_memory, time_ini,
                       timing)
-from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..config.utils_param import resolve_algo_params, setup_parameters
 from ..ops.linalg import matrix_scaling_jax, project_subtract, svd_top
 from ..preproc.derotation import (_compute_pa_thresh, _find_indices_adi,
                                   cube_derotate)
@@ -84,15 +84,8 @@ def pca(*all_args: List, **all_kwargs: dict):
     ``PCA_Params`` are treated as ``rot_options`` for the derotation; a
     pre-built params object may be passed as ``algo_params=``.
     """
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=PCA_Params
-    )
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = PCA_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        PCA_Params, all_args, all_kwargs)
 
     if algo_params.mask_center_px and len(rot_options) == 0:
         rot_options["mask_val"] = 0

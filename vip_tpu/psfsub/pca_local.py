@@ -16,15 +16,16 @@ from typing import List, Tuple, Union
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import (ALGO_KEY, Collapse, Imlib, Interpolation, SvdMode,
+from ..config import (Collapse, Imlib, Interpolation, SvdMode,
                       time_ini, timing)
-from ..config.utils_param import separate_kwargs_dict, setup_parameters
+from ..config.utils_param import resolve_algo_params, setup_parameters
 from ..ops.annular import batched_pca_patch_residuals
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
 from ..preproc.subsampling import cube_collapse
 from ..var.shapes import get_annulus_segments, matrix_scaling
+from ..var.shapes import resolve_n_segments
 from .svd import MODE_TO_METHOD, get_eigenvectors
 
 __all__ = ["pca_annular", "PCA_ANNULAR_Params"]
@@ -67,15 +68,8 @@ class PCA_ANNULAR_Params:
 def pca_annular(*all_args: List, **all_kwargs: dict):
     """PCA on concentric annuli (or annular sectors) with a parallactic-angle
     rejection threshold (reference pca_local.py:73-462)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=PCA_ANNULAR_Params
-    )
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = PCA_ANNULAR_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        PCA_ANNULAR_Params, all_args, all_kwargs)
 
     if algo_params.radius_int and len(rot_options) == 0:
         rot_options["mask_val"] = 0
@@ -227,15 +221,7 @@ def _pca_sdi_fr(array, fr, scal, radius_int, fwhm, asize, n_segments,
     fwhm = int(np.round(np.mean(fwhm)))
     n_annuli = int((y_in / 2 - radius_int) / asize)
 
-    if isinstance(n_segments, int):
-        n_segments = [n_segments for _ in range(n_annuli)]
-    elif n_segments == "auto":
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * asize
-        for i in range(2, n_annuli):
-            radius = i * asize
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
+    n_segments = resolve_n_segments(n_segments, n_annuli, asize)
 
     cube_res = np.zeros_like(multispec_fr)
 
@@ -317,13 +303,7 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
     if isinstance(n_segments, int):
         n_segments = [n_segments for _ in range(n_annuli)]
     elif n_segments == "auto":
-        # reference's auto-segments formula (pca_local.py:644-652)
-        n_segments = [2, 3]
-        ld = 2 * np.tan(360 / 4 / 2) * asize
-        for i in range(2, n_annuli):
-            radius = i * asize
-            ang = np.rad2deg(2 * np.arctan(ld / (2 * radius)))
-            n_segments.append(int(np.ceil(360 / ang)))
+        n_segments = resolve_n_segments("auto", n_annuli, asize)
 
     if verbose:
         print(f"N annuli = {n_annuli}, FWHM = {fwhm:.3f}")

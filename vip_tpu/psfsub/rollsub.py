@@ -9,9 +9,9 @@ from typing import List
 
 import numpy as np
 
-from ..config import ALGO_KEY, Collapse, Imlib, Interpolation, time_ini, \
+from ..config import Collapse, Imlib, Interpolation, time_ini, \
     timing
-from ..config.utils_param import separate_kwargs_dict
+from ..config.utils_param import resolve_algo_params
 from ..preproc.derotation import cube_derotate, frame_rotate
 from ..preproc.subsampling import cube_collapse
 from ..var.filters import cube_filter_lowpass, frame_filter_lowpass
@@ -42,14 +42,8 @@ class ROLL_SUB_Params:
 def roll_sub(*all_args: List, **all_kwargs: dict):
     """Roll subtraction of a two-roll-angle sequence
     (reference rollsub.py:55-256)."""
-    class_params, rot_options = separate_kwargs_dict(
-        initial_kwargs=all_kwargs, parent_class=ROLL_SUB_Params)
-    algo_params = None
-    if ALGO_KEY in rot_options.keys():
-        algo_params = rot_options[ALGO_KEY]
-        del rot_options[ALGO_KEY]
-    if algo_params is None:
-        algo_params = ROLL_SUB_Params(*all_args, **class_params)
+    algo_params, rot_options = resolve_algo_params(
+        ROLL_SUB_Params, all_args, all_kwargs)
 
     angle_list = np.asarray(algo_params.angle_list, dtype=float)
     mang = np.mean(angle_list)

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..preproc.derotation import rotate_fft_pipeline
 
@@ -74,7 +74,7 @@ def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
         return jax.lax.psum(jnp.sum(der, axis=0), axis) / n_total
 
     sharded = shard_map(step, mesh=mesh, in_specs=(P("frames"), P("frames")),
-                        out_specs=P(), check_rep=False)
+                        out_specs=P(), check_vma=False)
     return jax.jit(sharded)
 
 
@@ -129,5 +129,5 @@ def make_sharded_median_adi(mesh, axis="frames", collapse="median"):
 
     sharded = shard_map(step, mesh=mesh,
                         in_specs=(P("frames"), P("frames")), out_specs=P(),
-                        check_rep=False)
+                        check_vma=False)
     return jax.jit(sharded)

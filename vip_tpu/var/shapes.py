@@ -15,6 +15,7 @@ from ..config.utils_conf import frame_or_shape
 from .coords import frame_center, dist
 
 __all__ = [
+    "resolve_n_segments",
     "dist",
     "frame_center",
     "get_square",
@@ -487,3 +488,21 @@ def get_ell_annulus(data, a, b, PA, width, cy=None, cx=None, mode="ind"):
     elif mode == "bool":
         return ell_ann_mask
     raise ValueError("mode '{}' unknown!".format(mode))
+
+
+def resolve_n_segments(n_segments, n_annuli, asize, default=1):
+    """Per-annulus segment counts: an int broadcasts, 'auto' picks the
+    count whose arc length stays close to one 4-segment arc of the first
+    annuli (the reference's auto-segments rule, pca_local.py:644-652)."""
+    if n_segments is None:
+        return [default] * n_annuli
+    if isinstance(n_segments, int):
+        return [n_segments] * n_annuli
+    if n_segments == "auto":
+        counts = [2, 3]
+        arc = 2 * np.tan(360 / 4 / 2) * asize
+        for ann in range(2, n_annuli):
+            opening = np.rad2deg(2 * np.arctan(arc / (2 * ann * asize)))
+            counts.append(int(np.ceil(360 / opening)))
+        return counts
+    return list(n_segments)
