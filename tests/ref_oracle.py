@@ -731,4 +731,13 @@ def load_ref(module_name):
         sys.path.insert(0, here)
     import importlib
 
-    return importlib.import_module(module_name)
+    mod = importlib.import_module(module_name)
+    # this image exposes a single CPU; the reference computes
+    # nproc = cpu_count()//2 = 0 and then hits an UnboundLocalError
+    # (e.g. recentering.py:293-305). Report 2 CPUs so it takes its
+    # serial nproc=1 path.
+    for sub in list(sys.modules.values()):
+        if getattr(sub, "__name__", "").startswith("vip_hci") \
+                and getattr(sub, "cpu_count", None) is not None:
+            sub.cpu_count = lambda: 2
+    return mod

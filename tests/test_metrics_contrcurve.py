@@ -66,3 +66,66 @@ def test_contrast_curve_parity(ref_contr, data):
         g = np.asarray(got[col], dtype=float)
         assert r.shape == g.shape, col
         assert np.allclose(r, g, rtol=1e-4, atol=1e-7), col
+
+
+def test_throughput_batched_equals_serial(data):
+    """SURVEY §3.3: all injection patterns through one vmapped program
+    must reproduce the serial black-box loop."""
+    import vip_tpu.psfsub as tpu_psfsub
+    from vip_tpu.metrics.contrcurve import throughput
+
+    cube, angles, psf = data
+    cube = cube[:12, 10:51, 10:51]
+    angles = angles[:12]
+    kw = dict(nbranch=1, theta=0, inner_rad=1, fc_rad_sep=3, verbose=False,
+              ncomp=3)
+    th_s, rad_s = throughput(cube.copy(), angles, psf, 4.0, tpu_psfsub.pca,
+                             **kw)
+    th_b, rad_b = throughput(cube.copy(), angles, psf, 4.0, tpu_psfsub.pca,
+                             batch_patterns=True, **kw)
+    assert np.allclose(rad_s, rad_b)
+    assert np.allclose(th_s, th_b, atol=1e-8)
+
+
+def test_contrast_curve_4d_parity(ref_contr):
+    """4D/IFS contrast curve vs the reference oracle (both sides run
+    their own pca; reference 4D branch contrcurve.py:950-1077)."""
+    from scipy.ndimage import gaussian_filter
+
+    import vip_tpu.psfsub as tpu_psfsub
+    from vip_tpu.metrics.contrcurve import contrast_curve
+    from vip_tpu.preproc.rescaling import frame_rescaling
+
+    rng = np.random.default_rng(9)
+    z, n, size = 4, 8, 40
+    lbdas = np.linspace(1.0, 1.3, z)
+    scal = lbdas[-1] / lbdas
+    speck = gaussian_filter(rng.standard_normal((size, size)), 2.0) * 5
+    cube = np.empty((z, n, size, size))
+    for ch in range(z):
+        sp = frame_rescaling(speck.copy(), scale=1 / scal[ch])
+        for fr in range(n):
+            cube[ch, fr] = sp + gaussian_filter(
+                rng.standard_normal((size, size)), 1.0) * 0.3
+    angles = np.linspace(0, 40, n)
+    kk = 15
+    yy, xx = np.mgrid[:kk, :kk]
+    sigma = 4.0 / 2.355
+    psf = np.exp(-((yy - 7) ** 2 + (xx - 7) ** 2) / (2 * sigma ** 2))
+    psf3 = np.stack([psf] * z)
+    fwhm = [4.0] * z
+
+    ref_psfsub = load_ref("vip_hci.psfsub")
+    kw = dict(sigma=5, nbranch=1, theta=0, inner_rad=1, fc_rad_sep=3,
+              plot=False, verbose=False, ncomp=2, scale_list=scal)
+    ours = contrast_curve(cube.copy(), angles.copy(), psf3.copy(), fwhm,
+                          0.01, 1000., tpu_psfsub.pca, **kw)
+    theirs = ref_contr.contrast_curve(cube.copy(), angles.copy(),
+                                      psf3.copy(), fwhm, 0.01, 1000.,
+                                      ref_psfsub.pca, **kw)
+    for col in ("sensitivity_gaussian", "sensitivity_student", "throughput",
+                "distance", "noise"):
+        a = np.asarray(ours[col], dtype=float)
+        b = np.asarray(theirs[col], dtype=float)
+        rel = np.nanmax(np.abs(a - b) / np.maximum(np.abs(b), 1e-30))
+        assert rel < 1e-6, (col, rel)

@@ -114,13 +114,95 @@ def _check_algo(algo, algo_class):
                     "'verbose'")
 
 
+def _process_patterns(cubes_fc, algo, argl, parangles, fwhm_med, algo_dict,
+                      batch_patterns, verbose, start_time):
+    """Run ``algo`` over every injected pattern cube.
+
+    Serial black-box calls by default (API parity with reference
+    contrcurve.py:584-1096). With ``batch_patterns`` and the native
+    full-frame ``pca``, the injected cubes stack on a leading pattern
+    axis and reduce in ONE vmapped XLA program (SURVEY §3.3)."""
+    if batch_patterns:
+        frames = _batched_pca_frames(cubes_fc, parangles, algo, algo_dict)
+        if frames is not None:
+            if verbose:
+                print(f"{len(cubes_fc)} patterns processed in one batched "
+                      "program")
+                timing(start_time)
+            return frames
+        if verbose:
+            print("batch_patterns: algo/params not batchable, running "
+                  "serially")
+    frames = []
+    for cfc in cubes_fc:
+        kwargs = dict(cube=cfc, angle_list=parangles, verbose=False,
+                      **algo_dict)
+        if "fwhm" in argl:
+            kwargs["fwhm"] = fwhm_med
+        frames.append(np.asarray(algo(**kwargs)))
+        if verbose:
+            print(f"Cube with fake companions processed with "
+                  f"{algo.__name__}\nMeasuring its annulus-wise throughput")
+            timing(start_time)
+    return frames
+
+
+_BATCHABLE_PCA_KEYS = {"ncomp", "scaling", "collapse", "svd_mode", "imlib",
+                       "nproc", "interpolation"}
+
+
+def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
+    """All injection patterns through one vmapped full-frame PCA program.
+    Returns None when the algo/params combination is not batchable."""
+    if getattr(algo, "__name__", "") != "pca" \
+            or not getattr(algo, "__module__", "").startswith("vip_tpu"):
+        return None
+    if cubes_fc[0].ndim != 3:
+        return None
+    if not set(algo_dict) <= _BATCHABLE_PCA_KEYS:
+        return None
+    ncomp = algo_dict.get("ncomp", 1)
+    if not isinstance(ncomp, (int, np.integer)):
+        return None
+
+    import jax
+
+    from ..ops.pipeline import pca_adi_pipeline
+
+    svd_mode = str(algo_dict.get("svd_mode", "lapack"))
+    method = {"lapack": "lapack", "eigen": "eigen",
+              "randsvd": "rand"}.get(svd_mode)
+    if method is None:
+        return None
+    collapse = str(getattr(algo_dict.get("collapse", "median"), "value",
+                           algo_dict.get("collapse", "median")))
+    imlib = algo_dict.get("imlib", "vip-fft")
+    rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
+
+    stack = jnp.asarray(np.stack([np.asarray(c, float) for c in cubes_fc]))
+    angs = jnp.asarray(np.asarray(parangles, dtype=stack.dtype))
+
+    def reduce_one(cube_fc):
+        return pca_adi_pipeline(cube_fc, angs, ncomp=int(ncomp),
+                                method=method, collapse=collapse,
+                                scaling=algo_dict.get("scaling"),
+                                rot_mode=rot_mode)
+
+    out = jax.jit(jax.vmap(reduce_one))(stack)
+    return list(np.asarray(out))
+
+
 def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                theta=0, inner_rad=1, fc_rad_sep=3, wedge=(0, 360), fc_snr=100,
                noise_sep=1, full_output=False, verbose=True, nproc=1,
                imlib="vip-fft", interpolation="lanczos4", scaling=None,
-               algo_class=None, **algo_dict):
+               algo_class=None, batch_patterns=False, **algo_dict):
     """Algorithm throughput by injection-recovery on radial patterns
-    (reference contrcurve.py:584-1096)."""
+    (reference contrcurve.py:584-1096; 4D/IFS branch :950-1077).
+
+    ``batch_patterns=True`` opts into the one-vmapped-program fast path
+    for the native full-frame ``pca`` (all nbranch x fc_rad_sep injected
+    cubes reduced at once)."""
     array = cube
     parangles = np.asarray(angle_list)
 
@@ -158,8 +240,7 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
     fwhm_med = np.median(fwhm) if isinstance(fwhm, (np.ndarray, list)) \
         else fwhm
 
-    if verbose:
-        start_time = time_ini()
+    start_time = time_ini(verbose) if verbose else None
 
     argl = _check_algo(algo, algo_class)
     if "fwhm" in argl:
@@ -205,72 +286,91 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
     if new_psf_size % 2 == 0:
         new_psf_size += 1
 
+    if cube.ndim == 4 and isinstance(fwhm, (int, float)):
+        fwhm = [fwhm] * array.shape[0]
+    psf_template = normalize_psf(
+        psf_template, fwhm=fwhm, verbose=verbose,
+        size=min(new_psf_size, psf_template.shape[-1]))
+
+    y, x = array.shape[-2:]
+    angle_branch = angular_range / nbranch
+    thruput_arr = np.zeros((nbranch, noise.shape[0]))
+    frame_fc_all = np.zeros((nbranch * fc_rad_sep, y, x))
     if cube.ndim == 3:
-        n, y, x = array.shape
-        psf_template = normalize_psf(
-            psf_template, fwhm=fwhm, verbose=verbose,
-            size=min(new_psf_size, psf_template.shape[1]))
-
-        angle_branch = angular_range / nbranch
-        thruput_arr = np.zeros((nbranch, noise.shape[0]))
         fc_map_all = np.zeros((nbranch * fc_rad_sep, y, x))
-        frame_fc_all = np.zeros((nbranch * fc_rad_sep, y, x))
         cy, cx = frame_center(array[0])
-
-        for br in range(nbranch):
-            for irad in range(fc_rad_sep):
-                radvec = vector_radd[irad::fc_rad_sep]
-                cube_fc = array.copy()
-                fc_map = np.ones_like(array[0]) * 1e-6
-                fcy = []
-                fcx = []
-                for i in range(radvec.shape[0]):
-                    flux = fc_snr * noise_noscal[irad + i * fc_rad_sep]
-                    cube_fc = cube_inject_companions(
-                        cube_fc, psf_template, parangles, flux,
-                        rad_dists=[radvec[i]],
-                        theta=br * angle_branch + theta, nproc=nproc,
-                        imlib=imlib, interpolation=interpolation,
-                        copy_array=False, verbose=False)
-                    yi = cy + radvec[i] * np.sin(
-                        np.deg2rad(br * angle_branch + theta))
-                    xi = cx + radvec[i] * np.cos(
-                        np.deg2rad(br * angle_branch + theta))
-                    fc_map = frame_inject_companion(fc_map, psf_template, yi,
-                                                    xi, flux, imlib,
-                                                    interpolation)
-                    fcy.append(yi)
-                    fcx.append(xi)
-
-                if verbose:
-                    print(f"Fake companions injected in branch {br + 1} "
-                          f"(pattern {irad + 1}/{fc_rad_sep})")
-                    timing(start_time)
-
-                if "fwhm" in argl:
-                    frame_fc = algo(cube=cube_fc, angle_list=parangles,
-                                    fwhm=fwhm_med, verbose=False, **algo_dict)
-                else:
-                    frame_fc = algo(cube=cube_fc, angle_list=parangles,
-                                    verbose=False, **algo_dict)
-
-                if verbose:
-                    print(f"Cube with fake companions processed with "
-                          f"{algo.__name__}\nMeasuring its annulus-wise "
-                          "throughput")
-                    timing(start_time)
-
-                injected_flux = aperture_flux(fc_map, fcy, fcx, fwhm_med)
-                recovered_flux = aperture_flux(frame_fc - frame_nofc, fcy,
-                                               fcx, fwhm_med)
-                thruput = recovered_flux / injected_flux
-                thruput[np.where(thruput < 0)] = 0
-
-                thruput_arr[br, irad::fc_rad_sep] = thruput
-                fc_map_all[br * fc_rad_sep + irad] = fc_map
-                frame_fc_all[br * fc_rad_sep + irad] = frame_fc
     else:
-        raise NotImplementedError("4D throughput lands with the SDI module")
+        fc_map_all = np.zeros((nbranch * fc_rad_sep, array.shape[0], y, x))
+        cy, cx = frame_center(array[0, 0])
+
+    def build_pattern(br, irad):
+        """Inject the (branch, radial-pattern) companion ladder; returns
+        (cube_fc, fc_map, fcy, fcx, fluxes). 3D keeps one azimuth per
+        branch (reference contrcurve.py:780-830); 4D steps the azimuth
+        with radius, and its injection ignores the branch offset while
+        the photometry keeps it (reference contrcurve.py:976-1007,
+        reproduced)."""
+        radvec = vector_radd[irad::fc_rad_sep]
+        if cube.ndim == 4:
+            thetavec = list(range(int(theta), int(theta) + 360,
+                                  360 // len(radvec)))
+        else:
+            thetavec = [theta] * len(radvec)
+        cube_fc = array.copy()
+        fc_map = np.ones_like(fc_map_all[0]) * 1e-6
+        fcy, fcx, fluxes = [], [], []
+        for i, rad in enumerate(radvec):
+            flux = fc_snr * noise_noscal[irad + i * fc_rad_sep]
+            inj_theta = thetavec[i] if cube.ndim == 4 \
+                else br * angle_branch + thetavec[i]
+            cube_fc = cube_inject_companions(
+                cube_fc, psf_template, parangles, flux, rad_dists=[rad],
+                theta=inj_theta, nproc=nproc, imlib=imlib,
+                interpolation=interpolation, copy_array=False,
+                verbose=False)
+            ang = np.deg2rad(br * angle_branch + thetavec[i])
+            yi = cy + rad * np.sin(ang)
+            xi = cx + rad * np.cos(ang)
+            fc_map = frame_inject_companion(fc_map, psf_template, yi, xi,
+                                            flux, imlib, interpolation)
+            fcy.append(yi)
+            fcx.append(xi)
+            fluxes.append(flux)
+        return cube_fc, fc_map, fcy, fcx
+
+    def measure(frame_fc, fc_map, fcy, fcx):
+        """Annulus-wise throughput of one processed pattern."""
+        if cube.ndim == 4:
+            injected_flux = np.mean(
+                [aperture_flux(fc_map[ch], fcy, fcx, fwhm[ch])
+                 for ch in range(array.shape[0])], axis=0)
+        else:
+            injected_flux = aperture_flux(fc_map, fcy, fcx, fwhm_med)
+        recovered_flux = aperture_flux(np.asarray(frame_fc) - frame_nofc,
+                                       fcy, fcx, fwhm_med)
+        ratio = recovered_flux / injected_flux
+        return np.where(ratio < 0, 0, ratio)
+
+    patterns = [(br, irad) for br in range(nbranch)
+                for irad in range(fc_rad_sep)]
+    built = []
+    for br, irad in patterns:
+        built.append(build_pattern(br, irad))
+        if verbose:
+            print(f"Fake companions injected in branch {br + 1} "
+                  f"(pattern {irad + 1}/{fc_rad_sep})")
+            timing(start_time)
+
+    frames_fc = _process_patterns(
+        [b[0] for b in built], algo, argl, parangles, fwhm_med, algo_dict,
+        batch_patterns, verbose, start_time)
+
+    for k, (br, irad) in enumerate(patterns):
+        _, fc_map, fcy, fcx = built[k]
+        thruput_arr[br, irad::fc_rad_sep] = measure(frames_fc[k], fc_map,
+                                                    fcy, fcx)
+        fc_map_all[br * fc_rad_sep + irad] = fc_map
+        frame_fc_all[br * fc_rad_sep + irad] = frames_fc[k]
 
     if verbose:
         print(f"Finished measuring the throughput in {nbranch} branches")
@@ -289,7 +389,8 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
                    interp_order=2, plot=False, dpi=100, debug=False,
                    verbose=True, full_output=False, save_plot=None,
                    object_name=None, frame_size=None, fix_y_lim=(),
-                   figsize=(8, 5), algo_class=None, **algo_dict):
+                   figsize=(8, 5), algo_class=None, batch_patterns=False,
+                   **algo_dict):
     """Contrast curve at ``sigma`` confidence with the [MAW14] small-sample
     correction (reference contrcurve.py:29-580)."""
     import pandas as pd
@@ -302,6 +403,8 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
         raise TypeError("Input parallactic angles vector has wrong length")
     if cube.ndim == 3 and psf_template.ndim != 2:
         raise TypeError("Template PSF is not a frame (for ADI case)")
+    if cube.ndim == 4 and psf_template.ndim != 3:
+        raise TypeError("Template PSF is not a cube (for ADI+IFS case)")
     if transmission is not None:
         transmission = np.asarray(transmission, dtype=float)
         if len(transmission) != 2 and len(transmission) != cube.shape[0] + 1:
@@ -333,7 +436,7 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
                             fc_rad_sep=fc_rad_sep, wedge=wedge, fc_snr=fc_snr,
                             noise_sep=noise_sep, full_output=True,
                             verbose=verbose_thru, algo_class=algo_class,
-                            **algo_dict)
+                            batch_patterns=batch_patterns, **algo_dict)
     vector_radd = res_throug[3]
     if res_throug[0].shape[0] > 1:
         thruput_mean = np.nanmean(res_throug[0], axis=0)
