@@ -149,7 +149,12 @@ def open_fits(fitsfilename, n=0, header=False, ignore_missing_end=False,
 
 
 class _LazyHDU:
-    """Memmap-style lazy HDU handle: data decoded on attribute access."""
+    """Memmap-style lazy HDU handle: data decoded on access.
+
+    Slicing along the leading (frame) axis decodes ONLY the requested
+    byte range — the out-of-core contract pca_incremental relies on
+    (reference fits.py:23 ``return_memmap`` + utils_pca.py:431-614).
+    """
 
     def __init__(self, path, hdu, precision):
         self._path = path
@@ -157,10 +162,41 @@ class _LazyHDU:
         self._precision = precision
         self.header = hdu["header"]
         self.shape = hdu["shape"]
+        self.ndim = len(self.shape)
+        itemsize = abs(hdu["bitpix"]) // 8
+        self.nbytes = int(np.prod(self.shape)) * itemsize if self.shape \
+            else 0
+
+    def __len__(self):
+        return self.shape[0] if self.shape else 0
 
     @property
     def data(self):
         return _read_hdu_data(self._path, self._hdu, self._precision)
+
+    def _read_frames(self, start, stop):
+        """Decode frames [start, stop) of the leading axis only."""
+        n = self.shape[0]
+        start = max(0, min(start, n))
+        stop = max(start, min(stop, n))
+        per_frame = int(np.prod(self.shape[1:])) if self.ndim > 1 else 1
+        itemsize = abs(self._hdu["bitpix"]) // 8
+        sub = dict(self._hdu)
+        sub["offset"] = self._hdu["offset"] + start * per_frame * itemsize
+        sub["shape"] = (stop - start,) + tuple(self.shape[1:])
+        sub["nbytes"] = (stop - start) * per_frame * itemsize
+        return _read_hdu_data(self._path, sub, self._precision)
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            idx = int(key) + (self.shape[0] if key < 0 else 0)
+            return self._read_frames(idx, idx + 1)[0]
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self.shape[0])
+            block = self._read_frames(start, stop)
+            return block[::step] if step != 1 else block
+        raise TypeError("lazy FITS HDU supports only int/slice indexing "
+                        "along the frame axis")
 
 
 def byteswap_array(array):

@@ -367,40 +367,71 @@ def pca_annulus(cube, angs, ncomp, annulus_width, r_guess, cube_ref=None,
 def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                     verbose=True, full_output=False, start_time=None,
                     weights=None, nproc=1, imlib="vip-fft",
-                    interpolation="lanczos4", **rot_options):
+                    interpolation="lanczos4", return_residuals=False,
+                    **rot_options):
     """Incremental (out-of-core) full-frame PCA for cubes larger than
     memory (reference utils_pca.py:431-614).
 
     Device version: batches stream through an incremental truncated SVD
     (merge-and-truncate), replacing sklearn's IncrementalPCA partial_fit.
-    ``cube`` may be a str path to a FITS file (memory-mapped read).
+    ``cube`` may be a str path to a FITS file — only ``batch_size``
+    frames are ever decoded/resident at a time (lazy byte-range reads,
+    the analogue of the reference's memmap: fits.py:23), and the final
+    frame is the median of per-batch collapsed medians as in the
+    reference (utils_pca.py:596-607).
+
+    ``batch``: int = frames per batch; float in (0, 1) = fraction of the
+    available memory the batch may occupy (reference sizing rule,
+    utils_pca.py:536-541).
     """
+    from ..config.mem import get_available_memory
+
     if isinstance(cube, str):
         from ..fits import open_fits
 
-        cube = open_fits(cube, verbose=False)
-    cube = np.asarray(cube)
-    n, y, x = cube.shape
+        cube = open_fits(cube, n=0, return_memmap=True, verbose=False)
+    if isinstance(angle_list, str):
+        from ..fits import open_fits as _open
+
+        angle_list = _open(angle_list, verbose=False)
+    n = cube.shape[0]
+    y, x = cube.shape[1:]
+    npx = y * x
 
     if start_time is None:
         start_time = time_ini(verbose)
 
     if isinstance(batch, float):
-        batch_size = max(1, int(batch * n))
+        if not 0 < batch < 1:
+            raise ValueError("float `batch` must lie in (0, 1)")
+        frame_bytes = npx * 8
+        budget = batch * get_available_memory(False)
+        batch_size = int(min(n, max(1, budget // frame_bytes)))
     else:
-        batch_size = int(batch)
+        batch_size = min(n, int(batch))
     n_batches = int(np.ceil(n / batch_size))
+    if verbose:
+        print(f"Cube: {n} frames; batch size = {batch_size} frames "
+              f"({n_batches} batches)")
 
-    # streaming mean + merge-and-truncate incremental SVD of the centered
-    # data (equivalent subspace to IncrementalPCA for k << batch)
+    def read_batch(b):
+        blk = cube[b * batch_size:min(n, (b + 1) * batch_size)]
+        return np.asarray(blk, dtype=float)
+
+    # pass 1 — streaming mean + merge-and-truncate incremental SVD of the
+    # centered data (equivalent subspace to IncrementalPCA for k << batch)
+    # truncate to exactly k after each merge, like sklearn's
+    # IncrementalPCA (the reference's engine, utils_pca.py:555-565) —
+    # keeping extra components would give a slightly better subspace but
+    # different residuals
     k = int(ncomp)
-    keep = min(n, max(2 * k + 2, k + 10))
-    mean = np.zeros(y * x)
+    keep = k
+    mean = np.zeros(npx)
     count = 0
-    basis = None  # (r, p) row space basis scaled by singular values
+    basis = None  # (r, p) row-space basis scaled by singular values
 
     for b in range(n_batches):
-        blk = cube[b * batch_size:(b + 1) * batch_size].reshape(-1, y * x)
+        blk = read_batch(b).reshape(-1, npx)
         m = blk.shape[0]
         new_count = count + m
         blk_mean = blk.mean(axis=0)
@@ -409,8 +440,7 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
         stack = [centered, mean_corr[None, :]]
         if basis is not None:
             stack.insert(0, basis)
-        stacked = np.vstack(stack)
-        U, S, Vh = np.linalg.svd(stacked, full_matrices=False)
+        _, S, Vh = np.linalg.svd(np.vstack(stack), full_matrices=False)
         r = min(keep, len(S))
         basis = (S[:r, None] * Vh[:r])
         mean = (count * mean + m * blk_mean) / new_count
@@ -420,19 +450,30 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
 
     V = basis[:k] / np.linalg.norm(basis[:k], axis=1, keepdims=True)
 
-    matrix = cube.reshape(n, -1)
-    transformed = (matrix - mean) @ V.T
-    reconstructed = transformed @ V + mean
-    residuals = reshape_matrix(matrix - reconstructed, y, x)
+    # pass 2 — stream residuals: project/subtract, derotate and collapse
+    # one batch at a time; never materialize the full cube
+    if return_residuals:
+        residuals_all = np.empty((n, y, x))
+    medians = []
+    for b in range(n_batches):
+        lo = b * batch_size
+        blk = read_batch(b).reshape(-1, npx) - mean
+        resid = (blk - (blk @ V.T) @ V).reshape(-1, y, x)
+        if return_residuals:
+            residuals_all[lo:lo + resid.shape[0]] = resid
+            continue
+        resid_der = cube_derotate(resid, angle_list[lo:lo + resid.shape[0]],
+                                  nproc=nproc, imlib=imlib,
+                                  interpolation=interpolation, **rot_options)
+        medians.append(cube_collapse(resid_der, mode=collapse, w=weights))
 
-    residuals_der = cube_derotate(residuals, angle_list, nproc=nproc,
-                                  imlib=imlib, interpolation=interpolation,
-                                  **rot_options)
-    frame = cube_collapse(residuals_der, mode=collapse, w=weights)
+    if return_residuals:
+        return residuals_all
+
+    frame = np.median(np.array(medians), axis=0)
     if verbose:
         timing(start_time)
     if full_output:
         pcs = reshape_matrix(V, y, x)
-        medians = None
-        return frame, None, pcs, medians
+        return frame, None, pcs, np.array(medians)
     return frame
