@@ -85,3 +85,73 @@ def test_sharded_median_collapse_and_median_adi():
     frame2 = np.asarray(fn2(cube_sh, ang_sh))
     ref = median_sub(cube, angles, verbose=False)
     assert np.allclose(frame2, np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_pca_annular_matches_single_device():
+    """P2 workload: per-frame masked SVDs sharded over the frame axis
+    must reproduce the single-device pca_annular."""
+    from jax.sharding import Mesh
+
+    from vip_tpu.psfsub import pca_annular
+    from vip_tpu.psfsub.sharded import sharded_pca_annular
+
+    rng = np.random.default_rng(2)
+    n, size = 16, 40
+    cube = rng.standard_normal((n, size, size))
+    angles = np.linspace(0, 60, n)
+
+    single = pca_annular(cube, angles, ncomp=3, fwhm=4.0, asize=4,
+                         delta_rot=0.1, radius_int=2, n_segments=2,
+                         svd_mode="eigen", scaling=None, verbose=False)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("frames",))
+    multi = sharded_pca_annular(cube, angles, ncomp=3, fwhm=4.0, asize=4,
+                                delta_rot=0.1, radius_int=2, n_segments=2,
+                                mesh=mesh, method="eigen", scaling=None)
+    assert np.max(np.abs(single - multi)) < 1e-8
+
+
+def test_sharded_snrmap_matches_single_device():
+    """P3 workload: polar-engine radius rows sharded across devices."""
+    from jax.sharding import Mesh
+
+    from vip_tpu.metrics.sharded import sharded_snrmap
+    from vip_tpu.metrics.snr_source import snrmap_fast
+
+    rng = np.random.default_rng(3)
+    frame = rng.standard_normal((64, 64)).astype(np.float32)
+    single = snrmap_fast(frame, 4.0)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("px",))
+    multi = sharded_snrmap(frame, 4.0, mesh=mesh)
+    assert np.max(np.abs(single - multi)) < 1e-5
+
+
+def test_sharded_mcmc_lnprob_matches_single_device():
+    """P5 workload: walker batches sharded over the mesh."""
+    from jax.sharding import Mesh
+
+    from conftest import make_adi_cube
+    from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
+    from vip_tpu.fm.sharded import make_sharded_batched_lnprob
+    from vip_tpu.ops.negfc_model import make_batched_lnprob
+
+    cube, angs = make_adi_cube(n=16, size=48)
+    yy, xx = np.mgrid[:13, :13]
+    psf = np.exp(-((yy - 6) ** 2 + (xx - 6) ** 2) / (2 * (4 / 2.355) ** 2))
+    psfn = normalize_psf(psf, fwhm=4.0, verbose=False)
+    cubefc = cube_inject_companions(cube, psfn, angs, flevel=30, plsc=0.1,
+                                    rad_dists=12, theta=30, n_branches=1,
+                                    verbose=False)
+    bounds = [(8.0, 16.0), (10.0, 50.0), (1.0, 100.0)]
+    args = (cubefc, angs, psfn, 3, 4, 12.0, 30.0, 2.0, 4.0,
+            np.zeros(1), 1.0, bounds)
+    serial = make_batched_lnprob(*args)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("walkers",))
+    sharded = make_sharded_batched_lnprob(mesh, *args)
+
+    rng = np.random.default_rng(4)
+    walkers = np.column_stack([rng.uniform(10, 14, 16),
+                               rng.uniform(20, 40, 16),
+                               rng.uniform(10, 60, 16)])
+    a = np.asarray(serial(jnp.asarray(walkers)))
+    b = np.asarray(sharded(walkers))
+    assert np.allclose(a, b, atol=1e-8)

@@ -240,6 +240,23 @@ def snrmap_polar_engine(image, fwhm, n_theta=0,
     cy = ny / 2 if ny % 2 == 0 else (ny - 1) / 2
     cx = nx / 2 if nx % 2 == 0 else (nx - 1) / 2
     r_ap = fwhm / 2.0
+    n_r = int(min(cy, cx, ny - cy, nx - cx)) - int(np.ceil(r_ap)) - 1
+    if n_theta == 0:
+        n_theta = 4 * max(ny, nx)
+    radii = jnp.arange(1, n_r + 1, dtype=image.dtype)
+    snr_p = polar_snr_rows(image, radii, fwhm, n_theta,
+                           exclude_negative_lobes)
+    return polar_snr_to_cart(snr_p, (ny, nx), fwhm, n_theta)
+
+
+def polar_snr_rows(image, radii, fwhm, n_theta, exclude_negative_lobes):
+    """Steps (1)-(3) of the polar S/N engine for the given radius rows —
+    rows are independent, which is the multi-chip shard axis
+    (metrics.sharded)."""
+    ny, nx = image.shape
+    cy = ny / 2 if ny % 2 == 0 else (ny - 1) / 2
+    cx = nx / 2 if nx % 2 == 0 else (nx - 1) / 2
+    r_ap = fwhm / 2.0
 
     # (1) exact aperture flux at every integer center: one conv
     kern = jnp.asarray(_aperture_kernel(r_ap), image.dtype)
@@ -250,10 +267,6 @@ def snrmap_polar_engine(image, fwhm, n_theta=0,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
 
     # (2) polar resampling (bilinear)
-    n_r = int(min(cy, cx, ny - cy, nx - cx)) - int(np.ceil(r_ap)) - 1
-    if n_theta == 0:
-        n_theta = 4 * max(ny, nx)
-    radii = jnp.arange(1, n_r + 1, dtype=image.dtype)
     thetas = jnp.arange(n_theta, dtype=image.dtype) * (2 * jnp.pi / n_theta)
     yy = cy + radii[:, None] * jnp.sin(thetas)[None, :]
     xx = cx + radii[:, None] * jnp.cos(thetas)[None, :]
@@ -306,12 +319,18 @@ def snrmap_polar_engine(image, fwhm, n_theta=0,
     S2b = S2 - f0 * f0
     mean_bkg = S1b / n2
     var = jnp.maximum(S2b / n2 - mean_bkg**2, 0.0) * n2 / (n2 - 1.0)
-    snr_p = (f0 - mean_bkg) / (jnp.sqrt(var)
-                               * jnp.sqrt(1.0 + 1.0 / n2))
+    return (f0 - mean_bkg) / (jnp.sqrt(var) * jnp.sqrt(1.0 + 1.0 / n2))
 
-    # (4) back to cartesian (bilinear in polar coordinates)
+
+def polar_snr_to_cart(snr_p, shape, fwhm, n_theta):
+    """Step (4): map the (n_r, n_theta) polar S/N grid back to a
+    cartesian frame (bilinear in polar coordinates)."""
+    ny, nx = shape
+    cy = ny / 2 if ny % 2 == 0 else (ny - 1) / 2
+    cx = nx / 2 if nx % 2 == 0 else (nx - 1) / 2
+    n_r = snr_p.shape[0]
     gy, gx = jnp.mgrid[0:ny, 0:nx]
-    rr = jnp.hypot(gy - cy, gx - cx).astype(image.dtype)
+    rr = jnp.hypot(gy - cy, gx - cx).astype(snr_p.dtype)
     tt = jnp.arctan2(gy - cy, gx - cx) % (2 * jnp.pi)
     ri = rr - 1.0
     ti = tt / (2 * jnp.pi / n_theta)

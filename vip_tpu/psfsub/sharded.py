@@ -25,7 +25,8 @@ from jax import shard_map
 from ..preproc.derotation import rotate_fft_pipeline
 
 __all__ = ["sharded_pca_adi", "make_sharded_pca_adi",
-           "make_sharded_median_adi"]
+           "make_sharded_median_adi", "make_sharded_pca_annular",
+           "sharded_pca_annular"]
 
 
 def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
@@ -94,6 +95,131 @@ def sharded_pca_adi(cube, angles, ncomp=5, mesh=None):
     cube_sh = jax.device_put(cube, NamedSharding(mesh, P("frames")))
     ang_sh = jax.device_put(angles, NamedSharding(mesh, P("frames")))
     return np.asarray(fn(cube_sh, ang_sh))
+
+
+def make_sharded_pca_annular(mesh, segments, ncomp, axis="frames",
+                             collapse="median", method="eigen",
+                             scaling=None):
+    """Sharded annular PCA (the reference's P2 workload: per-frame SVDs
+    over annulus segments, pca_local.py:726-742).
+
+    The cube's frame axis is sharded; per (annulus, segment) every device
+    all_gathers the small segment matrix (n x n_seg_px rides ICI, the
+    full cube never moves), then runs the masked per-frame SVD+projection
+    of ``ops.annular`` locally for its own frames. Derotation stays
+    frame-local; the collapse reshards.
+
+    ``segments``: list of (yy, xx) static pixel index arrays, one per
+    (annulus, segment). Library masks / effective ranks are passed to the
+    returned function as (S, n, n) / (S, n) arrays.
+    """
+    from ..ops.annular import _masked_top_v
+
+    if collapse not in ("mean", "median"):
+        raise ValueError("sharded collapse supports 'mean' and 'median'")
+    if scaling not in (None, "temp-mean", "temp-standard"):
+        raise ValueError("sharded annular PCA supports scaling in "
+                         "(None, 'temp-mean', 'temp-standard')")
+    seg_idx = [(jnp.asarray(yy), jnp.asarray(xx)) for yy, xx in segments]
+
+    def step(cube_loc, angles_loc, masks_loc, keff_loc):
+        n_loc = cube_loc.shape[0]
+        resid_loc = jnp.zeros_like(cube_loc)
+        for s, (yy, xx) in enumerate(seg_idx):
+            seg_loc = cube_loc[:, yy, xx]                     # (n_loc, p)
+            if scaling is not None:
+                # distributed temporal moments over the frame axis
+                n_tot = n_loc * jax.lax.psum(jnp.ones(()), axis)
+                mu = jax.lax.psum(jnp.sum(seg_loc, 0), axis) / n_tot
+                seg_loc = seg_loc - mu[None]
+                if scaling == "temp-standard":
+                    var = jax.lax.psum(jnp.sum(seg_loc ** 2, 0),
+                                       axis) / n_tot
+                    std = jnp.sqrt(var)
+                    seg_loc = seg_loc / jnp.where(std == 0, 1.0, std)[None]
+            seg_full = jax.lax.all_gather(seg_loc, axis, tiled=True)
+
+            def one(mask_row, curr, k):
+                lib = seg_full * mask_row[:, None]
+                V = _masked_top_v(lib, ncomp, method)
+                V = jnp.where((jnp.arange(ncomp) < k)[:, None], V, 0.0)
+                return curr - (curr @ V.T) @ V
+
+            res = jax.vmap(one)(masks_loc[s], seg_loc, keff_loc[s])
+            resid_loc = resid_loc.at[:, yy, xx].set(res)
+        der = jax.vmap(rotate_fft_pipeline)(resid_loc, -angles_loc)
+        # pca_annular's mask_val=0 rot_option: pixels that are zero
+        # before rotation are reset to zero afterwards
+        der = jnp.where(resid_loc == 0, 0.0, der)
+        if collapse == "median":
+            return _sharded_median(der, axis)
+        n_total = cube_loc.shape[0] * jax.lax.psum(jnp.ones(()), axis)
+        return jax.lax.psum(jnp.sum(der, axis=0), axis) / n_total
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis), P(axis), P(None, axis),
+                                  P(None, axis)),
+                        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def sharded_pca_annular(cube, angles, ncomp=5, fwhm=4.0, asize=4,
+                        delta_rot=0.5, radius_int=0, n_segments=1,
+                        max_frames_lib=200, mesh=None, collapse="median",
+                        method="eigen", scaling=None):
+    """Convenience wrapper: host geometry prep (same rules as
+    ``pca_annular``: PA thresholds, segment indices, per-frame library
+    masks), then the sharded step."""
+    import numpy as np
+
+    from ..preproc.derotation import (_compute_pa_thresh, _define_annuli,
+                                      _find_indices_adi)
+    from ..var.shapes import get_annulus_segments, resolve_n_segments
+
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, axis_names=("frames",))
+    n_dev = len(mesh.devices.ravel())
+    n, y, x = cube.shape
+    if n % n_dev:
+        raise ValueError(f"n_frames ({n}) must divide evenly over "
+                         f"{n_dev} devices")
+
+    n_annuli = int((y / 2 - radius_int) / asize)
+    seg_counts = resolve_n_segments(n_segments, n_annuli, asize)
+    segments, masks, keffs = [], [], []
+    for ann in range(n_annuli):
+        pa_thr, inner_radius, _ = _define_annuli(
+            angles, ann, n_annuli, fwhm, radius_int, asize, delta_rot,
+            seg_counts[ann], False, True)
+        indices = get_annulus_segments(cube[0], inner_radius, asize,
+                                       seg_counts[ann])
+        if pa_thr != 0:
+            mask = np.zeros((n, n), dtype=bool)
+            sizes = np.zeros(n, dtype=int)
+            for fr in range(n):
+                idx = _find_indices_adi(angles, fr, pa_thr, truncate=True,
+                                        max_frames=max_frames_lib)
+                mask[fr, idx] = True
+                sizes[fr] = len(idx)
+        else:
+            mask = np.ones((n, n), dtype=bool)
+            sizes = np.full(n, n)
+        for yy, xx in indices:
+            segments.append((yy, xx))
+            masks.append(mask)
+            keffs.append(np.minimum(ncomp, np.minimum(sizes, len(yy))))
+
+    fn = make_sharded_pca_annular(mesh, segments, ncomp,
+                                  collapse=collapse, method=method,
+                                  scaling=scaling)
+    spec_fr = NamedSharding(mesh, P("frames"))
+    spec_seg = NamedSharding(mesh, P(None, "frames"))
+    cube_sh = jax.device_put(np.asarray(cube, float), spec_fr)
+    ang_sh = jax.device_put(np.asarray(angles, float), spec_fr)
+    masks_sh = jax.device_put(np.stack(masks), spec_seg)
+    keff_sh = jax.device_put(np.stack(keffs), spec_seg)
+    return np.asarray(fn(cube_sh, ang_sh, masks_sh, keff_sh))
 
 
 def _sharded_median(der_loc, axis):
