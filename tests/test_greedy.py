@@ -54,3 +54,43 @@ def test_iroll_runs():
                nit=2, thr=0.5, verbose=False)
     assert fr.shape == cube.shape[1:]
     assert np.isfinite(fr).all()
+
+
+def test_ipca_juillard23_recovers_companion():
+    """mode='Juillard23' (native GreeDS loop): the positivity-constrained
+    iteration must recover the injected companion with less
+    self-subtraction than the first iteration."""
+    import numpy as np
+
+    from conftest import make_adi_cube
+    from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
+    from vip_tpu.greedy import ipca
+
+    cube, angs = make_adi_cube(n=16, size=50, rot_amp=70.0)
+    yy, xx = np.mgrid[:13, :13]
+    psf = np.exp(-((yy - 6) ** 2 + (xx - 6) ** 2) / (2 * (4 / 2.355) ** 2))
+    psfn = normalize_psf(psf, fwhm=4.0, verbose=False)
+    cubefc = cube_inject_companions(cube, psfn, angs, flevel=40, plsc=0.1,
+                                    rad_dists=14, theta=40, n_branches=1,
+                                    verbose=False)
+    out = ipca(cubefc, angs, ncomp=3, mode="Juillard23", nit=2,
+               ncomp_start=1, verbose=False, full_output=True)
+    frame, it_cube, sig_images, res_cube, res_cube_, stim_cube, it_nd = out
+    assert it_cube.shape[0] == 3 * 2
+    assert res_cube.shape == cubefc.shape
+    cy = cx = 25
+    ey = int(round(cy + 14 * np.sin(np.deg2rad(40))))
+    ex = int(round(cx + 14 * np.cos(np.deg2rad(40))))
+    # companion present in the final estimate
+    patch = frame[ey - 2:ey + 3, ex - 2:ex + 3]
+    assert patch.max() > 0
+    # the iteration reduces self-subtraction: flux grows vs iteration 1
+    flux_first = it_cube[0][ey - 2:ey + 3, ex - 2:ex + 3].sum()
+    flux_last = it_cube[-1][ey - 2:ey + 3, ex - 2:ex + 3].sum()
+    assert flux_last >= flux_first
+    # positivity constraint holds on estimates
+    assert (it_cube >= 0).all()
+
+    single = ipca(cubefc, angs, ncomp=3, mode="Juillard23", nit=2,
+                  ncomp_start=1, verbose=False)
+    assert np.allclose(single, frame)

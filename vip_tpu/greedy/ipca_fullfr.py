@@ -27,6 +27,117 @@ from .utils_greedy import blurring_2d, blurring_3d, find_significant_signals
 __all__ = ["ipca", "IPCA_Params"]
 
 
+def _greeds_native(cube, angles, ncomp, nit, ncomp_start=1, pup=0,
+                   refs=None, imlib="vip-fft", nproc=1, keep_l="last"):
+    """Native GreeDS loop ([PAI21] alg. 1, as packaged by [JUI23] — the
+    engine behind the reference's mode='Juillard23', which delegates to
+    the external torch GreeDS package at ipca_fullfr.py:442-479).
+
+    Repeat, with the rank stepped from ``ncomp_start`` to ``ncomp`` and
+    ``nit`` inner iterations per rank: rotate the current disk estimate
+    into every frame, subtract it, build a rank-r model of that
+    estimate-free cube, subtract the model from the raw cube, derotate,
+    mean-combine, clip to positive values (+ optional pupil mask).
+
+    Returns (it_cube, star_estim): the estimate after every iteration and
+    the rank-r speckle models ('last' keeps only the final one).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.linalg import svd_top
+
+    t = cube.shape[0]
+    estimate = np.zeros(cube.shape[1:])
+    it_frames = []
+    star_estim = []
+    for rank in range(ncomp_start, ncomp + 1):
+        for _ in range(nit):
+            est_cube = np.repeat(estimate[None], t, axis=0)
+            est_rot = cube_derotate(est_cube, -angles, imlib=imlib,
+                                    nproc=nproc)
+            speckle_only = (cube - est_rot).reshape(t, -1)
+            lib = speckle_only
+            if refs is not None:
+                lib = np.vstack([speckle_only,
+                                 refs.reshape(refs.shape[0], -1)])
+            basis = np.asarray(svd_top(jnp.asarray(lib), rank,
+                                       method="lapack"))
+            model = ((speckle_only @ basis.T) @ basis).reshape(cube.shape)
+            derot = cube_derotate(cube - model, angles, imlib=imlib,
+                                  nproc=nproc)
+            frame = np.mean(derot, axis=0)
+            estimate = np.where(frame > 0, frame, 0.0)
+            if pup:
+                estimate = np.asarray(mask_circle(estimate, pup))
+            it_frames.append(estimate.copy())
+            if keep_l == "all":
+                star_estim.append(model)
+    if keep_l != "all":
+        star_estim.append(model)
+    return np.array(it_frames), star_estim
+
+
+def _ipca_juillard23(algo_params, start_time):
+    """mode='Juillard23' branch: the incremental GreeDS scheme run through
+    the native loop (the reference wraps the external torch package,
+    ipca_fullfr.py:442-526; outputs are assembled the same way)."""
+    if algo_params.strategy not in ("ADI", "ARDI"):
+        raise RuntimeError("Juillard23 not compatible with this mode.")
+    refs = algo_params.cube_ref.copy() if algo_params.strategy == "ARDI" \
+        else None
+    pup = algo_params.mask_center_px or 0
+    full = bool(algo_params.full_output)
+
+    it_cube, star_estim = _greeds_native(
+        np.asarray(algo_params.cube, dtype=float),
+        np.asarray(algo_params.angle_list, dtype=float),
+        ncomp=int(algo_params.ncomp), nit=int(algo_params.nit),
+        ncomp_start=int(algo_params.ncomp_start), pup=pup, refs=refs,
+        imlib=algo_params.imlib, nproc=algo_params.nproc,
+        keep_l="all" if full else "last")
+    frame = it_cube[-1]
+
+    if algo_params.verbose:
+        timing(start_time)
+    if not full:
+        return frame
+
+    cube = np.asarray(algo_params.cube, dtype=float)
+    angles = np.asarray(algo_params.angle_list, dtype=float)
+    residuals_cube_ = cube_derotate(cube - star_estim[-1], angles,
+                                    imlib=algo_params.imlib,
+                                    nproc=algo_params.nproc) - frame
+    residuals_cube = cube_derotate(residuals_cube_, -angles,
+                                   imlib=algo_params.imlib,
+                                   nproc=algo_params.nproc)
+    n_it = len(it_cube)
+    sig_mask = np.zeros_like(it_cube)
+    nstim = np.zeros_like(it_cube)
+    if algo_params.thr_mode == "STIM":
+        for i in range(n_it):
+            der_i = cube_derotate(cube - star_estim[i], angles,
+                                  imlib=algo_params.imlib,
+                                  nproc=algo_params.nproc)
+            res_der_i = der_i - it_cube[i]
+            res_i = cube_derotate(res_der_i, -angles,
+                                  imlib=algo_params.imlib,
+                                  nproc=algo_params.nproc)
+            sig_mask[i], nstim[i] = find_significant_signals(
+                res_i, res_der_i, angles, algo_params.thr,
+                mask=algo_params.mask_center_px, r_out=algo_params.r_out)
+    else:
+        sig_mask = np.ones_like(it_cube)
+        sig_mask[it_cube < algo_params.thr] = 0
+        nstim = sig_mask.copy()
+    sig_images = it_cube.copy()
+    sig_images[1 - sig_mask > 0] = 0
+    sig_images[sig_images < 0] = 0
+    stim_cube = nstim.copy()
+    it_cube_nd = np.zeros_like(it_cube)
+    return (frame, it_cube, sig_images, residuals_cube, residuals_cube_,
+            stim_cube, it_cube_nd)
+
+
 @dataclass
 class IPCA_Params(PCA_Params):
     """Parameters of ``ipca`` (reference ipca_fullfr.py:70-95)."""
@@ -61,9 +172,7 @@ def ipca(*all_args: List, **all_kwargs: dict):
     pca_params["verbose"] = False
 
     if algo_params.mode == "Juillard23":
-        raise NotImplementedError(
-            "'Juillard23' is the torch-GreeDS backend of the same "
-            "incremental scheme; use mode='Christiaens24'.")
+        return _ipca_juillard23(algo_params, start_time)
     if algo_params.mask_rdi is not None and algo_params.mode is not None:
         raise TypeError("IPCA with data imputation is not compatible with "
                         "incremental mode. Set 'mode' to None.")
