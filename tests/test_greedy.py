@@ -23,37 +23,58 @@ def test_ipca_parity(cube_angles):
     assert np.max(np.abs(ref - got)) < 1e-6
 
 
-def test_ipca_incremental_runs(cube_angles):
+def test_ipca_christiaens24_parity(cube_angles):
+    ref_greedy = load_ref("vip_hci.greedy")
     from vip_tpu.greedy import ipca
 
     cube, angles = cube_angles
-    fr = ipca(cube=cube.copy(), angle_list=angles, ncomp=3, nit=2,
-              mode="Christiaens24", thr=0.5, verbose=False)
-    assert fr.shape == cube.shape[1:]
-    assert np.isfinite(fr).all()
+    kwargs = dict(ncomp=3, nit=2, mode="Christiaens24", thr=0.5,
+                  verbose=False)
+    ref = ref_greedy.ipca(cube=cube.copy(), angle_list=angles.copy(),
+                          **kwargs)
+    got = ipca(cube=cube.copy(), angle_list=angles.copy(), **kwargs)
+    assert np.max(np.abs(np.asarray(ref) - np.asarray(got))) < 1e-8
 
 
-def test_inmf_runs(cube_angles):
+def test_inmf_recovers_companion(cube_angles):
+    """No oracle possible: the reference inmf crashes on its own ADI path
+    (INMF_Params lacks the mask_rdi attribute its code reads at
+    inmf_fullfr.py:342, and upstream never tests it). Assert the science
+    contract instead: an injected companion survives the iteration."""
+    from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
     from vip_tpu.greedy import inmf
 
     cube, angles = cube_angles
-    cube_pos = cube - cube.min() + 1.0
+    yy, xx = np.mgrid[:13, :13]
+    psf = np.exp(-((yy - 6) ** 2 + (xx - 6) ** 2) / (2 * (4 / 2.355) ** 2))
+    psfn = normalize_psf(psf, fwhm=4.0, verbose=False)
+    cubefc = cube_inject_companions(cube, psfn, angles, flevel=50, plsc=0.1,
+                                    rad_dists=14, theta=55, n_branches=1,
+                                    verbose=False)
+    cube_pos = cubefc - cubefc.min() + 1.0
     fr = inmf(cube=cube_pos, angle_list=angles, ncomp=3, nit=2, thr=0.5,
               max_iter=100, handle_neg="subtr_min", verbose=False)
     assert fr.shape == cube.shape[1:]
     assert np.isfinite(fr).all()
+    cy = cx = cube.shape[-1] // 2
+    ey = int(round(cy + 14 * np.sin(np.deg2rad(55))))
+    ex = int(round(cx + 14 * np.cos(np.deg2rad(55))))
+    peak_y, peak_x = np.unravel_index(np.argmax(fr), fr.shape)
+    assert np.hypot(peak_y - ey, peak_x - ex) <= 3.0
 
 
-def test_iroll_runs():
+def test_iroll_parity():
+    ref_greedy = load_ref("vip_hci.greedy")
     from conftest import make_adi_cube
     from vip_tpu.greedy import iroll
 
     cube, _ = make_adi_cube(n=16, size=51)
     roll_angles = np.array([0.0] * 8 + [25.0] * 8)
-    fr = iroll(cube=cube.copy(), angle_list=roll_angles, mode="individual",
-               nit=2, thr=0.5, verbose=False)
-    assert fr.shape == cube.shape[1:]
-    assert np.isfinite(fr).all()
+    kwargs = dict(mode="individual", nit=2, thr=0.5, verbose=False)
+    ref = ref_greedy.iroll(cube=cube.copy(), angle_list=roll_angles,
+                           **kwargs)
+    got = iroll(cube=cube.copy(), angle_list=roll_angles, **kwargs)
+    assert np.max(np.abs(np.asarray(ref) - np.asarray(got))) < 1e-8
 
 
 def test_ipca_juillard23_recovers_companion():

@@ -67,3 +67,20 @@ def test_detect_sources_and_binary_map():
     assert dets[1] == 0 and fps[1] == 0
     seg = detect_sources(frame, 1.0, npix=2)
     assert len(seg.segments) == 2
+
+
+def test_completeness_map_monotone(data):
+    """completeness_map must produce a level for every detection count,
+    non-decreasing with completeness (higher completeness costs more
+    contrast)."""
+    from vip_tpu.metrics.completeness import completeness_map
+
+    cube, angs, psfn = data
+    an, lv, mat = completeness_map(cube, angs, psfn, 4.0, median_sub, [10],
+                                   [0.05], starphot=100, n_fc=5,
+                                   verbose=False,
+                                   algo_dict={"verbose": False})
+    assert mat.shape == (1, 4)
+    assert np.allclose(lv, [0.2, 0.4, 0.6, 0.8])
+    assert (mat > 0).all()
+    assert (np.diff(mat[0]) >= 0).all()

@@ -60,15 +60,18 @@ def test_nmf_parity(ref_psfsub, cube_angles):
     assert np.max(np.abs(rec_r - rec_g)) < 2e-3 * np.abs(rec_r).max()
 
 
-def test_nmf_annular_runs(cube_angles):
+def test_nmf_annular_parity(ref_psfsub, cube_angles):
     from vip_tpu.psfsub import nmf_annular
 
     cube, angles = cube_angles
     cube_pos = cube - cube.min() + 1.0
-    fr = nmf_annular(cube_pos, angles, ncomp=3, asize=10, fwhm=4,
-                     delta_rot=0.3, max_iter=100, verbose=False)
-    assert fr.shape == cube.shape[1:]
-    assert np.isfinite(fr).all()
+    kwargs = dict(ncomp=2, fwhm=4.0, asize=6, n_segments=1, max_iter=100,
+                  random_state=42, verbose=False)
+    ref = ref_psfsub.nmf_annular(cube_pos.copy(), angles.copy(), **kwargs)
+    got = nmf_annular(cube_pos.copy(), angles.copy(), **kwargs)
+    # multiplicative updates amplify fp differences over ~100 iterations;
+    # 5e-3 abs on a ~0.8-scale frame is solver-level agreement
+    assert np.max(np.abs(np.asarray(ref) - np.asarray(got))) < 5e-3
 
 
 def test_xloci_parity(ref_psfsub, cube_angles):
