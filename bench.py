@@ -1,14 +1,20 @@
-"""Benchmark: full-frame PCA-ADI reduction of a 1000×512×512 cube.
+"""Benchmarks for the tracked BASELINE.md metrics.
 
-North-star target (BASELINE.json): < 1 s on one TPU v5e chip. The whole
-reduction — prepare → SVD (eigen/Gram on the MXU) → project/subtract →
-FFT 3-shear derotation of all 1000 frames (4× padded, flux-preserving, same
-math as the reference's 'vip-fft') → median collapse — runs as one jitted
-XLA program.
+Headline (printed LAST, the line the driver records): full-frame PCA-ADI
+reduction of a 1000x512x512 cube — north-star target < 1 s on one TPU
+v5e (BASELINE.json). The whole reduction — prepare -> SVD (eigen/Gram on
+the MXU) -> project/subtract -> FFT 3-shear derotation of all frames ->
+median collapse — runs as one jitted XLA program.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline = baseline_seconds (1.0) / measured_seconds (>1 beats target).
+Also emitted (one JSON line each, before the headline):
+  - pca_adi in the reference-exact 'fft' mode (4x-padded flux-preserving)
+  - cube_derotate throughput [frames/s] in both rotation modes
+  - snrmap throughput [px/s] (polar device engine)
+  - NEGFC MCMC throughput [walker-lnprob evals/s]
+
+Every line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+vs_baseline = target/measured for times (>1 beats target), measured
+rate otherwise normalized per BASELINE.md where a target exists.
 """
 
 import json
@@ -24,59 +30,103 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", 1000))
 SIZE = int(os.environ.get("BENCH_SIZE", 512))
 NCOMP = int(os.environ.get("BENCH_NCOMP", 10))
 REPS = int(os.environ.get("BENCH_REPS", 3))
-# rotation mode for the derotation stage:
-#  'fft-small' = 3-shear FFT rotation on a 1.25x canvas (default; same
-#     rotation math as the reference's 'vip-fft', smaller zero-pad margin)
-#  'fft'       = the reference's exact 4x-padded flux-preserving pipeline
-#  'interp'    = bicubic gather rotation (reference's OpenCV analog)
 ROT_MODE = os.environ.get("BENCH_ROT", "fft-small")
+FULL = os.environ.get("BENCH_FULL", "1") != "0"
+
+
+def _time(fn, reps=REPS):
+    import jax.numpy as jnp
+
+    out = fn()
+    first = float(jnp.sum(out))  # force materialization (remote backend)
+    assert np.isfinite(first)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 4),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from vip_tpu.ops.pipeline import pca_adi_pipeline
+
+    from vip_tpu.ops.pipeline import derotate_collapse, pca_adi_pipeline
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
     cube = rng.standard_normal((N_FRAMES, SIZE, SIZE)).astype(np.float32)
     angles = np.linspace(0.0, 80.0, N_FRAMES).astype(np.float32)
-
     cube_d = jax.device_put(jnp.asarray(cube), dev)
     ang_d = jax.device_put(jnp.asarray(angles), dev)
 
-    # chunk the derotation so the 4x-padded complex FFT working set fits HBM
-    chunk = int(os.environ.get("BENCH_CHUNK", 25))
+    chunk_exact = int(os.environ.get("BENCH_CHUNK", 25))
+    chunk_small = int(os.environ.get("BENCH_CHUNK_SMALL", 125))
 
-    chunk_interp = int(os.environ.get("BENCH_CHUNK_INTERP", 125))
-
-    def run():
-        return pca_adi_pipeline(
+    def pca_run(rot_mode):
+        chunk = chunk_exact if rot_mode == "fft" else chunk_small
+        return lambda: pca_adi_pipeline(
             cube_d, ang_d, ncomp=NCOMP, method="eigen", collapse="median",
-            chunk=chunk_interp if ROT_MODE != "fft" else chunk,
-            rot_mode=ROT_MODE, interpolation="bicubic")
+            chunk=chunk, rot_mode=rot_mode, interpolation="bicubic")
 
-    # compile + warm-up (fetch a scalar to force execution on remote/async
-    # backends where block_until_ready may return early)
-    out = run()
-    float(jnp.sum(out))
+    if FULL:
+        # --- exact-mode PCA-ADI (reference 4x-padded rotation) ---
+        t_exact = _time(pca_run("fft"))
+        _emit(f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_fft",
+              t_exact, "seconds", 1.0 / t_exact)
 
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = run()
-        checksum = float(jnp.sum(out))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        # --- cube_derotate throughput, both modes ---
+        for mode, chunk in (("fft", chunk_exact), ("fft-small",
+                                                   chunk_small)):
+            t_rot = _time(lambda: derotate_collapse(
+                cube_d, ang_d, collapse="median", chunk=chunk,
+                rot_mode=mode))
+            _emit(f"cube_derotate_{N_FRAMES}x{SIZE}x{SIZE}_{mode}",
+                  N_FRAMES / t_rot, "frames/s", N_FRAMES / t_rot / 1000.0)
 
-    assert np.isfinite(checksum)
+        # --- snrmap throughput (polar device engine) ---
+        from vip_tpu.ops.apertures import snrmap_polar_engine
 
-    print(json.dumps({
-        "metric": f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_{ROT_MODE}",
-        "value": round(best, 4),
-        "unit": "seconds",
-        "vs_baseline": round(1.0 / best, 3),
-    }))
+        frame_d = jax.device_put(jnp.asarray(cube[0]), dev)
+        fn_snr = jax.jit(lambda f: snrmap_polar_engine(f, 4.0))
+        t_snr = _time(lambda: fn_snr(frame_d))
+        px = SIZE * SIZE
+        _emit(f"snrmap_{SIZE}x{SIZE}", px / t_snr, "px/s",
+              px / t_snr / 1e6)
+
+        # --- NEGFC MCMC walker throughput ---
+        from vip_tpu.ops.negfc_model import make_batched_lnprob
+
+        # per-walker forward model rotates the whole cube on a ~4x-padded
+        # canvas; size the walker batch to HBM (v5e: 16 GB)
+        n_mc, sz_mc, nw = 50, 64, 16
+        cube_mc = cube[:n_mc, :sz_mc, :sz_mc].astype(float)
+        ang_mc = angles[:n_mc].astype(float)
+        yy, xx = np.mgrid[:13, :13]
+        psfn = np.exp(-((yy - 6.0) ** 2 + (xx - 6.0) ** 2)
+                      / (2 * (4 / 2.355) ** 2))
+        bounds = [(10.0, 30.0), (10.0, 80.0), (0.1, 100.0)]
+        lnp = make_batched_lnprob(cube_mc, ang_mc, psfn, 5, 4, 20.0, 45.0,
+                                  2.0, 4.0, np.zeros(1), 1.0, bounds)
+        walkers = jnp.asarray(np.column_stack([
+            np.random.uniform(15, 25, nw), np.random.uniform(30, 60, nw),
+            np.random.uniform(1, 50, nw)]))
+        t_mcmc = _time(lambda: lnp(walkers))
+        _emit(f"negfc_mcmc_lnprob_{n_mc}x{sz_mc}x{sz_mc}_{nw}walkers",
+              nw / t_mcmc, "walker_evals/s", nw / t_mcmc / 100.0)
+
+    # --- headline: PCA-ADI in the benchmarked speed mode (LAST line) ---
+    t_head = _time(pca_run(ROT_MODE))
+    _emit(f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_{ROT_MODE}",
+          t_head, "seconds", 1.0 / t_head)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,8 @@ from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
 from vip_tpu.metrics.detection import detection
 from vip_tpu.metrics.snr_source import snrmap
 
+pytestmark = pytest.mark.slow
+
 RAD, THETA, FWHM = 14.0, 40.0, 4.0
 
 

@@ -6,6 +6,8 @@ import pytest
 from conftest import make_adi_cube
 from ref_oracle import load_ref
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ref_contr():

@@ -13,6 +13,8 @@ from vip_tpu.preproc.recentering import (cube_recenter_2dfit,
 
 from ref_oracle import load_ref
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ref_rec():

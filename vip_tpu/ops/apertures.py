@@ -319,7 +319,9 @@ def polar_snr_rows(image, radii, fwhm, n_theta, exclude_negative_lobes):
     S2b = S2 - f0 * f0
     mean_bkg = S1b / n2
     var = jnp.maximum(S2b / n2 - mean_bkg**2, 0.0) * n2 / (n2 - 1.0)
-    return (f0 - mean_bkg) / (jnp.sqrt(var) * jnp.sqrt(1.0 + 1.0 / n2))
+    den = jnp.sqrt(var) * jnp.sqrt(1.0 + 1.0 / n2)
+    return jnp.where(den > 0, (f0 - mean_bkg) / jnp.where(den > 0, den, 1.0),
+                     0.0)
 
 
 def polar_snr_to_cart(snr_p, shape, fwhm, n_theta):

@@ -135,6 +135,86 @@ def rotate_fft_batch(cube, angles):
     return jax.vmap(rotate_fft, in_axes=(0, 0))(cube, angles)
 
 
+def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
+                            cx0, cx1):
+    """The full 4x-padded 3-shear rotation pipeline (pad -> rotate_fft ->
+    crop) with support pruning — bit-identical to the per-frame path, at
+    roughly half the FFT work.
+
+    Exactness-preserving structure: the x-shear acts on rows
+    independently, so (1) the first shear runs only on the ``y`` rows
+    where the placed frame lives (all other rows are exactly zero in and
+    out), and (3) the last shear runs only on the rows that survive the
+    final crop. Only the middle y-shear needs full-length columns.
+
+    ``frames``: (B, y, x) real, even square; geometry ints from
+    ``preproc.derotation._fft_rotate_geometry``.
+    """
+    frames = jnp.asarray(frames)
+    B, y, x = frames.shape
+    N = pad_y
+    real_dtype = jnp.result_type(frames.dtype, jnp.float32)
+    cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+    angles = jnp.asarray(angles, real_dtype) % 360.0
+    d = angles % 90.0
+    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
+    use_rot = angles > 45.0
+    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
+                  0.0).astype(jnp.int32) % 4
+    dangle = jnp.where(use_rot, dangle_gt, angles)
+
+    # quadrant rot90: the reference rot90s the whole (N+1-extended) canvas
+    # about its center; on the centrally-placed block this equals a plain
+    # rot90 of the small frame placed one pixel down/right per quadrant
+    # (k=1: +row, k=2: +row+col, k=3: +col) — verified bit-exact.
+    def _quad(km, fr):
+        return jax.lax.switch(km, [lambda a: a,
+                                   lambda a: jnp.rot90(a, 1),
+                                   lambda a: jnp.rot90(a, 2),
+                                   lambda a: jnp.rot90(a, 3)], fr)
+
+    rot = jax.vmap(_quad)(k, frames).astype(cdtype)
+    dy = jnp.asarray([0, 1, 1, 0])[k]
+    dx = jnp.asarray([0, 0, 1, 1])[k]
+
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)[:, None, None]
+    b = -jnp.sin(jnp.deg2rad(dangle))[:, None, None]
+    kint = jnp.fft.fftfreq(N, d=1.0 / N).astype(real_dtype)
+    q = jnp.arange(N, dtype=real_dtype) - N / 2
+
+    # occupied slab: y+1 rows starting at py0 (room for the +1 shifts)
+    slab = jnp.zeros((B, y + 1, N), cdtype)
+
+    def _place(sl, fr, dyi, dxi):
+        return jax.lax.dynamic_update_slice(sl, fr, (dyi, px0 + dxi))
+
+    work = jax.vmap(_place)(slab, rot, dy, dx)
+
+    # ---- shear 1 (x): only the occupied rows ----
+    ramp1 = jnp.outer(q[py0:py0 + y + 1], kint) / N
+    s = jnp.fft.fft(work, axis=2)
+    s = jnp.exp(-2j * jnp.pi * a * ramp1[None]) * s
+    s = jnp.fft.ifft(s, axis=2)
+
+    # ---- shear 2 (y): full columns ----
+    canvas = jnp.zeros((B, N, N), cdtype)
+    canvas = canvas.at[:, py0:py0 + y + 1, :].set(s)
+    ramp2 = jnp.outer(kint, q) / N
+    s = jnp.fft.fft(canvas, axis=1)
+    s = jnp.exp(-2j * jnp.pi * b * ramp2[None]) * s
+    s = jnp.fft.ifft(s, axis=1)
+
+    # ---- shear 3 (x): only the crop rows ----
+    s = s[:, cy0:cy1, :]
+    ramp3 = jnp.outer(q[cy0:cy1], kint) / N
+    s = jnp.fft.fft(s, axis=2)
+    s = jnp.exp(-2j * jnp.pi * a * ramp3[None]) * s
+    s = jnp.fft.ifft(s, axis=2)
+
+    return jnp.real(s[:, :, cx0:cx1]).astype(frames.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Fourier sub-pixel shift
 # ---------------------------------------------------------------------------

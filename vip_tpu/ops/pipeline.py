@@ -70,6 +70,31 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
         out = jax.lax.map(lambda fa: _rot_small(fa[0], fa[1]),
                           (cube_c, ang_c))
         return out.reshape(nch * chunk, *cube.shape[1:])[:n]
+    # exact mode: the reference's 4x flux-preserving pipeline with
+    # support pruning (bit-identical; see ops.fft.rotate_fft_exact_pruned)
+    from ..preproc.derotation import _fft_rotate_geometry
+    from .fft import rotate_fft_exact_pruned
+
+    n, y, x = cube.shape
+    if y == x and y % 2 == 0:
+        (pad_y, pad_x, py0, px0, cy0, cy1, cx0, cx1) = \
+            _fft_rotate_geometry(y, x)
+
+        def _rot_exact(frames, angs):
+            return rotate_fft_exact_pruned(frames, angs, pad_y, py0, px0,
+                                           cy0, cy1, cx0, cx1)
+
+        if chunk is None or chunk >= n:
+            return _rot_exact(cube, -angles)
+        nch = -(-n // chunk)
+        pad_n = nch * chunk - n
+        cube_p = jnp.pad(cube, ((0, pad_n), (0, 0), (0, 0)))
+        ang_p = jnp.pad(-angles, (0, pad_n))
+        out = jax.lax.map(
+            lambda fa: _rot_exact(fa[0], fa[1]),
+            (cube_p.reshape(nch, chunk, y, x), ang_p.reshape(nch, chunk)))
+        return out.reshape(nch * chunk, y, x)[:n]
+
     from ..preproc.derotation import rotate_fft_pipeline
 
     if chunk is None or chunk >= cube.shape[0]:

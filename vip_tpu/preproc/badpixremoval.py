@@ -49,6 +49,29 @@ def _sigma_clipped_std(data, sigma=2.5, maxiters=5):
     return np.std(d)
 
 
+
+def _check_bpix_args(ndim_ok, array, size=None, correct_only=False,
+                     bpm_mask=None, match_full_shape=True):
+    """Shared argument validation for the bad-pixel correctors: dims,
+    odd median-kernel size, correct_only/bpm consistency; returns the
+    boolean-cast bad-pixel map."""
+    if array.ndim not in ndim_ok:
+        raise TypeError(f"Array is not {ndim_ok}-dimensional")
+    if size is not None and size % 2 == 0:
+        raise TypeError("Size of the median blur kernel must be an odd "
+                        "integer")
+    if correct_only and bpm_mask is None:
+        raise ValueError("Bad pixel map should be provided if correct_only "
+                         "is True.")
+    if bpm_mask is not None:
+        want = array.shape if match_full_shape else array.shape[-2:]
+        if bpm_mask.shape[-2:] != want[-2:]:
+            raise AssertionError("Input bad pixel mask should match the "
+                                 "frame shape")
+        bpm_mask = bpm_mask.astype(bool)
+    return bpm_mask
+
+
 def frame_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
                               sigma_clip=3, num_neig=5, size=5,
                               protect_mask=0, cxy=None, mad=False,
@@ -58,16 +81,7 @@ def frame_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
     local median (reference badpixremoval.py:61-187)."""
     if array.ndim != 2:
         raise TypeError("Array is not a 2d array or single frame")
-    if size % 2 == 0:
-        raise TypeError("Size of the median blur kernel must be an odd "
-                        "integer")
-    if correct_only and bpm_mask is None:
-        raise ValueError("Bad pixel map should be provided if correct_only "
-                         "is True.")
-    if bpm_mask is not None:
-        assert bpm_mask.shape == array.shape, \
-            "Input bad pixel mask should have same shape as array\n"
-        bpm_mask = bpm_mask.astype("bool")
+    bpm_mask = _check_bpix_args((2,), array, size, correct_only, bpm_mask)
     if excl_mask is None:
         excl_mask = np.zeros(array.shape, dtype=bool)
     else:
@@ -121,16 +135,8 @@ def cube_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
     (reference badpixremoval.py:190-375)."""
     if array.ndim != 3:
         raise TypeError("Array is not a 3d array or cube")
-    if size % 2 == 0:
-        raise TypeError("Size of the median blur kernel must be an odd "
-                        "integer")
-    if correct_only and bpm_mask is None:
-        raise ValueError("Bad pixel map should be provided if correct_only "
-                         "is True.")
-    if bpm_mask is not None:
-        assert bpm_mask.shape[-2:] == array.shape[-2:], \
-            "Input bad pixel mask should have same last 2 dims as array\n"
-        bpm_mask = bpm_mask.astype("bool")
+    bpm_mask = _check_bpix_args((3,), array, size, correct_only, bpm_mask,
+                                match_full_shape=False)
     if verbose:
         start = time_ini()
     neigh = num_neig > 0
@@ -440,32 +446,28 @@ def cube_fix_badpix_annuli(array, fwhm, cy=None, cx=None, sig=5.,
         if nrad - 1 > rr_limit:
             ann_frame_cumul[valid & (ann_idx >= rr_limit)] = nrad - 1
 
+        protected = np.zeros((n_y, n_x), dtype=bool)
         if protect_mask:
             if half_res_y:
-                circl_new = _ellipse_idx(cy, cx,
-                                         r_radius=protect_mask / 2.,
-                                         c_radius=protect_mask,
-                                         shape=(n_y, n_x))
+                protected[_ellipse_idx(cy, cx, r_radius=protect_mask / 2.,
+                                       c_radius=protect_mask,
+                                       shape=(n_y, n_x))] = True
             else:
-                circl_new = _disk_idx((cy, cx), protect_mask, (n_y, n_x))
-        else:
-            circl_new = []
+                protected[_disk_idx((cy, cx), protect_mask,
+                                    (n_y, n_x))] = True
 
         array_corr, bpix_map = correct_ann_outliers(
             array, bpm_mask, ann_width, sig, med_neig, std_neig, cy, cx,
             min_thr, max_thr, stddev, half_res_y)
 
         nbpix_tot = int(np.sum(bpix_map))
-        nbpix_tbc = int(nbpix_tot - np.sum(bpix_map[circl_new]))
-        if min_thr_np is not None:
-            bp_tmp = np.zeros_like(bpix_map)
-            bp_tmp[circl_new] = 1
-            fin_mask = np.where((array >= min_thr_np) & (bp_tmp == 1))
-            bpix_map[fin_mask] = 0
-            array_corr[fin_mask] = array[fin_mask]
-        else:
-            bpix_map[circl_new] = 0
-            array_corr[circl_new] = array[circl_new]
+        nbpix_tbc = nbpix_tot - int(np.sum(bpix_map[protected]))
+        # inside the protected zone only clear pixels above the
+        # no-protection floor (min_thr_np), else clear the whole zone
+        restore = protected if min_thr_np is None \
+            else protected & (array >= min_thr_np)
+        bpix_map[restore] = 0
+        array_corr[restore] = array[restore]
         if verbose:
             print(nbpix_tot, " bpix in total, and ", nbpix_tbc,
                   " corrected.")
