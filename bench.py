@@ -68,7 +68,7 @@ def main():
     cube_d = jax.device_put(jnp.asarray(cube), dev)
     ang_d = jax.device_put(jnp.asarray(angles), dev)
 
-    chunk_exact = int(os.environ.get("BENCH_CHUNK", 25))
+    chunk_exact = int(os.environ.get("BENCH_CHUNK", 50))
     chunk_small = int(os.environ.get("BENCH_CHUNK_SMALL", 125))
 
     def pca_run(rot_mode):

@@ -80,7 +80,26 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
         (pad_y, pad_x, py0, px0, cy0, cy1, cx0, cx1) = \
             _fft_rotate_geometry(y, x)
 
+        # On TPU at float32, run the three shears as fused Pallas
+        # matmul-DFT kernels (same math, ~equal f32 accuracy, no HBM
+        # canvas); jnp.fft path for CPU/x64 parity and as env override
+        # (VIP_EXACT_SHEAR=pruned).
+        import os
+
+        from .pallas_shear import (fused_shear_supported,
+                                   rotate_fft_exact_fused)
+
+        use_fused = (
+            os.environ.get("VIP_EXACT_SHEAR", "auto") != "pruned"
+            and cube.dtype == jnp.float32
+            and fused_shear_supported(y, pad_y)
+            and jax.default_backend() not in ("cpu",)
+        )
+
         def _rot_exact(frames, angs):
+            if use_fused:
+                return rotate_fft_exact_fused(frames, angs, pad_y, py0,
+                                              px0, cy0, cy1, cx0, cx1)
             return rotate_fft_exact_pruned(frames, angs, pad_y, py0, px0,
                                            cy0, cy1, cx0, cx1)
 
