@@ -24,6 +24,24 @@ The 4x canvas is never materialized in HBM — the y-shear reads only the
 occupied row band and writes only the crop rows; the full-height
 spectrum lives in VMEM one column block at a time.
 
+Performance notes (per-stage ablations on v5e): the MXU passes are
+essentially free (overlapped) — in-kernel time is VPU elementwise work.
+Three measures attack it:
+
+* **separable phase**: the shift phase factors exactly as
+  ``exp(-2pi i s kv/N) = u[k2] * v[k1]`` with ``kv = P*k1s + k2``
+  (k1s the *signed* lane frequency), so the per-element trig over the
+  whole spectrum collapses to P+Q small trig evaluations per row plus
+  two cheap complex multiplies.
+* **K-concat small stages**: the P-point DFT stages have contraction
+  depth <= 16; the 3-pass bf16 split is packed along the contraction
+  dim (``[xh, xh, xl]`` against ``[wh, wl, wh]``) so each complex
+  output needs ONE MXU pass (K_eff = 6P <= 128) instead of nine, with
+  the split results stored straight into a stacked VMEM scratch.
+* **pre-split heavy weights**: the 128-deep stages use host-presplit
+  bf16 hi/lo weight tables and a naive 4-mult complex product — more
+  (free) MXU passes, fewer VPU splits and adds than Karatsuba.
+
 Numerics: matmul DFTs at f32 are slightly *more* accurate than XLA's
 f32 FFT vs a float64 oracle (measured 3.1e-5 vs 6.1e-5 max abs on a
 unit-variance 2048^2 spectrum). ``tests/test_pallas_shear.py`` asserts
@@ -35,7 +53,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,48 +64,85 @@ _TWO_PI = 2.0 * np.pi
 
 def fused_shear_supported(y, pad_y):
     """The fused path handles even square frames whose padded canvas
-    folds as N = P*Q with Q=128 (all power-of-two sizes >= 64)."""
+    folds as N = P*Q with Q=128 and 6P <= 128 (all power-of-two sizes
+    >= 64 up to 2048-wide canvases)."""
     return y % 2 == 0 and pad_y % _Q == 0 and pad_y // _Q <= 16
 
 
+def _bsplit(a):
+    """numpy f32/f64 -> (hi, lo) bf16 pair with a ~= hi + lo (host-side)."""
+    import ml_dtypes
+
+    a = np.asarray(a, np.float32)
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 @functools.lru_cache(maxsize=None)
-def _consts(N):
-    """DFT basis, twiddle and folded-frequency tables (float64-built)."""
+def _consts(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out):
+    """Host-built tables for one shear geometry.
+
+    Returns a dict of numpy arrays:
+      sfw_r/sfw_i: stacked fwd small-stage weights (P, 3*n2sel) for real
+        input or (P, 6*n2sel) for complex input (K-concat 3-pass layout)
+      hw: presplit heavy weights (WQ fwd + conj inv), 8x (Q, Q) bf16
+      t_r/t_i: twiddle (P, Q) f32
+      siw_r/siw_i: stacked inv small-stage weights (m2sel, 6*P) bf16,
+        1/N folded in (siw_i absent when real_out)
+      idxp: (1, P) f32 unsigned k2 indices
+      idxq: (1, Q) f32 SIGNED k1 frequencies
+    """
     P = N // _Q
+    n2sel = n2hi - n2lo
+    m2sel = m2hi - m2lo
     k2 = np.arange(P)
     n1 = np.arange(_Q)
     WP = np.exp(-2j * np.pi * np.outer(k2, k2) / P)
     WQ = np.exp(-2j * np.pi * np.outer(n1, n1) / _Q)
     T = np.exp(-2j * np.pi * np.outer(k2, n1) / N)
-    kk = (np.arange(N) + N // 2) % N - N // 2        # fftfreq(N, 1/N)
-    kv = kk.reshape(_Q, P).T                         # kv[k2,k1] = kk[P*k1+k2]
 
-    def f32(arr):
-        return np.ascontiguousarray(arr, np.float32)
+    out = {}
+    # ---- fwd small stage: A[k2] = sum_n2 WP[k2, n2lo+n2] x[n2] ----
+    wf = WP[:, n2lo:n2hi]
+    frh, frl = _bsplit(wf.real)
+    fih, fil = _bsplit(wf.imag)
+    if real_in:
+        # S1 = [xh, xh, xl]
+        out["sfw_r"] = np.concatenate([frh, frl, frh], axis=1)
+        out["sfw_i"] = np.concatenate([fih, fil, fih], axis=1)
+    else:
+        # S1 = [xrh, xrh, xrl, xih, xih, xil]
+        out["sfw_r"] = np.concatenate(
+            [frh, frl, frh, -fih, -fil, -fih], axis=1)
+        out["sfw_i"] = np.concatenate(
+            [fih, fil, fih, frh, frl, frh], axis=1)
 
-    return (f32(WP.real), f32(WP.imag), f32(WQ.real), f32(WQ.imag),
-            f32(T.real), f32(T.imag), f32(kv / N))
+    # ---- heavy stages: presplit WQ (fwd) and conj(WQ) (inv) ----
+    qrh, qrl = _bsplit(WQ.real)
+    qih, qil = _bsplit(WQ.imag)
+    out["hw"] = (qrh, qrl, qih, qil)          # inv uses (qrh, qrl, -qih, -qil)
+
+    out["t_r"] = np.ascontiguousarray(T.real, np.float32)
+    out["t_i"] = np.ascontiguousarray(T.imag, np.float32)
+
+    # ---- inv small stage: O[n] = (1/N) sum_k2 conj(WP)[n+m2lo, k2] B[k2]
+    wb = np.conj(WP)[m2lo:m2hi, :] / N
+    brh, brl = _bsplit(wb.real)
+    bih, bil = _bsplit(wb.imag)
+    # S2 = [Brh, Brh, Brl, Bih, Bih, Bil]
+    out["siw_r"] = np.concatenate([brh, brl, brh, -bih, -bil, -bih], axis=1)
+    if not real_out:
+        out["siw_i"] = np.concatenate([bih, bil, bih, brh, brl, brh], axis=1)
+
+    out["idxp"] = np.arange(P, dtype=np.float32).reshape(1, P)
+    out["idxq"] = (((np.arange(_Q) + _Q // 2) % _Q) - _Q // 2
+                   ).astype(np.float32).reshape(1, _Q)
+    return out
 
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
-
-
-def _phase(shift, kvn, N):
-    """cos/sin of -2*pi*shift*kv with exact f32 range reduction.
-
-    ``kvn`` holds kv/N (kv integer-valued). Naively theta reaches ~4500
-    rad (shear 2: |shift|<=724, |kv/N|<=0.5) where f32 trig range
-    reduction has already lost most mantissa bits. Split shift into
-    integer + fraction: the integer product S*kv stays below 2^24 so it
-    is exact in f32 and reduces mod N exactly; the fractional product is
-    <= kv/N * 1 <= 0.5. Residual error ~1e-7 cycles.
-    """
-    s_int = jnp.floor(shift)
-    s_frac = shift - s_int                       # exact in f32
-    cyc = jnp.mod(s_int * (kvn * N), N) * (1.0 / N) + s_frac * kvn
-    theta = (-_TWO_PI) * (cyc - jnp.rint(cyc))
-    return jnp.cos(theta), jnp.sin(theta)
 
 
 def _split(a):
@@ -98,150 +152,202 @@ def _split(a):
     return hi, lo
 
 
-def _dot3(sub, a, b):
-    """f32 matmul as a manual 3-pass bf16 split with f32 accumulation.
+def _trig(shift, idx, denom):
+    """cos/sin of -2*pi*shift*idx/denom with exact f32 range reduction.
 
-    Mosaic's default f32 dot is a single bf16 pass (~1e-2 relative error
-    — measured) and only DEFAULT/HIGHEST are supported in kernels;
-    HIGHEST (6 passes) doubles the needed work. The hi*hi + hi*lo +
-    lo*hi split restores ~2^-22 relative accuracy at 3 bf16 passes.
+    ``idx`` and ``floor(shift)`` are integer-valued f32 with
+    |floor(shift)*idx| < 2^24, so the integer product reduces mod
+    ``denom`` exactly; the fractional product stays <= |idx|/denom.
     """
-    dot = functools.partial(jnp.einsum, sub,
-                            preferred_element_type=jnp.float32)
-    a_hi, a_lo = _split(a)
-    b_hi, b_lo = _split(b)
-    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    si = jnp.floor(shift)
+    sf = shift - si                              # exact in f32
+    cyc = jnp.mod(si * idx, denom) * (1.0 / denom) + sf * (idx / denom)
+    th = (-_TWO_PI) * (cyc - jnp.rint(cyc))
+    return jnp.cos(th), jnp.sin(th)
 
 
-def _cmm(ar, ai, wr, wi):
-    """complex (M, Q) @ (Q, Q) as 2D MXU dots (Karatsuba x 3-pass)."""
+def _cmm_ns(ar, ai, hw):
+    """complex (M, Q) @ WQ-ish via naive 4-mult with presplit weights.
 
-    def dot(a, b):
-        a_hi, a_lo = _split(a)
-        b_hi, b_lo = _split(b)
-        mm = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-        return mm(a_hi, b_hi) + mm(a_hi, b_lo) + mm(a_lo, b_hi)
+    12 bf16 MXU passes (overlapped/free on TPU), only two data splits.
+    """
+    wrh, wrl, wih, wil = hw
+    mm = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
 
-    p1 = dot(ar, wr)
-    p2 = dot(ai, wi)
-    p3 = dot(ar + ai, wr + wi)
-    return p1 - p2, p3 - p1 - p2
+    arh, arl = _split(ar)
+    aih, ail = _split(ai)
 
+    def d3(xh, xl, yh, yl):
+        return mm(xh, yh) + mm(xh, yl) + mm(xl, yh)
 
-def _cdot(sub, wr, wi, ar, ai):
-    """complex einsum (constant operand first in ``sub``); ai=None means
-    the tensor is real-valued. Complex product via 3-mult Karatsuba."""
-    if ai is None:
-        return _dot3(sub, wr, ar), _dot3(sub, wi, ar)
-    p1 = _dot3(sub, wr, ar)
-    p2 = _dot3(sub, wi, ai)
-    p3 = _dot3(sub, wr + wi, ar + ai)
-    return p1 - p2, p3 - p1 - p2
+    rr = d3(arh, arl, wrh, wrl)
+    ii = d3(aih, ail, wih, wil)
+    ri = d3(arh, arl, wih, wil)
+    ir = d3(aih, ail, wrh, wrl)
+    return rr - ii, ri + ir
 
 
-def _cdot_rhs(sub, ar, ai, wr, wi):
-    """complex einsum, constant matrix second in ``sub`` (Karatsuba)."""
-    p1 = _dot3(sub, ar, wr)
-    p2 = _dot3(sub, ai, wi)
-    p3 = _dot3(sub, ar + ai, wr + wi)
-    return p1 - p2, p3 - p1 - p2
+def _stack_fwd(scr, xr, xi, n2sel):
+    """Write split input pieces into the stacked K-concat scratch.
+
+    Slot layout along the leading (contraction) axis is [hi, hi, lo]
+    per part, pairing with the weight stack [wh, wl, wh] built in
+    ``_consts`` to realize the 3-pass xh*wh + xh*wl + xl*wh in a
+    single MXU pass.
+    """
+    xrh, xrl = _split(xr)
+    scr[0 * n2sel:1 * n2sel] = xrh
+    scr[1 * n2sel:2 * n2sel] = xrh
+    scr[2 * n2sel:3 * n2sel] = xrl
+    if xi is not None:
+        xih, xil = _split(xi)
+        scr[3 * n2sel:4 * n2sel] = xih
+        scr[4 * n2sel:5 * n2sel] = xih
+        scr[5 * n2sel:6 * n2sel] = xil
 
 
 # ---------------------------------------------------------------------------
 # kernel bodies (operate on squeezed 2-d blocks)
 # ---------------------------------------------------------------------------
-def _shear_rows_body(c, coords, WPr, WPi, WQr, WQi, Tr, Ti, kv,
-                     xr, xi, outr, outi, *, N, n2lo, n2hi, m2lo, m2hi):
+def _shear_rows_body(c, coords, sfw_r, sfw_i, qrh, qrl, qih, qil,
+                     t_r, t_i, siw_r, siw_i, idxp, idxq,
+                     xr, xi, outr, outi, s1, s2,
+                     *, N, n2lo, n2hi, m2lo, m2hi):
     """Shear along the LAST axis (x): rows transform independently.
 
     x: (RB, (n2hi-n2lo)*Q) planar; out: (RB, (m2hi-m2lo)*Q); c: (1,1)
     SMEM shear coefficient; coords: (RB, 1) row coordinate (row - N/2).
+    s1: (RB, 3or6*n2sel, Q) bf16 scratch; s2: (RB, 6*P, Q) bf16 scratch.
     """
     n2sel = n2hi - n2lo
     m2sel = m2hi - m2lo
     RB = coords.shape[0]
-
     P = N // _Q
+    real_in = xi is None
+
     X_r = xr[:].reshape(RB, n2sel, _Q)
-    X_i = None if xi is None else xi[:].reshape(RB, n2sel, _Q)
+    X_i = None if real_in else xi[:].reshape(RB, n2sel, _Q)
 
-    WPf_r = WPr[:, n2lo:n2hi]
-    WPf_i = WPi[:, n2lo:n2hi]
-    A_r, A_i = _cdot("kn,rnq->rkq", WPf_r, WPf_i, X_r, X_i)
-    T_r = Tr[:][None]
-    T_i = Ti[:][None]
-    A_r, A_i = _cmul(A_r, A_i, T_r, T_i)
+    # fwd small stage: stacked K-concat, one MXU pass per output part
+    _stack_fwd_rows(s1, X_r, X_i, n2sel)
+    e = functools.partial(jnp.einsum, "kn,rnq->rkq",
+                          preferred_element_type=jnp.float32)
+    A_r = e(sfw_r[:], s1[:])
+    A_i = e(sfw_i[:], s1[:])
 
-    # heavy stages as plain (RB*P, Q) @ (Q, Q) MXU matmuls
-    Z_r, Z_i = _cmm(A_r.reshape(RB * P, _Q), A_i.reshape(RB * P, _Q),
-                    WQr[:], WQi[:])
+    # twiddle
+    A_r, A_i = _cmul(A_r, A_i, t_r[:][None], t_i[:][None])
+
+    # heavy fwd: (RB*P, Q) @ WQ
+    hw = (qrh[:], qrl[:], qih[:], qil[:])
+    Z_r, Z_i = _cmm_ns(A_r.reshape(RB * P, _Q), A_i.reshape(RB * P, _Q), hw)
     Z_r = Z_r.reshape(RB, P, _Q)
     Z_i = Z_i.reshape(RB, P, _Q)
 
-    shift = c * coords[:]                            # (RB, 1)
-    ph_r, ph_i = _phase(shift[:, :, None], kv[:][None], N)
-    Z_r, Z_i = _cmul(Z_r, Z_i, ph_r, ph_i)
+    # separable phase: u over k2 (unsigned /N), v over signed k1 (/Q)
+    shift = c * coords[:]                        # (RB, 1)
+    u_r, u_i = _trig(shift, idxp[:], float(N))   # (RB, P)
+    v_r, v_i = _trig(shift, idxq[:], float(_Q))  # (RB, Q)
+    Z_r, Z_i = _cmul(Z_r, Z_i, u_r[:, :, None], u_i[:, :, None])
+    Z_r, Z_i = _cmul(Z_r, Z_i, v_r[:, None, :], v_i[:, None, :])
 
-    # inverse: conj(WQ) = (WQr, -WQi); conj(WP)[band]/N ; conj(T)
-    B_r, B_i = _cmm(Z_r.reshape(RB * P, _Q), Z_i.reshape(RB * P, _Q),
-                    WQr[:], -WQi[:])
+    # heavy inv: conj weights
+    hwc = (qrh[:], qrl[:], -qih[:], -qil[:])
+    B_r, B_i = _cmm_ns(Z_r.reshape(RB * P, _Q), Z_i.reshape(RB * P, _Q), hwc)
     B_r = B_r.reshape(RB, P, _Q)
     B_i = B_i.reshape(RB, P, _Q)
-    B_r, B_i = _cmul(B_r, B_i, T_r, -T_i)
+    B_r, B_i = _cmul(B_r, B_i, t_r[:][None], -t_i[:][None])
 
-    WPb_r = WPr[m2lo:m2hi, :] * (1.0 / N)
-    WPb_i = WPi[m2lo:m2hi, :] * (-1.0 / N)
-    O_r, O_i = _cdot("nk,rkq->rnq", WPb_r, WPb_i, B_r, B_i)
+    # inv small stage: stacked K-concat (conj(WP)/N folded into weights)
+    _stack_inv_rows(s2, B_r, B_i, P)
+    ei = functools.partial(jnp.einsum, "nk,rkq->rnq",
+                           preferred_element_type=jnp.float32)
+    O_r = ei(siw_r[:], s2[:])
     outr[:] = O_r.reshape(RB, m2sel * _Q)
     if outi is not None:
+        O_i = ei(siw_i[:], s2[:])
         outi[:] = O_i.reshape(RB, m2sel * _Q)
 
 
-def _shear_cols_body(c, coords, WPr, WPi, WQr, WQi, Tr, Ti, kv,
-                     xr, xi, outr, outi, *, N, n2lo, n2hi, m2lo, m2hi):
+def _stack_fwd_rows(scr, xr, xi, n2sel):
+    """Row-body variant of :func:`_stack_fwd` (stack on axis 1)."""
+    xrh, xrl = _split(xr)
+    scr[:, 0 * n2sel:1 * n2sel] = xrh
+    scr[:, 1 * n2sel:2 * n2sel] = xrh
+    scr[:, 2 * n2sel:3 * n2sel] = xrl
+    if xi is not None:
+        xih, xil = _split(xi)
+        scr[:, 3 * n2sel:4 * n2sel] = xih
+        scr[:, 4 * n2sel:5 * n2sel] = xih
+        scr[:, 5 * n2sel:6 * n2sel] = xil
+
+
+def _stack_inv_rows(scr, br, bi, P):
+    brh, brl = _split(br)
+    scr[:, 0 * P:1 * P] = brh
+    scr[:, 1 * P:2 * P] = brh
+    scr[:, 2 * P:3 * P] = brl
+    bih, bil = _split(bi)
+    scr[:, 3 * P:4 * P] = bih
+    scr[:, 4 * P:5 * P] = bih
+    scr[:, 5 * P:6 * P] = bil
+
+
+def _shear_cols_body(c, coords, sfw_r, sfw_i, qrh, qrl, qih, qil,
+                     t_r, t_i, siw_r, siw_i, idxp, idxq,
+                     xr, xi, outr, outi, s1, s2,
+                     *, N, n2lo, n2hi, m2lo, m2hi):
     """Shear along the FIRST (sublane) axis (y): columns independent.
 
     x: ((n2hi-n2lo)*Q, CB) planar; out: ((m2hi-m2lo)*Q, CB);
     coords: (1, CB) column coordinate (col - N/2).
+    s1: (3or6*n2sel, CB, Q) bf16; s2: (6*P, CB, Q) bf16.
     """
     n2sel = n2hi - n2lo
     m2sel = m2hi - m2lo
     CB = coords.shape[1]
-
     P = N // _Q
+    real_in = xi is None
+
     # fold and move the transform axis to lanes: (n2, c, n1)
     X_r = jnp.swapaxes(xr[:].reshape(n2sel, _Q, CB), 1, 2)
-    X_i = None if xi is None else jnp.swapaxes(
+    X_i = None if real_in else jnp.swapaxes(
         xi[:].reshape(n2sel, _Q, CB), 1, 2)
 
-    WPf_r = WPr[:, n2lo:n2hi]
-    WPf_i = WPi[:, n2lo:n2hi]
-    A_r, A_i = _cdot("kn,ncq->kcq", WPf_r, WPf_i, X_r, X_i)
-    T_r = Tr[:][:, None, :]
-    T_i = Ti[:][:, None, :]
-    A_r, A_i = _cmul(A_r, A_i, T_r, T_i)
+    _stack_fwd(s1, X_r, X_i, n2sel)
+    e = functools.partial(jnp.einsum, "kn,ncq->kcq",
+                          preferred_element_type=jnp.float32)
+    A_r = e(sfw_r[:], s1[:])
+    A_i = e(sfw_i[:], s1[:])
 
-    Z_r, Z_i = _cmm(A_r.reshape(P * CB, _Q), A_i.reshape(P * CB, _Q),
-                    WQr[:], WQi[:])
+    A_r, A_i = _cmul(A_r, A_i, t_r[:][:, None, :], t_i[:][:, None, :])
+
+    hw = (qrh[:], qrl[:], qih[:], qil[:])
+    Z_r, Z_i = _cmm_ns(A_r.reshape(P * CB, _Q), A_i.reshape(P * CB, _Q), hw)
     Z_r = Z_r.reshape(P, CB, _Q)
     Z_i = Z_i.reshape(P, CB, _Q)
 
-    shift = c * coords[:]                            # (1, CB)
-    ph_r, ph_i = _phase(shift[:, :, None], kv[:][:, None, :], N)
-    Z_r, Z_i = _cmul(Z_r, Z_i, ph_r, ph_i)
+    shift = c * coords[:]                           # (1, CB)
+    u_r, u_i = _trig(shift.reshape(CB, 1), idxp[:], float(N))   # (CB, P)
+    v_r, v_i = _trig(shift.reshape(CB, 1), idxq[:], float(_Q))  # (CB, Q)
+    u_r = jnp.swapaxes(u_r, 0, 1)[:, :, None]       # (P, CB, 1)
+    u_i = jnp.swapaxes(u_i, 0, 1)[:, :, None]
+    Z_r, Z_i = _cmul(Z_r, Z_i, u_r, u_i)
+    Z_r, Z_i = _cmul(Z_r, Z_i, v_r[None], v_i[None])
 
-    B_r, B_i = _cmm(Z_r.reshape(P * CB, _Q), Z_i.reshape(P * CB, _Q),
-                    WQr[:], -WQi[:])
+    hwc = (qrh[:], qrl[:], -qih[:], -qil[:])
+    B_r, B_i = _cmm_ns(Z_r.reshape(P * CB, _Q), Z_i.reshape(P * CB, _Q), hwc)
     B_r = B_r.reshape(P, CB, _Q)
     B_i = B_i.reshape(P, CB, _Q)
-    B_r, B_i = _cmul(B_r, B_i, T_r, -T_i)
+    B_r, B_i = _cmul(B_r, B_i, t_r[:][:, None, :], -t_i[:][:, None, :])
 
-    WPb_r = WPr[m2lo:m2hi, :] * (1.0 / N)
-    WPb_i = WPi[m2lo:m2hi, :] * (-1.0 / N)
-    O_r, O_i = _cdot("nk,kcq->ncq", WPb_r, WPb_i, B_r, B_i)
-    # back to (rows, cols)
+    _stack_fwd(s2, B_r, B_i, P)
+    ei = functools.partial(jnp.einsum, "nk,kcq->ncq",
+                           preferred_element_type=jnp.float32)
+    O_r = ei(siw_r[:], s2[:])
     outr[:] = jnp.swapaxes(O_r, 1, 2).reshape(m2sel * _Q, CB)
     if outi is not None:
+        O_i = ei(siw_i[:], s2[:])
         outi[:] = jnp.swapaxes(O_i, 1, 2).reshape(m2sel * _Q, CB)
 
 
@@ -261,6 +367,20 @@ class _Squeezed:
         self._ref[0] = val
 
 
+class _SqueezedScratch:
+    """View of a (A, B, C) scratch ref supporting leading-axis slices."""
+
+    def __init__(self, ref):
+        self._ref = ref
+        self.shape = ref.shape
+
+    def __getitem__(self, idx):
+        return self._ref[idx]
+
+    def __setitem__(self, idx, val):
+        self._ref[idx] = val
+
+
 class _Loaded:
     """Constant ref wrapper: loads eagerly, supports static slicing."""
 
@@ -273,18 +393,23 @@ class _Loaded:
             else self._ref[:]
 
 
-def _run_shear(body, grid, in_specs, out_specs, out_shapes, ins,
-               real_in, real_out, interpret):
+def _run_shear(body, grid, in_specs, out_specs, out_shapes, scratch_shapes,
+               ins, real_in, real_out, n_const, interpret):
     def wrapped(c_ref, q_ref, *refs):
-        w = [_Loaded(r) for r in refs[:7]]
-        refs = refs[7:]
+        w = [_Loaded(r) for r in refs[:n_const]]
+        if real_out:
+            w.insert(n_const - 2, None)        # siw_i slot
+        refs = refs[n_const:]
         n_in = 1 if real_in else 2
+        n_out = 1 if real_out else 2
         xr_ = _Squeezed(refs[0])
         xi_ = None if real_in else _Squeezed(refs[1])
         or_ = _Squeezed(refs[n_in])
         oi_ = None if real_out else _Squeezed(refs[n_in + 1])
+        s1 = _SqueezedScratch(refs[n_in + n_out])
+        s2 = _SqueezedScratch(refs[n_in + n_out + 1])
         c = c_ref[pl.program_id(0), 0]
-        body(c, q_ref, *w, xr_, xi_, or_, oi_)
+        body(c, q_ref, *w, xr_, xi_, or_, oi_, s1, s2)
 
     return pl.pallas_call(
         wrapped,
@@ -292,18 +417,24 @@ def _run_shear(body, grid, in_specs, out_specs, out_shapes, ins,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
 
-def _const_specs(N):
-    P = N // _Q
-    shapes = [(P, P), (P, P), (_Q, _Q), (_Q, _Q), (P, _Q), (P, _Q),
-              (P, _Q)]
-    return [pl.BlockSpec(s, lambda *_: (0,) * len(s),
-                         memory_space=pltpu.VMEM) for s in shapes]
+def _const_arrays(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out):
+    """Ordered constant tensors + their VMEM BlockSpecs."""
+    cst = _consts(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out)
+    arrs = [cst["sfw_r"], cst["sfw_i"], *cst["hw"], cst["t_r"], cst["t_i"],
+            cst["siw_r"]]
+    if not real_out:
+        arrs.append(cst["siw_i"])
+    arrs += [cst["idxp"], cst["idxq"]]
+    specs = [pl.BlockSpec(a.shape, lambda *_, _nd=a.ndim: (0,) * _nd,
+                          memory_space=pltpu.VMEM) for a in arrs]
+    return [jnp.asarray(a) for a in arrs], specs
 
 
 def _shear_x(xr, xi, coef, row0, N, n2lo, n2hi, m2lo, m2hi,
@@ -311,6 +442,8 @@ def _shear_x(xr, xi, coef, row0, N, n2lo, n2hi, m2lo, m2hi,
     """x-shear of (B, R, (n2hi-n2lo)*Q) planar bands."""
     B, R, in_w = xr.shape
     real_in = xi is None
+    n2sel = n2hi - n2lo
+    P = N // _Q
     n_rb = -(-R // rb)
     Rp = n_rb * rb
     if Rp != R:
@@ -323,12 +456,14 @@ def _shear_x(xr, xi, coef, row0, N, n2lo, n2hi, m2lo, m2hi,
     body = functools.partial(_shear_rows_body, N=N, n2lo=n2lo, n2hi=n2hi,
                              m2lo=m2lo, m2hi=m2hi)
 
+    consts, const_specs = _const_arrays(N, n2lo, n2hi, m2lo, m2hi,
+                                        real_in, real_out)
     tensor_spec = pl.BlockSpec((1, rb, in_w), lambda b, r: (b, r, 0),
                                memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((rb, 1), lambda b, r: (r, 0), memory_space=pltpu.VMEM),
-        *_const_specs(N),
+        *const_specs,
         tensor_spec,
     ]
     if not real_in:
@@ -341,13 +476,18 @@ def _shear_x(xr, xi, coef, row0, N, n2lo, n2hi, m2lo, m2hi,
         out_shapes.append(jax.ShapeDtypeStruct((B, Rp, out_w), jnp.float32))
         out_specs.append(out_spec)
 
+    s1_k = (3 if real_in else 6) * n2sel
+    scratch_shapes = [pltpu.VMEM((rb, s1_k, _Q), jnp.bfloat16),
+                      pltpu.VMEM((rb, 6 * P, _Q), jnp.bfloat16)]
+
     ins = [coef.reshape(B, 1).astype(jnp.float32), jnp.asarray(coords),
-           *(jnp.asarray(c) for c in _consts(N)), xr]
+           *consts, xr]
     if not real_in:
         ins.append(xi)
 
-    out = _run_shear(body, (B, n_rb), in_specs, out_specs, out_shapes, ins,
-                     real_in, real_out, interpret)
+    out = _run_shear(body, (B, n_rb), in_specs, out_specs, out_shapes,
+                     scratch_shapes, ins, real_in, real_out,
+                     len(consts), interpret)
     res = [o if Rp == R else o[:, :R] for o in out]
     return (res[0], None) if real_out else (res[0], res[1])
 
@@ -357,6 +497,8 @@ def _shear_y(xr, xi, coef, N, n2lo, n2hi, m2lo, m2hi,
     """y-shear of (B, (n2hi-n2lo)*Q, C) planar bands."""
     B, in_h, C = xr.shape
     real_in = xi is None
+    n2sel = n2hi - n2lo
+    P = N // _Q
     n_cb = -(-C // cb)
     coords = (np.arange(C, dtype=np.float32) - N / 2).reshape(1, C)
     out_h = (m2hi - m2lo) * _Q
@@ -364,13 +506,15 @@ def _shear_y(xr, xi, coef, N, n2lo, n2hi, m2lo, m2hi,
     body = functools.partial(_shear_cols_body, N=N, n2lo=n2lo, n2hi=n2hi,
                              m2lo=m2lo, m2hi=m2hi)
 
+    consts, const_specs = _const_arrays(N, n2lo, n2hi, m2lo, m2hi,
+                                        real_in, real_out)
     tensor_spec = pl.BlockSpec((1, in_h, cb), lambda b, cblk: (b, 0, cblk),
                                memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, cb), lambda b, cblk: (0, cblk),
                      memory_space=pltpu.VMEM),
-        *_const_specs(N),
+        *const_specs,
         tensor_spec,
     ]
     if not real_in:
@@ -383,13 +527,18 @@ def _shear_y(xr, xi, coef, N, n2lo, n2hi, m2lo, m2hi,
         out_shapes.append(jax.ShapeDtypeStruct((B, out_h, C), jnp.float32))
         out_specs.append(out_spec)
 
+    s1_k = (3 if real_in else 6) * n2sel
+    scratch_shapes = [pltpu.VMEM((s1_k, cb, _Q), jnp.bfloat16),
+                      pltpu.VMEM((6 * P, cb, _Q), jnp.bfloat16)]
+
     ins = [coef.reshape(B, 1).astype(jnp.float32), jnp.asarray(coords),
-           *(jnp.asarray(c) for c in _consts(N)), xr]
+           *consts, xr]
     if not real_in:
         ins.append(xi)
 
-    out = _run_shear(body, (B, n_cb), in_specs, out_specs, out_shapes, ins,
-                     real_in, real_out, interpret)
+    out = _run_shear(body, (B, n_cb), in_specs, out_specs, out_shapes,
+                     scratch_shapes, ins, real_in, real_out,
+                     len(consts), interpret)
     return (out[0], None) if real_out else (out[0], out[1])
 
 
