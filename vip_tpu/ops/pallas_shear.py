@@ -56,7 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rotate_fft_exact_fused", "fused_shear_supported"]
+__all__ = ["rotate_fft_exact_fused", "rotate_fft_small_fused",
+           "fused_shear_supported", "fused_small_supported"]
 
 _Q = 128          # inner fold length (lane-friendly)
 _TWO_PI = 2.0 * np.pi
@@ -620,3 +621,58 @@ def rotate_fft_exact_fused(frames, angles, pad_y, py0, px0, cy0, cy1,
     c_off = cx0 - ox2lo * _Q
     out = jax.lax.slice_in_dim(s3r, c_off, c_off + (cx1 - cx0), axis=2)
     return out.astype(frames.dtype)
+
+
+def fused_small_supported(pad_to):
+    """Speed-mode canvases the fused kernels accept: fold as P*128."""
+    return pad_to % _Q == 0 and pad_to // _Q <= 16
+
+
+def rotate_fft_small_fused(cube, angles, interpret=False):
+    """Speed-mode 3-shear rotation of a full (already padded) canvas as
+    fused Pallas shears — the kernel-space analog of
+    ``ops.fft.rotate_fft_fast_batch`` (same rotation math, final
+    imaginary residue dropped at the real-part output).
+
+    cube: (B, N, N) float32 with ``fused_small_supported(N)``; rotation
+    center (N/2, N/2) as in the exact path. Intended for the
+    ``rot_mode='fft-small'`` pipeline where the frame was FoV-masked and
+    padded onto a wrap-free 1.25x+ canvas.
+    """
+    cube = jnp.asarray(cube, jnp.float32)
+    B, N, _ = cube.shape
+    if not fused_small_supported(N):
+        raise ValueError("unsupported canvas for the fused small path")
+    P = N // _Q
+
+    angles = jnp.asarray(angles, jnp.float32) % 360.0
+    d = angles % 90.0
+    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
+    use_rot = angles > 45.0
+    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
+                  0.0).astype(jnp.int32) % 4
+    dangle = jnp.where(use_rot, dangle_gt, angles)
+
+    # rot90 about the (N/2, N/2) center of the even canvas == rot90 of
+    # the (N+1)^2 zero-extended canvas, cropped back (cf. rotate_fft)
+    ext = jnp.zeros((B, N + 1, N + 1), cube.dtype).at[:, :-1, :-1].set(cube)
+
+    def _quad(km, fr):
+        return jax.lax.switch(km, [lambda a: a,
+                                   lambda a: jnp.rot90(a, 1),
+                                   lambda a: jnp.rot90(a, 2),
+                                   lambda a: jnp.rot90(a, 3)], fr)
+
+    work = jax.vmap(_quad)(k, ext)[:, :-1, :-1]
+
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)
+    b = -jnp.sin(jnp.deg2rad(dangle))
+
+    s1r, s1i = _shear_x(work, None, a, row0=0, N=N,
+                        n2lo=0, n2hi=P, m2lo=0, m2hi=P, interpret=interpret)
+    s2r, s2i = _shear_y(s1r, s1i, b, N=N, n2lo=0, n2hi=P,
+                        m2lo=0, m2hi=P, interpret=interpret)
+    s3r, _ = _shear_x(s2r, s2i, a, row0=0, N=N,
+                      n2lo=0, n2hi=P, m2lo=0, m2hi=P, real_out=True,
+                      interpret=interpret)
+    return s3r.astype(cube.dtype)

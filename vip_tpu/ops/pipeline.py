@@ -43,19 +43,42 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
         # canvas is wrap-free and the exact mode's 4x flux-preserving
         # canvas is unnecessary. Pixels outside the inscribed circle are
         # zeroed (the corners are outside the scientific FoV).
+        import os
+
+        from .fft import rotate_fft_fast_batch
+        from .pallas_shear import (fused_small_supported,
+                                   rotate_fft_small_fused)
+
         sz = cube.shape[-1]
         pad_to = -(-int(sz * 1.25) // 2) * 2  # even ceil
+        # Opt-in fused Pallas matmul-DFT shears on a 128-foldable canvas
+        # (>= 1.25x stays wrap-free). Measured SLOWER than the packed
+        # jnp.fft path on v5e at 512^2 (1481 vs 1636 frames/s: the pack
+        # rides two real frames per complex FFT and the small canvas
+        # keeps XLA's FFT efficient), so the default stays "packed";
+        # the fused variant is kept for other geometries and as the
+        # more accurate option (it carries complex intermediates).
+        pad_fused = -(-int(sz * 1.25) // 128) * 128
+        use_fused = (
+            os.environ.get("VIP_SMALL_SHEAR", "packed") == "fused"
+            and cube.dtype == jnp.float32
+            and fused_small_supported(pad_fused)
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_fused:
+            pad_to = pad_fused
         m0 = (pad_to - sz) // 2
         m1 = pad_to - sz - m0
         qq = jnp.arange(sz) - sz / 2
         fov = (qq[:, None]**2 + qq[None, :]**2) < (sz / 2) ** 2
 
-        from .fft import rotate_fft_fast_batch
-
         def _rot_small(frames, angs):
             frames = jnp.where(fov[None], frames, 0.0)
             padded = jnp.pad(frames, ((0, 0), (m0, m1), (m0, m1)))
-            out = rotate_fft_fast_batch(padded, angs)
+            if use_fused:
+                out = rotate_fft_small_fused(padded, angs)
+            else:
+                out = rotate_fft_fast_batch(padded, angs)
             return out[:, m0:m0 + sz, m0:m0 + sz]
 
         if chunk is None or chunk >= cube.shape[0]:
