@@ -109,27 +109,24 @@ class ScatteredLightDisk:
                                'beta': 1., 'dens_at_r0': 1.},
                  spf_dico={'name': 'HG', 'g': 0., 'polar': False}, xdo=0.,
                  ydo=0., xs=None, ys=None):
-        self.nx = nx
-        self.ny = ny
+        self.nx, self.ny = nx, ny
         self.distance = distance
         self.set_inclination(itilt)
         self.set_omega(omega)
         self.set_flux_max(flux_max)
         self.pxInArcsec = pxInArcsec
-        self.pxInAU = self.pxInArcsec * self.distance
-        self.xdo = xdo
-        self.ydo = ydo
-        self.rmin = np.sqrt(self.xdo**2 + self.ydo**2) + self.pxInAU
+        self.pxInAU = pxInArcsec * distance
+        self.xdo, self.ydo = xdo, ydo
+        self.rmin = np.hypot(xdo, ydo) + self.pxInAU
         self.dust_density = Dust_distribution(density_dico)
         if xs is None or ys is None:
-            self.yc, self.xc = frame_center(np.empty((self.ny, self.nx)))
+            self.yc, self.xc = frame_center(np.empty((ny, nx)))
         else:
-            self.yc = ys
-            self.xc = xs
-        self.x_vector = (np.arange(0, nx) - self.xc) * self.pxInAU
-        self.y_vector = (np.arange(0, ny) - self.yc) * self.pxInAU
-        self.x_map_0PA, self.y_map_0PA = np.meshgrid(self.x_vector,
-                                                     self.y_vector)
+            self.yc, self.xc = ys, xs
+        self.x_vector = (np.arange(nx) - self.xc) * self.pxInAU
+        self.y_vector = (np.arange(ny) - self.yc) * self.pxInAU
+        self.x_map_0PA, self.y_map_0PA = np.meshgrid(
+            self.x_vector, self.y_vector)
         self.set_pa(pa)
         self.phase_function = Phase_function(spf_dico=spf_dico)
         self.scattered_light_map = np.zeros((ny, nx))
@@ -304,18 +301,17 @@ class Dust_distribution:
                                      'dens_at_r0': 1.}):
         self.accuracy = 5.e-3
         if not isinstance(density_dico, dict):
-            raise TypeError('The parameters describing the dust density '
-                            'distribution must be a Python dictionnary')
-        if 'name' not in density_dico.keys():
-            raise TypeError('The dictionnary describing the dust density '
-                            'distribution must contain the key "name"')
+            raise TypeError('The dust density distribution parameters '
+                            'must come as a Python dict')
+        if 'name' not in density_dico:
+            raise TypeError('The dust density distribution dict requires '
+                            'the key "name"')
         self.type = density_dico['name']
-        if self.type == '2PowerLaws':
-            self.dust_distribution_calc = DustEllipticalDistribution2PowerLaws(
-                self.accuracy, density_dico)
-        else:
-            raise TypeError('The only dust distribution implemented so far '
-                            'is the "2PowerLaws"')
+        if self.type != '2PowerLaws':
+            raise TypeError('The only dust distribution implemented so '
+                            'far is the "2PowerLaws"')
+        self.dust_distribution_calc = DustEllipticalDistribution2PowerLaws(
+            self.accuracy, density_dico)
 
     def set_density_distribution(self, density_dico):
         """Update the parameters of the density distribution."""
@@ -572,10 +568,10 @@ class Phase_function:
         plt.close(0)
         plt.figure(0)
         plt.plot(phi, spf)
-        plt.xlabel('Scattering phase angle in degrees')
-        plt.ylabel('Scattering phase function')
-        plt.grid()
+        plt.xlabel("Scattering phase angle [deg]")
+        plt.ylabel("Scattering phase function")
         plt.xlim(0, 180)
+        plt.grid()
         plt.show()
 
 
@@ -584,27 +580,23 @@ class HenyeyGreenstein_SPF:
     (reference scattered_light_disk.py:902-956)."""
 
     def __init__(self, spf_dico={'g': 0.}):
-        if 'g' not in spf_dico.keys():
-            raise TypeError('The dictionnary describing a Heyney Greenstein '
-                            'phase function must contain the key "g"')
+        if 'g' not in spf_dico:
+            raise TypeError('A Henyey-Greenstein phase-function dict '
+                            'requires the key "g"')
         if not isinstance(spf_dico['g'], (float, int)):
-            raise TypeError('The key "g" of a Heyney Greenstein phase '
-                            'function dictionnary must be a float or an '
-                            'integer')
+            raise TypeError('"g" of a Henyey-Greenstein phase-function '
+                            'dict must be a float or an integer')
         self.set_phase_function(spf_dico['g'])
 
     def set_phase_function(self, g):
         """Set g, clamping to (-1, 1) as the reference does."""
-        if g >= 1:
-            print('Warning the Henyey Greenstein parameter is greater than '
-                  'or equal to 1')
-            print('The value was changed from {0:6.2f} to 0.99'.format(g))
-            g = 0.99
-        elif g <= -1:
-            print('Warning the Henyey Greenstein parameter is smaller than '
-                  'or equal to -1')
-            print('The value was changed from {0:6.2f} to -0.99'.format(g))
-            g = -0.99
+        if not -1 < g < 1:
+            side = 0.99 if g >= 1 else -0.99
+            print(f"Warning the Henyey Greenstein parameter is "
+                  f"{'greater' if g >= 1 else 'smaller'} than or equal "
+                  f"to {1 if g >= 1 else -1}")
+            print(f"The value was changed from {g:6.2f} to {side}")
+            g = side
         self.g = float(g)
 
     def compute_phase_function_from_cosphi(self, cos_phi):
@@ -621,30 +613,29 @@ class DoubleHenyeyGreenstein_SPF:
     (reference scattered_light_disk.py:959-1035)."""
 
     def __init__(self, spf_dico={'g': [0.5, -0.3], 'weight': 0.7}):
-        if 'g' not in spf_dico.keys():
-            raise TypeError('The dictionnary describing a Heyney Greenstein '
-                            'phase function must contain the key "g"')
+        if 'g' not in spf_dico:
+            raise TypeError('A double Henyey-Greenstein phase-function '
+                            'dict requires the key "g"')
         if not isinstance(spf_dico['g'], (list, tuple, np.ndarray)):
-            raise TypeError('The key "g" of a Heyney Greenstein phase '
-                            'function dictionnary must be a list of floats')
-        if 'weight' not in spf_dico.keys():
-            raise TypeError('The dictionnary describing a multiple Henyey '
-                            'Greenstein phase function must contain the key '
-                            '"weight"')
-        if not isinstance(spf_dico['weight'], (float, int)):
-            raise TypeError('The key "weight" of a Heyney Greenstein phase '
-                            'function dictionnary must be a float (weight of '
-                            'the first HG coefficient between 0 and 1)')
-        if spf_dico['weight'] < 0 or spf_dico['weight'] > 1:
-            raise ValueError('The key "weight" of a Heyney Greenstein phase '
-                             'function dictionnary must be between 0 and 1. '
-                             'It corresponds to the weight of the first HG '
-                             'coefficient')
+            raise TypeError('"g" of a double Henyey-Greenstein '
+                            'phase-function dict must be a list of floats')
+        if 'weight' not in spf_dico:
+            raise TypeError('A double Henyey-Greenstein phase-function '
+                            'dict requires the key "weight"')
+        weight = spf_dico['weight']
+        if not isinstance(weight, (float, int)):
+            raise TypeError('"weight" of a double Henyey-Greenstein '
+                            'phase-function dict must be a float (weight '
+                            'of the first HG coefficient, within [0, 1])')
+        if not 0 <= weight <= 1:
+            raise ValueError('"weight" of a double Henyey-Greenstein '
+                             'phase-function dict is the weight of the '
+                             'first HG coefficient: it must lie in [0, 1]')
         if len(spf_dico['g']) != 2:
-            raise TypeError('The keys "weight" and "g" must contain the same '
-                            'number of elements')
+            raise TypeError('The keys "weight" and "g" must contain the '
+                            'same number of elements')
         self.g = spf_dico['g']
-        self.weight = spf_dico['weight']
+        self.weight = weight
 
     def print_info(self):
         """Print the two HG coefficients and the weight."""
@@ -672,18 +663,17 @@ class Interpolated_SPF:
                                  'spf': np.array([3.580, 0.703, 0.141, 0.0489,
                                                   0.0233, 0.0136, 0.0091,
                                                   0.0069, 0.0056, 0.005])}):
-        for key in ['phi', 'spf']:
-            if key not in spf_dico.keys():
-                raise TypeError('The dictionnary describing a "interpolated" '
-                                'phase function must contain the key '
-                                '"{0:s}"'.format(key))
+        for key in ('phi', 'spf'):
+            if key not in spf_dico:
+                raise TypeError(f'An "interpolated" phase-function dict '
+                                f'requires the key "{key}"')
             if not isinstance(spf_dico[key], (list, tuple, np.ndarray)):
-                raise TypeError('The key "{0:s}" of a "interpolated" phase '
-                                'function dictionnary must be a list, np '
-                                'array or tuple'.format(key))
+                raise TypeError(f'"{key}" of an "interpolated" '
+                                'phase-function dict must be a list, '
+                                'numpy array or tuple')
         if len(spf_dico['phi']) != len(spf_dico['spf']):
-            raise TypeError('The keys "phi" and "spf" must contain the same '
-                            'number of elements')
+            raise TypeError('The keys "phi" and "spf" must contain the '
+                            'same number of elements')
         self.interpolate_phase_function(spf_dico)
 
     def print_info(self):
@@ -691,8 +681,8 @@ class Interpolated_SPF:
         phi = np.linspace(0, 180, 19)
         spf = self.compute_phase_function_from_cosphi(
             np.cos(np.deg2rad(phi)))
-        print('Scattering angle: ', phi)
-        print('Interpolated scattering phase function: ', spf)
+        print("Scattering angle: ", phi)
+        print("Interpolated scattering phase function: ", spf)
 
     def interpolate_phase_function(self, spf_dico):
         """Build the interpolator (pchip by default, as the reference)."""

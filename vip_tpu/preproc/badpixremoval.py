@@ -3,7 +3,10 @@
 
 The FFT-based iterative interpolation ([AAC01]) replaces the reference's
 per-pixel numba loop with vectorized rolls; the sigma filters follow the
-reference's (numba-variant) math exactly.
+reference's (numba-variant) math exactly. Host-side plumbing (mask
+normalization, per-frame broadcasting, protected zones) is factored into
+the shared helpers below instead of the reference's per-function inline
+blocks.
 """
 
 import numpy as np
@@ -21,17 +24,29 @@ __all__ = ["frame_fix_badpix_isolated", "cube_fix_badpix_isolated",
            "frame_fix_badpix_fft"]
 
 
-def _disk_idx(center, radius, shape):
-    """skimage.draw.disk equivalent (strict < radius)."""
-    cy, cx = center
+# ---------------------------------------------------------------------------
+# shared host-side helpers
+# ---------------------------------------------------------------------------
+def _disk_mask(cy, cx, radius, shape):
+    """Boolean mask of the strict-interior disk (skimage.draw.disk)."""
     yy, xx = np.mgrid[:shape[0], :shape[1]]
-    return np.where((yy - cy)**2 + (xx - cx)**2 < radius**2)
+    return (yy - cy) ** 2 + (xx - cx) ** 2 < radius ** 2
 
 
-def _ellipse_idx(r, c, r_radius, c_radius, shape):
-    """skimage.draw.ellipse equivalent (strict < 1)."""
+def _ellipse_mask(cy, cx, ry, rx, shape):
+    """Boolean mask of the strict-interior ellipse (skimage.draw.ellipse)."""
     yy, xx = np.mgrid[:shape[0], :shape[1]]
-    return np.where(((yy - r) / r_radius)**2 + ((xx - c) / c_radius)**2 < 1)
+    return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1
+
+
+def _protect_region(cy, cx, radius, shape, half_res_y=False):
+    """Protected central zone: a disk, or a half-height ellipse when the
+    frame is y-subsampled (half_res_y)."""
+    if not radius:
+        return np.zeros(shape, dtype=bool)
+    if half_res_y:
+        return _ellipse_mask(cy, cx, radius / 2.0, radius, shape)
+    return _disk_mask(cy, cx, radius, shape)
 
 
 def _sigma_clipped_std(data, sigma=2.5, maxiters=5):
@@ -49,29 +64,64 @@ def _sigma_clipped_std(data, sigma=2.5, maxiters=5):
     return np.std(d)
 
 
+def _norm_mask(mask, shape2d, name="mask"):
+    """None -> all-False; else bool-cast and check trailing dims."""
+    if mask is None:
+        return np.zeros(shape2d, dtype=bool)
+    if mask.shape[-2:] != tuple(shape2d[-2:]):
+        raise AssertionError(
+            f"Input {name} should match the frame shape")
+    return mask.astype(bool)
 
-def _check_bpix_args(ndim_ok, array, size=None, correct_only=False,
-                     bpm_mask=None, match_full_shape=True):
-    """Shared argument validation for the bad-pixel correctors: dims,
-    odd median-kernel size, correct_only/bpm consistency; returns the
-    boolean-cast bad-pixel map."""
-    if array.ndim not in ndim_ok:
-        raise TypeError(f"Array is not {ndim_ok}-dimensional")
+
+def _stack_per_frame(mask, nz):
+    """Broadcast a 2-d mask to (nz, y, x); pass 3-d through."""
+    mask = np.asarray(mask)
+    if mask.ndim == 2:
+        return np.repeat(mask[None], nz, axis=0)
+    return mask
+
+
+def _seq_per_frame(val, nz):
+    """Scalars become an nz-long list; sequences pass through."""
+    return [val] * nz if np.isscalar(val) else val
+
+
+def _require_odd_kernel(size):
     if size is not None and size % 2 == 0:
         raise TypeError("Size of the median blur kernel must be an odd "
                         "integer")
+
+
+def _require_map_for_correct_only(correct_only, bpm_mask):
     if correct_only and bpm_mask is None:
         raise ValueError("Bad pixel map should be provided if correct_only "
                          "is True.")
-    if bpm_mask is not None:
-        want = array.shape if match_full_shape else array.shape[-2:]
-        if bpm_mask.shape[-2:] != want[-2:]:
-            raise AssertionError("Input bad pixel mask should match the "
-                                 "frame shape")
-        bpm_mask = bpm_mask.astype(bool)
-    return bpm_mask
 
 
+def _seed_from_values(array, bad_values, bpm_mask):
+    """Flag every pixel equal to one of ``bad_values`` in the map."""
+    if bad_values is None:
+        return bpm_mask
+    seeded = (np.zeros(array.shape, dtype=bool) if bpm_mask is None
+              else bpm_mask.astype(bool).copy())
+    for bad in bad_values:
+        seeded |= array == bad
+    return seeded
+
+
+def _clump_kernel_geom(fwhm):
+    """Odd neighbor-box edge from the FWHM + minimum neighbor count
+    (the reference's sum over the odd box perimeter sizes)."""
+    edge = int(round(fwhm))
+    edge += 1 - edge % 2
+    box = max(3, edge)
+    return box, int(np.arange(3, box + 2, 2).sum())
+
+
+# ---------------------------------------------------------------------------
+# isolated bad pixels (sigma clip + local median)
+# ---------------------------------------------------------------------------
 def frame_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
                               sigma_clip=3, num_neig=5, size=5,
                               protect_mask=0, cxy=None, mad=False,
@@ -81,49 +131,41 @@ def frame_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
     local median (reference badpixremoval.py:61-187)."""
     if array.ndim != 2:
         raise TypeError("Array is not a 2d array or single frame")
-    bpm_mask = _check_bpix_args((2,), array, size, correct_only, bpm_mask)
-    if excl_mask is None:
-        excl_mask = np.zeros(array.shape, dtype=bool)
-    else:
-        assert excl_mask.shape == array.shape, \
-            "Input exclusion mask should have same shape as array\n"
-    ind_excl = np.where(excl_mask)
+    _require_odd_kernel(size)
+    _require_map_for_correct_only(correct_only, bpm_mask)
+    if bpm_mask is not None:
+        bpm_mask = _norm_mask(bpm_mask, array.shape, "bad pixel mask")
+    if excl_mask is not None and excl_mask.shape != array.shape:
+        raise AssertionError(
+            "Input exclusion mask should have same shape as array\n")
+    excl = (np.zeros(array.shape, bool) if excl_mask is None
+            else excl_mask.astype(bool))
 
-    if verbose:
-        start = time_ini()
-    neigh = num_neig > 0
+    clock = time_ini() if verbose else None
+    cy, cx = frame_center(array) if cxy is None else cxy[::-1]
+
     frame = array.copy()
-    if cxy is None:
-        cy, cx = frame_center(frame)
-    else:
-        cx, cy = cxy
-
-    if bpm_mask is None or not correct_only:
-        if bpm_mask is None:
-            bpm_mask = np.zeros(array.shape, dtype=bool)
-        bpm_mask = bpm_mask + excl_mask
-        ori_nan_mask = np.where(np.isnan(frame))
-        ind = clip_array(frame, sigma_clip, sigma_clip, bpm_mask,
-                         neighbor=neigh, num_neighbor=num_neig, mad=mad)
+    detect = bpm_mask is None or not correct_only
+    if detect:
+        seed = excl if bpm_mask is None else (bpm_mask | excl)
+        was_nan = np.isnan(frame)
+        hits = clip_array(frame, sigma_clip, sigma_clip, seed,
+                          neighbor=num_neig > 0, num_neighbor=num_neig,
+                          mad=mad)
         bpm_mask = np.zeros(frame.shape, dtype=bool)
-        bpm_mask[ind] = True
+        bpm_mask[hits] = True
         if ignore_nan:
-            bpm_mask[ori_nan_mask] = False
-        if protect_mask:
-            cir = _disk_idx((cy, cx), protect_mask, bpm_mask.shape)
-            bpm_mask[cir] = False
-        bpm_mask[ind_excl] = False
-        bpm_mask = bpm_mask.astype("bool")
+            bpm_mask &= ~was_nan
+        bpm_mask &= ~_protect_region(cy, cx, protect_mask, bpm_mask.shape)
+        bpm_mask &= ~excl
 
     smoothed = median_filter(frame, size, mode="mirror")
     frame[bpm_mask] = smoothed[bpm_mask]
     if verbose:
-        print("Done replacing {} bad pixels using the median of neighbors"
-              .format(np.sum(bpm_mask)))
-        timing(start)
-    if full_output:
-        return frame, bpm_mask
-    return frame
+        print(f"Done replacing {np.sum(bpm_mask)} bad pixels using the "
+              "median of neighbors")
+        timing(clock)
+    return (frame, bpm_mask) if full_output else frame
 
 
 def cube_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
@@ -135,11 +177,11 @@ def cube_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
     (reference badpixremoval.py:190-375)."""
     if array.ndim != 3:
         raise TypeError("Array is not a 3d array or cube")
-    bpm_mask = _check_bpix_args((3,), array, size, correct_only, bpm_mask,
-                                match_full_shape=False)
-    if verbose:
-        start = time_ini()
-    neigh = num_neig > 0
+    _require_odd_kernel(size)
+    _require_map_for_correct_only(correct_only, bpm_mask)
+    if bpm_mask is not None:
+        bpm_mask = _norm_mask(bpm_mask, array.shape[-2:], "bad pixel mask")
+    clock = time_ini() if verbose else None
 
     nz = array.shape[0]
     if cxy is None:
@@ -147,85 +189,83 @@ def cube_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
     elif isinstance(cxy, tuple):
         cx, cy = cxy
     elif isinstance(cxy, np.ndarray):
-        if cxy.shape[0] != nz or cxy.shape[1] != 2 or cxy.ndim != 2:
+        if cxy.ndim != 2 or cxy.shape != (nz, 2):
             raise ValueError("cxy does not have right shape")
         if not frame_by_frame:
             raise ValueError("cxy must be a tuple or None if not in "
                              "frame_by_frame mode")
-        cx = cxy[:, 0]
-        cy = cxy[:, 1]
+        cx, cy = cxy[:, 0], cxy[:, 1]
 
-    array_out = array.copy()
-    final_bpm = np.zeros_like(array_out, dtype=bool)
-    n_frames = array.shape[0]
-    count_bp = 0
+    fixed = array.copy()
+    found = np.zeros_like(array, dtype=bool)
+
     if frame_by_frame:
-        if np.isscalar(cx):
-            cx = [cx] * nz
-            cy = [cy] * nz
-        if bpm_mask is not None and bpm_mask.ndim == 2:
-            bpm_mask = np.array([bpm_mask] * n_frames)
-        for i in range(n_frames):
-            bpm_mask_tmp = bpm_mask[i] if bpm_mask is not None else None
-            excl_mask_tmp = excl_mask[i] if excl_mask is not None else None
-            res = frame_fix_badpix_isolated(
-                array[i], bpm_mask=bpm_mask_tmp, correct_only=correct_only,
-                sigma_clip=sigma_clip, num_neig=num_neig, size=size,
-                protect_mask=protect_mask, excl_mask=excl_mask_tmp,
+        cx = _seq_per_frame(cx, nz)
+        cy = _seq_per_frame(cy, nz)
+        if bpm_mask is not None:
+            bpm_mask = _stack_per_frame(bpm_mask, nz)
+        for i in range(nz):
+            fixed[i], found[i] = frame_fix_badpix_isolated(
+                array[i],
+                bpm_mask=None if bpm_mask is None else bpm_mask[i],
+                correct_only=correct_only, sigma_clip=sigma_clip,
+                num_neig=num_neig, size=size, protect_mask=protect_mask,
+                excl_mask=None if excl_mask is None else excl_mask[i],
                 verbose=False, cxy=(cx[i], cy[i]), ignore_nan=ignore_nan,
                 mad=mad, full_output=True)
-            array_out[i] = res[0]
-            final_bpm[i] = res[1]
-        count_bp = np.sum(final_bpm)
+        n_fixed = int(found.sum())
+        final_bpm = found
     else:
+        # one shared map from the mean frame
         if excl_mask is None:
-            excl_mask = np.zeros(array.shape[-2:], dtype=bool)
+            excl = np.zeros(array.shape[-2:], dtype=bool)
         elif excl_mask.ndim == 3:
-            excl_mask = np.median(excl_mask, axis=0)
+            excl = np.median(excl_mask, axis=0).astype(bool)
         else:
-            assert excl_mask.shape == array.shape[-2:], \
-                "Input exclusion mask should have same last 2 dims as array"
-        ind_excl = np.where(excl_mask)
+            if excl_mask.shape != array.shape[-2:]:
+                raise AssertionError(
+                    "Input exclusion mask should have same last 2 dims as"
+                    " array")
+            excl = excl_mask.astype(bool)
+
         if bpm_mask is None or not correct_only:
             if bpm_mask is None:
-                bpm_mask = np.zeros(array.shape[-2:], dtype=bool)
+                seed2d = np.zeros(array.shape[-2:], dtype=bool)
             elif bpm_mask.ndim == 3:
-                bpm_mask = np.median(bpm_mask, axis=0)
-            all_excl_mask = bpm_mask + excl_mask
-            ori_nan_mask = np.where(np.isnan(np.nanmean(array, axis=0)))
-            ind = clip_array(np.nanmean(array, axis=0), sigma_clip,
-                             sigma_clip, all_excl_mask, neighbor=neigh,
-                             num_neighbor=num_neig, mad=mad)
-            final_bpm = np.asarray(bpm_mask).copy().astype(bool)
-            final_bpm[ind] = True
-            if ignore_nan:
-                final_bpm[ori_nan_mask] = False
-            if protect_mask:
-                cir = _disk_idx((cy, cx), protect_mask, final_bpm.shape)
-                final_bpm[cir] = False
-            final_bpm[ind_excl] = False
-            final_bpm = final_bpm.astype("bool")
-        else:
-            if bpm_mask.ndim == 3:
-                final_bpm = np.median(bpm_mask, axis=0).astype(bool)
+                seed2d = np.median(bpm_mask, axis=0).astype(bool)
             else:
-                final_bpm = bpm_mask.copy()
-        for i in range(n_frames):
-            frame = array_out[i]
+                seed2d = bpm_mask
+            mean_fr = np.nanmean(array, axis=0)
+            hits = clip_array(mean_fr, sigma_clip, sigma_clip,
+                              seed2d | excl, neighbor=num_neig > 0,
+                              num_neighbor=num_neig, mad=mad)
+            final_bpm = np.asarray(seed2d).copy().astype(bool)
+            final_bpm[hits] = True
+            if ignore_nan:
+                final_bpm &= ~np.isnan(mean_fr)
+            final_bpm &= ~_protect_region(cy, cx, protect_mask,
+                                          final_bpm.shape)
+            final_bpm &= ~excl
+        elif bpm_mask.ndim == 3:
+            final_bpm = np.median(bpm_mask, axis=0).astype(bool)
+        else:
+            final_bpm = bpm_mask.copy()
+
+        for i, frame in enumerate(fixed):
             smoothed = median_filter(frame, size, mode="mirror")
-            frame[np.where(final_bpm)] = smoothed[np.where(final_bpm)]
-            array_out[i] = frame
-            count_bp += np.sum(final_bpm)
+            frame[final_bpm] = smoothed[final_bpm]
+        n_fixed = nz * int(final_bpm.sum())
 
     if verbose:
-        print("Done replacing {:.0f} bad pixels using the median of "
-              "neighbors".format(count_bp))
-        timing(start)
-    if full_output:
-        return array_out, final_bpm
-    return array_out
+        print(f"Done replacing {n_fixed:.0f} bad pixels using the median "
+              "of neighbors")
+        timing(clock)
+    return (fixed, final_bpm) if full_output else fixed
 
 
+# ---------------------------------------------------------------------------
+# annulus-statistics correction
+# ---------------------------------------------------------------------------
 def reject_outliers(data, test_value, m=5., stddev=None, debug=False):
     """Robust outlier test (reference badpixremoval.py:1850-1943, numba
     variant: the reference compares max(data) — not max(|d|) — to
@@ -234,8 +274,7 @@ def reject_outliers(data, test_value, m=5., stddev=None, debug=False):
     if stddev is None:
         stddev = np.std(data)
     med = np.median(data)
-    d_flat = np.abs(data.flatten() - med)
-    mdev = np.median(d_flat)
+    mdev = np.median(np.abs(data.ravel() - med))
     if max(np.max(data), np.abs(test_value - med)) > stddev:
         test = np.abs((test_value - med) / mdev) if mdev > 0 else np.inf
         return 0 if test < m else 1
@@ -296,18 +335,16 @@ def find_outliers(frame, sig_dist, in_bpix=None, stddev=None,
             for yy in range(ny):
                 bpix_map[yy, xx] = _test(yy, xx)
     else:
-        nb = int(np.sum(in_bpix))
-        wb = np.where(in_bpix)
-        bool_bpix = np.zeros_like(in_bpix)
-        for n in range(nb):
-            for yy in [max(0, wb[0][n] - half_box), wb[0][n],
-                       min(ny - 1, wb[0][n] + half_box)]:
-                for xx in [max(0, wb[1][n] - half_box), wb[1][n],
-                           min(ny - 1, wb[1][n] + half_box)]:
-                    bool_bpix[yy, xx] = 1
-        wb = np.where(bool_bpix)
-        for n in range(len(wb[0])):
-            bpix_map[wb[0][n], wb[1][n]] = _test(wb[0][n], wb[1][n])
+        # only revisit the 3x3-ish neighborhoods of the seeded bad pixels
+        seen = np.zeros_like(in_bpix)
+        for y0, x0 in zip(*np.where(in_bpix)):
+            for yy in {max(0, y0 - half_box), y0,
+                       min(ny - 1, y0 + half_box)}:
+                for xx in {max(0, x0 - half_box), x0,
+                           min(ny - 1, x0 + half_box)}:
+                    seen[yy, xx] = 1
+        for yy, xx in zip(*np.where(seen)):
+            bpix_map[yy, xx] = _test(yy, xx)
     return bpix_map
 
 
@@ -336,6 +373,118 @@ def correct_ann_outliers(array, bpix_map, ann_width, sig, med_neig,
     return array_corr, bpm.astype(float)
 
 
+def _ann_removal_2d(frame_in, cy, cx, fwhm, sig, protect_mask, seed_map,
+                    excl_mask, r_in_std, r_out_std, min_thr, max_thr,
+                    min_thr_np, half_res_y, verbose):
+    """One frame of :func:`cube_fix_badpix_annuli`."""
+    if excl_mask.shape != frame_in.shape:
+        raise AssertionError(
+            "Input exclusion mask should have same shape as array\n")
+    excl = excl_mask.astype(bool)
+    work = frame_in
+    ny, nx = work.shape
+
+    if half_res_y:
+        if ny % 2:
+            raise ValueError("The input frames do not have of an even "
+                             "number of rows. Hence, you should not use "
+                             "option half_res_y = True")
+        ny //= 2
+        cy = int(cy / 2)
+        work = frame_in[::2].copy()
+        excl = excl[::2]
+        if seed_map is not None:
+            seed_map = seed_map[::2]
+
+    # noise floor from a clean annulus (or the whole frame)
+    if r_in_std or r_out_std:
+        r_in_std = min(r_in_std * fwhm, cx - 2, cy - 2, nx - cx - 2,
+                       ny - cy - 2)
+        if r_out_std:
+            r_out_std *= fwhm
+        else:
+            r_out_std = min(ny - (cy + r_in_std), cy - r_in_std,
+                            nx - (cx + r_in_std), cx - r_in_std)
+        sample = get_annulus_segments(work, r_in_std,
+                                      max(2, r_out_std - r_in_std),
+                                      mode="val")
+    else:
+        sample = work
+    stddev = _sigma_clipped_std(sample, sigma=2.5)
+
+    ymax = max(cy, ny - cy) * (2 if half_res_y else 1)
+    xmax = max(cx, nx - cx)
+    ann_width = max(1.5, 0.5 * fwhm)
+    nrad = int(np.sqrt(ymax ** 2 + xmax ** 2) / ann_width) + 1
+    if half_res_y:
+        d_border = max(2 * (ny - cy), 2 * cy, nx - cx, cx)
+    else:
+        d_border = max(ny - cy, cy, nx - cx, cx)
+
+    known_bad = excl.copy()
+    if seed_map is not None:
+        known_bad |= seed_map.astype(bool)
+    if min_thr_np is not None:
+        known_bad |= work < min_thr_np
+    valid = ~known_bad
+
+    # pixel -> annulus index from the radial metric (elliptic when
+    # half_res_y); the strict-< disk membership of the reference's
+    # rasterized annuli is reproduced by searchsorted on the squared
+    # ring boundaries.
+    yy_g, xx_g = np.mgrid[:ny, :nx]
+    if half_res_y:
+        r2 = (2.0 * (yy_g - cy)) ** 2 + (xx_g - cx) ** 2
+    else:
+        r2 = (yy_g - cy) ** 2.0 + (xx_g - cx) ** 2
+    bounds = (np.arange(1, nrad + 1, dtype=float) * ann_width) ** 2
+    ann_idx = np.searchsorted(bounds, r2.ravel(),
+                              side="right").reshape(ny, nx)
+    ann_idx = np.minimum(ann_idx, nrad - 1)
+
+    # past the frame border the reference pools every remaining pixel
+    # into one outer region whose stats serve all outer annuli
+    rr_limit = int(d_border / ann_width)
+    med_neig = np.full(nrad, np.nan)
+    std_neig = np.full(nrad, np.nan)
+    for rr in range(min(rr_limit + 1, nrad)):
+        med_neig[rr], std_neig[rr] = _trimmed_med_std(
+            work[valid & (ann_idx == rr)], stddev)
+    if nrad - 1 > rr_limit:
+        pooled = _trimmed_med_std(work[valid & (ann_idx >= rr_limit)],
+                                  stddev)
+        med_neig[rr_limit + 1:], std_neig[rr_limit + 1:] = pooled
+
+    ann_frame_cumul = np.where(valid, ann_idx, 0)
+    if nrad - 1 > rr_limit:
+        ann_frame_cumul[valid & (ann_idx >= rr_limit)] = nrad - 1
+
+    protected = _protect_region(cy, cx, protect_mask, (ny, nx), half_res_y)
+
+    fixed, bpix_map = correct_ann_outliers(
+        work, known_bad, ann_width, sig, med_neig, std_neig, cy, cx,
+        min_thr, max_thr, stddev, half_res_y)
+
+    n_found = int(bpix_map.sum())
+    n_corrected = n_found - int(bpix_map[protected].sum())
+    # inside the protected zone only clear pixels above the
+    # no-protection floor (min_thr_np), else clear the whole zone
+    restore = protected if min_thr_np is None \
+        else protected & (work >= min_thr_np)
+    bpix_map[restore] = 0
+    fixed[restore] = work[restore]
+    if verbose:
+        print(n_found, " bpix in total, and ", n_corrected, " corrected.")
+
+    if half_res_y:
+        fixed = np.repeat(fixed, 2, axis=0)[:2 * ny]
+        bpix_map = np.repeat(bpix_map, 2, axis=0)[:2 * ny]
+        ann_frame_cumul = np.repeat(ann_frame_cumul, 2, axis=0)[:2 * ny]
+    fixed[excl_mask.astype(bool)] = frame_in[excl_mask.astype(bool)]
+    bpix_map[excl_mask.astype(bool)] = 0
+    return fixed, bpix_map, ann_frame_cumul
+
+
 def cube_fix_badpix_annuli(array, fwhm, cy=None, cx=None, sig=5.,
                            bpm_mask=None, protect_mask=0, excl_mask=None,
                            r_in_std=50, r_out_std=None, verbose=True,
@@ -352,171 +501,120 @@ def cube_fix_badpix_annuli(array, fwhm, cy=None, cx=None, sig=5.,
     if max_thr is None:
         max_thr = np.amax(array) - 1
     if bpm_mask is not None:
-        assert bpm_mask.shape[-2:] == array.shape[-2:], \
-            "Input bad pixel mask should have same last 2 dims as array\n"
-        bpm_mask = bpm_mask.astype("bool")
-    if bad_values is not None:
-        if bpm_mask is None:
-            bpm_mask = np.zeros(array.shape, dtype=bool)
-        for bad in bad_values:
-            bpm_mask[np.where(array == bad)] = 1
-
-    def bp_removal_2d(array, cy, cx, fwhm, sig, protect_mask, bpm_mask_ori,
-                      excl_mask, r_in_std, r_out_std, verbose):
-        assert excl_mask.shape == array.shape, \
-            "Input exclusion mask should have same shape as array\n"
-        ind_excl = np.where(excl_mask)
-        frame = array.copy()
-        n_x = array.shape[1]
-        n_y = array.shape[0]
-
-        if half_res_y:
-            if n_y % 2 != 0:
-                raise ValueError("The input frames do not have of an even "
-                                 "number of rows. Hence, you should not use "
-                                 "option half_res_y = True")
-            n_y = int(n_y / 2)
-            cy = int(cy / 2)
-            array = frame[::2].copy()
-            excl_mask = excl_mask[::2]
-            if bpm_mask_ori is not None:
-                bpm_mask_ori = bpm_mask_ori[::2]
-
-        if r_in_std or r_out_std:
-            r_in_std = min(r_in_std * fwhm, cx - 2, cy - 2, n_x - cx - 2,
-                           n_y - cy - 2)
-            if r_out_std:
-                r_out_std *= fwhm
-            else:
-                r_out_std = min(n_y - (cy + r_in_std), cy - r_in_std,
-                                n_x - (cx + r_in_std), cx - r_in_std)
-            width = max(2, r_out_std - r_in_std)
-            array_crop = get_annulus_segments(array, r_in_std, width,
-                                              mode="val")
-        else:
-            array_crop = array
-        stddev = _sigma_clipped_std(array_crop, sigma=2.5)
-
-        ymax = max(cy, n_y - cy)
-        xmax = max(cx, n_x - cx)
-        if half_res_y:
-            ymax *= 2
-        rmax = np.sqrt(ymax**2 + xmax**2)
-        ann_width = max(1.5, 0.5 * fwhm)
-        nrad = int(rmax / ann_width) + 1
-        d_bord_max = max(n_y - cy, cy, n_x - cx, cx)
-        if half_res_y:
-            d_bord_max = max(2 * (n_y - cy), 2 * cy, n_x - cx, cx)
-
-        bpm_mask = excl_mask.astype(bool).copy()
-        if bpm_mask_ori is not None:
-            bpm_mask |= bpm_mask_ori.astype(bool)
-        if min_thr_np is not None:
-            bpm_mask |= array < min_thr_np
-        valid = ~bpm_mask
-
-        # pixel -> annulus index from the radial metric (elliptic when
-        # half_res_y); the strict-< disk membership of the reference's
-        # rasterized annuli is reproduced by searchsorted on the squared
-        # ring boundaries.
-        yy_g, xx_g = np.mgrid[:n_y, :n_x]
-        if half_res_y:
-            r2 = (2.0 * (yy_g - cy)) ** 2 + (xx_g - cx) ** 2
-        else:
-            r2 = (yy_g - cy) ** 2.0 + (xx_g - cx) ** 2
-        bounds = (np.arange(1, nrad + 1, dtype=float) * ann_width) ** 2
-        ann_idx = np.searchsorted(bounds, r2.ravel(),
-                                  side="right").reshape(n_y, n_x)
-        ann_idx = np.minimum(ann_idx, nrad - 1)
-
-        # past the frame border the reference pools every remaining pixel
-        # into one outer region whose stats serve all outer annuli
-        rr_limit = int(d_bord_max / ann_width)
-        med_neig = np.full(nrad, np.nan)
-        std_neig = np.full(nrad, np.nan)
-        for rr in range(min(rr_limit + 1, nrad)):
-            med_neig[rr], std_neig[rr] = _trimmed_med_std(
-                array[valid & (ann_idx == rr)], stddev)
-        if nrad - 1 > rr_limit:
-            outer = valid & (ann_idx >= rr_limit)
-            med_neig[rr_limit + 1:], std_neig[rr_limit + 1:] = \
-                _trimmed_med_std(array[outer], stddev)
-
-        ann_frame_cumul = np.where(valid, ann_idx, 0)
-        if nrad - 1 > rr_limit:
-            ann_frame_cumul[valid & (ann_idx >= rr_limit)] = nrad - 1
-
-        protected = np.zeros((n_y, n_x), dtype=bool)
-        if protect_mask:
-            if half_res_y:
-                protected[_ellipse_idx(cy, cx, r_radius=protect_mask / 2.,
-                                       c_radius=protect_mask,
-                                       shape=(n_y, n_x))] = True
-            else:
-                protected[_disk_idx((cy, cx), protect_mask,
-                                    (n_y, n_x))] = True
-
-        array_corr, bpix_map = correct_ann_outliers(
-            array, bpm_mask, ann_width, sig, med_neig, std_neig, cy, cx,
-            min_thr, max_thr, stddev, half_res_y)
-
-        nbpix_tot = int(np.sum(bpix_map))
-        nbpix_tbc = nbpix_tot - int(np.sum(bpix_map[protected]))
-        # inside the protected zone only clear pixels above the
-        # no-protection floor (min_thr_np), else clear the whole zone
-        restore = protected if min_thr_np is None \
-            else protected & (array >= min_thr_np)
-        bpix_map[restore] = 0
-        array_corr[restore] = array[restore]
-        if verbose:
-            print(nbpix_tot, " bpix in total, and ", nbpix_tbc,
-                  " corrected.")
-
-        if half_res_y:
-            array_corr = np.repeat(array_corr, 2, axis=0)[:2 * n_y]
-            bpix_map = np.repeat(bpix_map, 2, axis=0)[:2 * n_y]
-            ann_frame_cumul = np.repeat(ann_frame_cumul, 2,
-                                        axis=0)[:2 * n_y]
-        array_corr[ind_excl] = frame[ind_excl]
-        bpix_map[ind_excl] = 0
-        return array_corr, bpix_map, ann_frame_cumul
+        bpm_mask = _norm_mask(bpm_mask, array.shape[-2:],
+                              "bad pixel mask")
+    bpm_mask = _seed_from_values(array, bad_values, bpm_mask)
 
     if cy is None or cx is None:
         cy, cx = frame_center(array)
+
     if ndims == 2:
-        if excl_mask is None:
-            excl_mask = np.zeros(array.shape, dtype=bool)
-        array_corr, bpix_map, ann_frame_cumul = bp_removal_2d(
-            array, cy, cx, fwhm, sig, protect_mask, bpm_mask, excl_mask,
-            r_in_std, r_out_std, verbose)
+        excl = (np.zeros(array.shape, bool) if excl_mask is None
+                else excl_mask)
+        fixed, bpix_map, ann_frame = _ann_removal_2d(
+            array, cy, cx, fwhm, sig, protect_mask, bpm_mask, excl,
+            r_in_std, r_out_std, min_thr, max_thr, min_thr_np,
+            half_res_y, verbose)
     else:
-        array_corr = array.copy()
-        n_z = array.shape[0]
+        nz = array.shape[0]
+        fixed = array.copy()
         bpix_map = np.zeros_like(array)
-        ann_frame_cumul = np.zeros_like(array)
-        if np.isscalar(fwhm):
-            fwhm = [fwhm] * n_z
+        ann_frame = np.zeros_like(array)
+        fwhm = _seq_per_frame(fwhm, nz)
         if np.isscalar(cx) and np.isscalar(cy):
-            cy = [cy] * n_z
-            cx = [cx] * n_z
-        if bpm_mask is None:
-            bpm_mask = np.zeros(array_corr.shape, dtype=bool)
-        elif bpm_mask.ndim == 2:
-            bpm_mask = np.array([bpm_mask] * n_z, dtype=bool)
-        if excl_mask is None:
-            excl_mask = np.zeros(array_corr.shape, dtype=bool)
-        elif excl_mask.ndim == 2:
-            excl_mask = np.array([excl_mask] * n_z, dtype=bool)
-        for i in range(n_z):
+            cy, cx = [cy] * nz, [cx] * nz
+        seeds = (np.zeros(array.shape, bool) if bpm_mask is None
+                 else _stack_per_frame(bpm_mask, nz))
+        excls = (np.zeros(array.shape, bool) if excl_mask is None
+                 else _stack_per_frame(excl_mask, nz))
+        for i in range(nz):
             if verbose:
                 print("************Frame # ", i, " *************")
-            res_i = bp_removal_2d(array[i], cy[i], cx[i], fwhm[i], sig,
-                                  protect_mask, bpm_mask[i], excl_mask[i],
-                                  r_in_std, r_out_std, verbose)
-            array_corr[i], bpix_map[i], ann_frame_cumul[i] = res_i
+            fixed[i], bpix_map[i], ann_frame[i] = _ann_removal_2d(
+                array[i], cy[i], cx[i], fwhm[i], sig, protect_mask,
+                seeds[i], excls[i], r_in_std, r_out_std, min_thr,
+                max_thr, min_thr_np, half_res_y, verbose)
     if full_output:
-        return array_corr, bpix_map, ann_frame_cumul
-    return array_corr
+        return fixed, bpix_map, ann_frame
+    return fixed
+
+
+# ---------------------------------------------------------------------------
+# clump correction (iterative sigma filter)
+# ---------------------------------------------------------------------------
+def _clump_removal_2d(frame, cy, cx, fwhm, sig, protect_mask, seed_map,
+                      excl_mask, min_thr, max_nit, half_res_y, mad,
+                      verbose):
+    """One frame of :func:`cube_fix_badpix_clump`."""
+    if excl_mask.shape != frame.shape:
+        raise AssertionError(
+            "Input exclusion mask should have same shape as array\n")
+    excl = excl_mask.astype(bool)
+    work = frame
+    ny, nx = work.shape
+    if half_res_y:
+        if ny % 2:
+            raise ValueError("The input frames do not have of an even "
+                             "number of rows. Hence, you should not use "
+                             "option half_res_y = True")
+        ny //= 2
+        work = frame[::2].copy()
+        excl = excl[::2]
+        if seed_map is not None:
+            seed_map = seed_map[::2]
+
+    fwhm_round = int(round(fwhm))
+    box = max(3, fwhm_round + 1 if fwhm_round % 2 == 0 else fwhm_round)
+    nneig = int(np.arange(3, box + 2, 2).sum())
+
+    if min_thr is not None:
+        if np.isscalar(min_thr):
+            min_thr = (-min_thr, min_thr)
+        elif not isinstance(min_thr, tuple) or len(min_thr) != 2:
+            raise ValueError("if provided, min_thr should be float or "
+                             "2-element tuple")
+    keep_out = _protect_region(int(cy / 2) if half_res_y else cy, cx,
+                               protect_mask, (ny, nx), half_res_y)
+
+    seed = excl.copy()
+    if seed_map is not None:
+        seed |= seed_map.astype(bool)
+
+    def _detect(img, prior):
+        hits = clip_array(img, sig, sig, prior, out_good=False,
+                          neighbor=True, num_neighbor=box, mad=mad,
+                          half_res_y=half_res_y)
+        found = np.zeros(img.shape, dtype=bool)
+        found[hits] = True
+        if min_thr is not None:
+            found &= ~((img > min_thr[0]) & (img < min_thr[1]))
+        n_all = int(found.sum())
+        found &= ~keep_out
+        found &= ~excl
+        return found, n_all
+
+    bad, n_all = _detect(work, seed)
+    cumulative = bad.copy()
+    for nit in range(1, max_nit + 1):
+        n_todo = int(bad.sum())
+        if not n_todo:
+            break
+        if verbose:
+            msg = f"Iteration {nit}: {n_all} bad pixels identified"
+            if protect_mask:
+                msg += f", {n_todo} to be corrected"
+            print(msg)
+        work = sigma_filter(work, bad, neighbor_box=box,
+                            min_neighbors=nneig, half_res_y=half_res_y,
+                            verbose=verbose)
+        bad, n_all = _detect(work, None)
+        cumulative |= bad
+    if verbose:
+        print("All bad pixels are corrected.")
+    if half_res_y:
+        work = np.repeat(work, 2, axis=0)
+        cumulative = np.repeat(cumulative, 2, axis=0)
+    return work, cumulative
 
 
 def cube_fix_badpix_clump(array, bpm_mask=None, correct_only=False, cy=None,
@@ -527,182 +625,66 @@ def cube_fix_badpix_clump(array, bpm_mask=None, correct_only=False, cy=None,
                           nproc=1):
     """Iteratively identify and correct clumps of bad pixels
     (reference badpixremoval.py:836-1262)."""
-    array_corr = array.copy()
-    ndims = array_corr.ndim
+    out = array.copy()
+    ndims = out.ndim
     assert ndims in (2, 3), "Object is not two or three dimensional.\n"
-
-    if correct_only and bpm_mask is None:
-        raise ValueError("Bad pixel map should be provided if correct_only "
-                         "is True.")
-    if bad_values is not None:
-        if bpm_mask is None:
-            bpm_mask = np.zeros(array.shape, dtype=bool)
-        for bad in bad_values:
-            bpm_mask[np.where(array == bad)] = 1
-
-    def bp_removal_2d(array_corr, cy, cx, fwhm, sig, protect_mask,
-                      bpm_mask_ori, excl_mask, min_thr, half_res_y, mad,
-                      verbose):
-        assert excl_mask.shape == array_corr.shape, \
-            "Input exclusion mask should have same shape as array\n"
-        ind_excl = np.where(excl_mask)
-        n_x = array_corr.shape[1]
-        n_y = array_corr.shape[0]
-        if half_res_y:
-            if n_y % 2 != 0:
-                raise ValueError("The input frames do not have of an even "
-                                 "number of rows. Hence, you should not use "
-                                 "option half_res_y = True")
-            n_y = int(n_y / 2)
-            frame = array_corr.copy()
-            array_corr = frame[::2].copy()
-            excl_mask = excl_mask[::2]
-            if bpm_mask_ori is not None:
-                bpm_mask_ori = bpm_mask_ori[::2]
-
-        fwhm_round = int(round(fwhm))
-        if fwhm_round % 2 == 0:
-            neighbor_box = max(3, fwhm_round + 1)
-        else:
-            neighbor_box = max(3, fwhm_round)
-        nneig = sum(np.arange(3, neighbor_box + 2, 2))
-
-        if protect_mask:
-            if half_res_y:
-                circl_new = _ellipse_idx(int(cy / 2), cx,
-                                         r_radius=0.5 * protect_mask,
-                                         c_radius=protect_mask,
-                                         shape=(n_y, n_x))
-            else:
-                circl_new = _disk_idx((cy, cx), protect_mask, (n_y, n_x))
-        else:
-            circl_new = []
-
-        bpm_mask = excl_mask.copy().astype(bool)
-        if bpm_mask_ori is not None:
-            bpm_mask = bpm_mask + bpm_mask_ori.astype(bool)
-        bp = clip_array(array_corr, sig, sig, bpm_mask, out_good=False,
-                        neighbor=True, num_neighbor=neighbor_box, mad=mad,
-                        half_res_y=half_res_y)
-        bpix_map = np.zeros_like(array_corr)
-        bpix_map[bp] = 1
-        if min_thr is not None:
-            if np.isscalar(min_thr):
-                min_thr = (-min_thr, min_thr)
-            elif not isinstance(min_thr, tuple) or len(min_thr) != 2:
-                raise ValueError("if provided, min_thr should be float or "
-                                 "2-element tuple")
-            bpix_map[np.where((array_corr > min_thr[0]) &
-                              (array_corr < min_thr[1]))] = 0
-        nbpix_tot = int(np.sum(bpix_map))
-        bpix_map[circl_new] = 0
-        bpix_map[ind_excl] = 0
-        nbpix_tbc = int(np.sum(bpix_map))
-        bpix_map_cumul = np.zeros(bpix_map.shape, dtype=bool)
-        bpix_map_cumul[:] = bpix_map.astype(bool)[:]
-        nit = 0
-        while nbpix_tbc > 0 and nit < max_nit:
-            nit += 1
-            if verbose:
-                msg = "Iteration {}: {} bad pixels identified".format(
-                    nit, nbpix_tot)
-                if protect_mask:
-                    msg += ", {} to be corrected".format(nbpix_tbc)
-                print(msg)
-            array_corr = sigma_filter(array_corr, bpix_map,
-                                      neighbor_box=neighbor_box,
-                                      min_neighbors=nneig,
-                                      half_res_y=half_res_y,
-                                      verbose=verbose)
-            bp = clip_array(array_corr, sig, sig, None, out_good=False,
-                            neighbor=True, num_neighbor=neighbor_box,
-                            mad=mad, half_res_y=half_res_y)
-            bpix_map = np.zeros(array_corr.shape, dtype=bool)
-            bpix_map[bp] = 1
-            if min_thr is not None:
-                bpix_map[np.where((array_corr > min_thr[0]) &
-                                  (array_corr < min_thr[1]))] = 0
-            nbpix_tot = int(np.sum(bpix_map))
-            bpix_map[circl_new] = 0
-            bpix_map[ind_excl] = 0
-            nbpix_tbc = int(np.sum(bpix_map))
-            bpix_map_cumul = bpix_map_cumul + bpix_map
-        if verbose:
-            print("All bad pixels are corrected.")
-        if half_res_y:
-            array_corr = np.repeat(array_corr, 2, axis=0)
-            bpix_map_cumul = np.repeat(bpix_map_cumul, 2, axis=0)
-        return array_corr, bpix_map_cumul
+    _require_map_for_correct_only(correct_only, bpm_mask)
+    bpm_mask = _seed_from_values(array, bad_values, bpm_mask)
+    detect = bpm_mask is None or not correct_only
 
     if ndims == 2:
-        if bpm_mask is None or not correct_only:
+        if detect:
             if (cy is None or cx is None) and protect_mask:
                 cy, cx = frame_center(array)
-            if excl_mask is None:
-                excl_mask = np.zeros(array_corr.shape, dtype=bool)
-            array_corr, bpix_map_cumul = bp_removal_2d(
-                array_corr, cy, cx, fwhm, sig, protect_mask, bpm_mask,
-                excl_mask, min_thr, half_res_y, mad, verbose)
+            excl = (np.zeros(out.shape, bool) if excl_mask is None
+                    else excl_mask)
+            out, bad_total = _clump_removal_2d(
+                out, cy, cx, fwhm, sig, protect_mask, bpm_mask, excl,
+                min_thr, max_nit, half_res_y, mad, verbose)
         else:
-            fwhm_round = int(round(fwhm))
-            fwhm_round = fwhm_round + 1 - (fwhm_round % 2)
-            neighbor_box = max(3, fwhm_round)
-            nneig = sum(np.arange(3, neighbor_box + 2, 2))
-            array_corr = sigma_filter(array_corr, bpm_mask, neighbor_box,
-                                      nneig, half_res_y, verbose)
-            bpix_map_cumul = bpm_mask
+            box, nneig = _clump_kernel_geom(fwhm)
+            out = sigma_filter(out, bpm_mask, box, nneig, half_res_y,
+                               verbose)
+            bad_total = bpm_mask
+        if full_output:
+            return out, bad_total
+        return out
 
-    if ndims == 3:
-        n_z = array_corr.shape[0]
-        if bpm_mask is None or not correct_only:
-            if bpm_mask is None:
-                bpm_mask3 = np.zeros(array_corr.shape, dtype=bool)
-            elif bpm_mask.ndim == 2:
-                bpm_mask3 = np.array([bpm_mask] * n_z, dtype=bool)
-            else:
-                bpm_mask3 = bpm_mask
-            if excl_mask is None:
-                excl_mask = np.zeros(array_corr.shape, dtype=bool)
-            elif excl_mask.ndim == 2:
-                excl_mask = np.array([excl_mask] * n_z, dtype=bool)
-            if cy is None or cx is None:
-                cy, cx = frame_center(array)
-                cy = [cy] * n_z
-                cx = [cx] * n_z
-            elif np.isscalar(cy) and np.isscalar(cx):
-                cy = [cy] * n_z
-                cx = [cx] * n_z
-            if np.isscalar(fwhm):
-                fwhm = [fwhm] * n_z
-            bpix_map_cumul = np.zeros_like(array_corr)
-            for i in range(n_z):
-                if verbose:
-                    print("************Frame # ", i, " *************")
-                res = bp_removal_2d(array_corr[i], cy[i], cx[i], fwhm[i],
-                                    sig, protect_mask, bpm_mask3[i],
-                                    excl_mask[i], min_thr, half_res_y, mad,
-                                    verbose)
-                array_corr[i], bpix_map_cumul[i] = res
-        else:
-            if np.isscalar(fwhm):
-                fwhm_round = int(round(fwhm))
-            else:
-                fwhm_round = int(np.median(fwhm))
-            fwhm_round = fwhm_round + 1 - (fwhm_round % 2)
-            neighbor_box = max(3, fwhm_round)
-            nneig = sum(np.arange(3, neighbor_box + 2, 2))
-            if bpm_mask.ndim == 2:
-                bpm_mask = np.array([bpm_mask] * n_z, dtype=bool)
-            for i in range(n_z):
-                array_corr[i] = sigma_filter(array_corr[i], bpm_mask[i],
-                                             neighbor_box, nneig,
-                                             half_res_y, verbose)
-            bpix_map_cumul = bpm_mask
+    nz = out.shape[0]
+    if detect:
+        seeds = (np.zeros(out.shape, bool) if bpm_mask is None
+                 else _stack_per_frame(bpm_mask.astype(bool), nz))
+        excls = (np.zeros(out.shape, bool) if excl_mask is None
+                 else _stack_per_frame(excl_mask, nz))
+        if cy is None or cx is None:
+            cy, cx = frame_center(array)
+        cy = _seq_per_frame(cy, nz)
+        cx = _seq_per_frame(cx, nz)
+        fwhm = _seq_per_frame(fwhm, nz)
+        bad_total = np.zeros_like(out)
+        for i in range(nz):
+            if verbose:
+                print("************Frame # ", i, " *************")
+            out[i], bad_total[i] = _clump_removal_2d(
+                out[i], cy[i], cx[i], fwhm[i], sig, protect_mask,
+                seeds[i], excls[i], min_thr, max_nit, half_res_y, mad,
+                verbose)
+    else:
+        fwhm_scalar = fwhm if np.isscalar(fwhm) else np.median(fwhm)
+        box, nneig = _clump_kernel_geom(fwhm_scalar)
+        bpm3 = _stack_per_frame(bpm_mask.astype(bool), nz)
+        for i in range(nz):
+            out[i] = sigma_filter(out[i], bpm3[i], box, nneig,
+                                  half_res_y, verbose)
+        bad_total = bpm3
     if full_output:
-        return array_corr, bpix_map_cumul
-    return array_corr
+        return out, bad_total
+    return out
 
 
+# ---------------------------------------------------------------------------
+# IFS (SDI-residual) detection
+# ---------------------------------------------------------------------------
 def cube_fix_badpix_ifs(array, lbdas, fluxes=None, mask=None, cy=None,
                         cx=None, clumps=True, sigma_clip=6, num_neig=5,
                         size=5, protect_mask=0, mad=True,
@@ -713,94 +695,66 @@ def cube_fix_badpix_ifs(array, lbdas, fluxes=None, mask=None, cy=None,
     (reference badpixremoval.py:1265-1478)."""
     from ..preproc.rescaling import find_scal_vector, frame_rescaling
 
-    def _res_scaled_images(array, lbdas, fluxes, mask, cy, cx):
-        if fluxes is None:
-            fluxes = [1] * len(lbdas)
-        if cx is None or cy is None:
-            ref_xy = None
-        else:
-            ref_xy = (cx, cy)
-        scal_vec, flux_vec = find_scal_vector(array, lbdas, fluxes,
-                                              mask=mask, nfp=2, fm="sum",
-                                              imlib=imlib,
-                                              interpolation=interpolation)
-        res_array = np.zeros_like(array)
-        for z in range(array.shape[0]):
-            other_ch = [i for i in range(array.shape[0]) if i != z]
-            res_arr_tmp = []
-            for zp in other_ch:
-                flux_scal = flux_vec[zp] / flux_vec[z]
-                resc_fr = frame_rescaling(flux_scal * array[zp],
-                                          ref_xy=ref_xy,
-                                          scale=scal_vec[zp] / scal_vec[z],
-                                          imlib=imlib,
-                                          interpolation=interpolation)
-                res_arr_tmp.append(array[z] - resc_fr)
-            res_array[z] = np.median(np.array(res_arr_tmp), axis=0)
-        return res_array
+    def _sdi_residuals(chans):
+        """Per-channel median residual against the flux/scale-matched
+        other channels."""
+        flx = [1] * len(lbdas) if fluxes is None else fluxes
+        scal_vec, flux_vec = find_scal_vector(
+            chans, lbdas, flx, mask=mask, nfp=2, fm="sum", imlib=imlib,
+            interpolation=interpolation)
+        res = np.zeros_like(chans)
+        for z in range(chans.shape[0]):
+            diffs = [
+                chans[z] - frame_rescaling(
+                    (flux_vec[zp] / flux_vec[z]) * chans[zp],
+                    ref_xy=ref_xy, scale=scal_vec[zp] / scal_vec[z],
+                    imlib=imlib, interpolation=interpolation)
+                for zp in range(chans.shape[0]) if zp != z]
+            res[z] = np.median(diffs, axis=0)
+        return res
 
     cube = array.copy()
-    ndims = cube.ndim
     if cy is None or cx is None:
-        cxy = None
+        cxy = ref_xy = None
     else:
         cy, cx = frame_center(cube)
-        cxy = (cx, cy)
+        cxy = ref_xy = (cx, cy)
 
-    if ndims == 3:
-        array_res = _res_scaled_images(cube, lbdas, fluxes, mask, cy, cx)
+    def _detect_and_fix(chans, cyi, cxi, cxyi):
+        res = _sdi_residuals(chans)
         if clumps:
-            _, final_bpm = cube_fix_badpix_clump(
-                array_res, bpm_mask=None, cy=cy, cx=cx, fwhm=fwhm,
+            _, bpm = cube_fix_badpix_clump(
+                res, bpm_mask=None, cy=cyi, cx=cxi, fwhm=fwhm,
                 sig=sigma_clip, protect_mask=protect_mask, verbose=verbose,
-                min_thr=min_thr, max_nit=max_nit, mad=mad, full_output=True)
+                min_thr=min_thr, max_nit=max_nit, mad=mad,
+                full_output=True)
         else:
-            _, final_bpm = cube_fix_badpix_isolated(
-                array_res, bpm_mask=None, sigma_clip=sigma_clip,
+            _, bpm = cube_fix_badpix_isolated(
+                res, bpm_mask=None, sigma_clip=sigma_clip,
                 num_neig=num_neig, size=size, frame_by_frame=True,
-                protect_mask=protect_mask, cxy=cxy, mad=mad,
+                protect_mask=protect_mask, cxy=cxyi, mad=mad,
                 ignore_nan=ignore_nan, verbose=verbose, full_output=True)
-        final_bpm = np.clip(final_bpm.astype(int), 0, 1)
-        array_out = cube_fix_badpix_isolated(
-            cube, bpm_mask=final_bpm, sigma_clip=sigma_clip,
-            num_neig=num_neig, size=size, frame_by_frame=True,
-            protect_mask=protect_mask, cxy=cxy, mad=mad,
-            ignore_nan=ignore_nan, verbose=verbose, full_output=False)
-    elif ndims == 4:
-        n_z = cube.shape[1]
+        bpm = np.clip(bpm.astype(int), 0, 1)
+        fixed = cube_fix_badpix_isolated(
+            chans, bpm_mask=bpm, sigma_clip=sigma_clip, num_neig=num_neig,
+            size=size, frame_by_frame=True, protect_mask=protect_mask,
+            cxy=cxyi, mad=mad, ignore_nan=ignore_nan, verbose=verbose,
+            full_output=False)
+        return fixed, bpm, res
+
+    if cube.ndim == 3:
+        array_out, final_bpm, array_res = _detect_and_fix(cube, cy, cx,
+                                                          cxy)
+    elif cube.ndim == 4:
+        nt = cube.shape[1]
         array_out = np.zeros_like(cube)
         array_res = np.zeros_like(cube)
         final_bpm = np.zeros_like(cube, dtype=int)
-        if np.isscalar(cy) and np.isscalar(cx):
-            cy = [cy] * n_z
-            cx = [cx] * n_z
-        for i in range(n_z):
+        for i in range(nt):
             if verbose:
-                print("************ Cube #{}/{} *************".format(
-                    i + 1, n_z))
-            array_res[:, i] = _res_scaled_images(cube[:, i], lbdas, fluxes,
-                                                 mask, cy, cx)
-            if clumps:
-                res = cube_fix_badpix_clump(
-                    array_res[:, i], bpm_mask=None, cy=cy, cx=cx, fwhm=fwhm,
-                    sig=sigma_clip, protect_mask=protect_mask,
-                    verbose=verbose, min_thr=min_thr, max_nit=max_nit,
-                    mad=mad, full_output=True)
-            else:
-                res = cube_fix_badpix_isolated(
-                    array_res[:, i], bpm_mask=None, sigma_clip=sigma_clip,
-                    num_neig=num_neig, size=size, frame_by_frame=True,
-                    protect_mask=protect_mask, cxy=cxy, mad=mad,
-                    ignore_nan=ignore_nan, verbose=verbose,
-                    full_output=True)
-            _, final_bpm[:, i] = res
-            final_bpm = np.clip(final_bpm, 0, 1)
-            array_out[:, i] = cube_fix_badpix_isolated(
-                cube[:, i], final_bpm[:, i], correct_only=False,
-                sigma_clip=sigma_clip, num_neig=num_neig, size=size,
-                frame_by_frame=True, protect_mask=protect_mask, cxy=cxy,
-                mad=mad, ignore_nan=ignore_nan, verbose=verbose,
-                full_output=False)
+                print(f"************ Cube #{i + 1}/{nt} *************")
+            array_out[:, i], final_bpm[:, i], array_res[:, i] = \
+                _detect_and_fix(cube[:, i], cy, cx, cxy)
     else:
         raise TypeError("Input array should be 3D or 4D")
 
@@ -809,6 +763,9 @@ def cube_fix_badpix_ifs(array, lbdas, fluxes=None, mask=None, cy=None,
     return array_out
 
 
+# ---------------------------------------------------------------------------
+# FFT interpolation ([AAC01])
+# ---------------------------------------------------------------------------
 def frame_fix_badpix_fft(array, bpm_mask, nit=500, tol=1, pad_fac=2,
                          verbose=True, full_output=False):
     """Iterative FFT-based bad-pixel interpolation ([AAC01])
@@ -819,23 +776,17 @@ def frame_fix_badpix_fft(array, bpm_mask, nit=500, tol=1, pad_fac=2,
     if array.shape != bpm_mask.shape:
         raise TypeError("Input bad pixel map should have same shape as "
                         "array")
-    if isinstance(nit, list):
-        nit_max = max(nit)
-        return_list = True
-    else:
-        nit_max = nit
-        return_list = False
+    snapshots_at = set(nit) if isinstance(nit, list) else None
+    nit_max = max(nit) if snapshots_at else nit
 
-    final_array_corr = []
-    final_f_est = []
+    results = []
+    spectra = []
     ini_y, ini_x = array.shape
     pad_fac = (int(pad_fac * ini_x / ini_y), pad_fac)
-    g = frame_pad(array, pad_fac, keep_parity=False, fillwith=0)
     w = frame_pad(1 - bpm_mask.astype(float), pad_fac, keep_parity=False,
                   fillwith=0)
-    g = g * w
-    if verbose:
-        start = time_ini()
+    g = frame_pad(array, pad_fac, keep_parity=False, fillwith=0) * w
+    clock = time_ini() if verbose else None
     G_i = np.fft.fft2(g)
     W = np.fft.fft2(w)
     ny, nx = g.shape
@@ -844,65 +795,58 @@ def frame_fix_badpix_fft(array, bpm_mask, nit=500, tol=1, pad_fac=2,
     Eg = tol + 1
 
     for it in range(nit_max):
+        # strongest remaining error component in the left half-spectrum
         ind = np.unravel_index(np.argmax(np.abs(G_i.real[:, 0:nx // 2])),
                                (ny, nx // 2))
-        ind_conj = (np.mod(ny - ind[0], ny), np.mod(nx - ind[1], nx))
-        cond1 = (ind[0] == 0) and (ind[1] == 0)
-        cond2 = (ind[0] == ny / 2) and (ind[1] == 0)
-        cond3 = (ind[0] == 0) and (ind[1] == nx / 2)
-        cond4 = (ind[0] == ny / 2) and (ind[1] == nx / 2)
-        special = cond1 or cond2 or cond3 or cond4
-        if special:
-            F_i = npix * G_i[ind] / W[(0, 0)]
+        ind_conj = ((ny - ind[0]) % ny, (nx - ind[1]) % nx)
+        self_conj = (ind[0] in (0, ny / 2)) and (ind[1] in (0, nx / 2))
+        if self_conj:
+            F_i = npix * G_i[ind] / W[0, 0]
             F_est[ind] += F_i
         else:
-            a = np.abs(W[(0, 0)])**2
-            b = np.abs(W[(2 * ind[0]) % ny, (2 * ind[1]) % nx])**2
-            if a == b:
+            w2 = W[(2 * ind[0]) % ny, (2 * ind[1]) % nx]
+            if np.abs(W[0, 0]) ** 2 == np.abs(w2) ** 2:
                 W[(2 * ind[0]) % ny, (2 * ind[1]) % nx] += \
                     np.amin(np.abs(W)) * 1e-11
-            a = np.abs(W[(0, 0)])**2
-            b = np.abs(W[(2 * ind[0]) % ny, (2 * ind[1]) % nx])**2
-            c = a - b
-            F_i = (npix / c) * (G_i[ind] * W[(0, 0)] - np.conj(G_i[ind]) *
-                                W[(2 * ind[0]) % ny, (2 * ind[1]) % nx])
+                w2 = W[(2 * ind[0]) % ny, (2 * ind[1]) % nx]
+            denom = np.abs(W[0, 0]) ** 2 - np.abs(w2) ** 2
+            F_i = (npix / denom) * (G_i[ind] * W[0, 0]
+                                    - np.conj(G_i[ind]) * w2)
             F_est[ind] += F_i
             F_est[ind_conj] += np.conj(F_i)
 
         # error-spectrum update: conv[y, x] = F_i W[y-i0, x-i1]
         # (+ conj for the symmetric component) == rolls of W
-        conv = F_i * np.roll(W, (ind[0], ind[1]), axis=(0, 1))
-        if not special:
+        conv = F_i * np.roll(W, ind, axis=(0, 1))
+        if not self_conj:
             conv = conv + np.conj(F_i) * np.roll(W, (-ind[0], -ind[1]),
                                                  axis=(0, 1))
         G_i = G_i - conv / npix
 
-        Eg = np.sum(np.abs(G_i.ravel())**2) / npix
-        if (return_list and it in nit) or (it == nit_max - 1) or (Eg < tol):
-            array_corr = g + np.fft.ifft2(F_est).real * (1 - w)
-            cy, cx = frame_center(array_corr)
-            wy = (ini_y - 1) / 2
-            wx = (ini_x - 1) / 2
-            y0, y1 = int(cy - wy), int(cy + wy + 1)
-            x0, x1 = int(cx - wx), int(cx + wx + 1)
-            final_array_corr.append(array_corr[y0:y1, x0:x1])
+        Eg = np.sum(np.abs(G_i.ravel()) ** 2) / npix
+        take_snapshot = ((snapshots_at and it in snapshots_at)
+                         or it == nit_max - 1 or Eg < tol)
+        if take_snapshot:
+            filled = g + np.fft.ifft2(F_est).real * (1 - w)
+            cy, cx = frame_center(filled)
+            hy, hx = (ini_y - 1) / 2, (ini_x - 1) / 2
+            ys = slice(int(cy - hy), int(cy + hy + 1))
+            xs = slice(int(cx - hx), int(cx + hx + 1))
+            results.append(filled[ys, xs])
             if full_output:
-                f_est = np.fft.ifft2(F_est).real
-                final_f_est.append(f_est[y0:y1, x0:x1])
+                spectra.append(np.fft.ifft2(F_est).real[ys, xs])
         if Eg < tol:
             break
 
     if verbose:
-        print("FFT-interpolation terminated after {} iterations (Eg={})"
-              .format(it + 1, Eg))
-        timing(start)
-    if not return_list:
-        final_array_corr = final_array_corr[-1]
+        print(f"FFT-interpolation terminated after {it + 1} iterations "
+              f"(Eg={Eg})")
+        timing(clock)
+    if snapshots_at is None:
+        results = results[-1]
         if full_output:
-            final_f_est = final_f_est[-1]
-    if full_output:
-        return final_array_corr, final_f_est
-    return final_array_corr
+            spectra = spectra[-1]
+    return (results, spectra) if full_output else results
 
 
 def cube_fix_badpix_interp(array, bpm_mask, mode="fft", excl_mask=None,
@@ -918,80 +862,69 @@ def cube_fix_badpix_interp(array, bpm_mask, mode="fft", excl_mask=None,
     if bpm_mask.shape[-2:] != array.shape[-2:]:
         raise TypeError("Bad pixel map has wrong y/x dimensions.")
     if excl_mask is None:
-        excl_mask = np.zeros(array.shape, dtype=bool)
-    elif excl_mask.ndim == 2 and array.ndim == 3:
-        excl_mask = np.array([excl_mask] * array.shape[0], dtype=bool)
-    assert excl_mask.shape[-2:] == array.shape[-2:], \
-        "Input exclusion mask should have same shape as array\n"
-    if np.sum(bpm_mask) == 0:
+        excl = np.zeros(array.shape, dtype=bool)
+    else:
+        excl = (_stack_per_frame(excl_mask, array.shape[0])
+                if ndims == 3 else np.asarray(excl_mask))
+        if excl.shape[-2:] != array.shape[-2:]:
+            raise AssertionError(
+                "Input exclusion mask should have same shape as array\n")
+        excl = excl.astype(bool)
+    if not np.sum(bpm_mask):
         print("Warning: no bad pixel found in bad pixel map. Returning "
               "input array as is.")
         return array
 
-    ny, nx = array.shape[-2:]
     if ndims == 3:
         nz = array.shape[0]
-        if bpm_mask.ndim == 2:
-            bpm_mask = np.array([bpm_mask] * nz)
-    array_corr = array.copy()
-    array_ori = array.copy()
+        bpm_mask = _stack_per_frame(bpm_mask, nz)
+    bad = bpm_mask.astype(bool)
+    out = array.copy()
 
     if mode != "fft":
-        array_corr[np.where(bpm_mask.astype(bool) |
-                            excl_mask.astype(bool))] = np.nan
+        holes = array.copy()
+        holes[bad | excl] = np.nan
         if ndims == 2:
-            array_corr_filt = frame_filter_lowpass(
-                array_corr, mode=mode, fwhm_size=fwhm, conv_mode="conv",
+            recon = frame_filter_lowpass(
+                holes, mode=mode, fwhm_size=fwhm, conv_mode="conv",
                 kernel_sz=kernel_sz, psf=psf, iterate=True,
                 half_res_y=half_res_y, **kwargs)
         else:
-            array_corr_filt = array_corr.copy()
-            if np.isscalar(fwhm):
-                fwhm = [fwhm] * nz
+            fwhm = _seq_per_frame(fwhm, nz)
             if psf is None:
                 psf = [None] * nz
             elif np.asarray(psf).ndim == 2:
                 psf = [psf] * nz
-            for z in range(nz):
-                array_corr_filt[z] = frame_filter_lowpass(
-                    array_corr[z], mode=mode, fwhm_size=fwhm[z],
+            recon = np.stack([
+                frame_filter_lowpass(
+                    holes[z], mode=mode, fwhm_size=fwhm[z],
                     conv_mode="conv", kernel_sz=kernel_sz, psf=psf[z],
                     iterate=True, half_res_y=half_res_y, **kwargs)
-        array_corr = array_ori.copy()
-        array_corr[np.where(bpm_mask)] = \
-            array_corr_filt[np.where(bpm_mask)]
-        recon = array_corr_filt
+                for z in range(nz)])
+        out[bad] = recon[bad]
+        return out
+
+    # FFT mode
+    fill_mask = bad | excl
+    if ndims == 2:
+        res = frame_fix_badpix_fft(out, fill_mask, nit=nit, tol=tol,
+                                   full_output=full_output, verbose=False)
+        filled, recon = res if full_output else (res, None)
     else:
-        full_bp_mask = (bpm_mask.astype(bool) |
-                        excl_mask.astype(bool))
-        if ndims == 2:
-            res = frame_fix_badpix_fft(array_corr, full_bp_mask, nit=nit,
+        filled = np.empty_like(out)
+        recon = np.empty_like(out)
+        for z in range(nz):
+            res = frame_fix_badpix_fft(out[z], fill_mask[z], nit=nit,
                                        tol=tol, full_output=full_output,
                                        verbose=False)
             if full_output:
-                array_corr_filt, recon = res
+                filled[z], recon[z] = res
             else:
-                array_corr_filt = res
-                recon = None
-        else:
-            array_corr_filt = np.empty_like(array_corr)
-            recon = np.empty_like(array_corr)
-            for z in range(nz):
-                res = frame_fix_badpix_fft(array_corr[z], full_bp_mask[z],
-                                           nit=nit, tol=tol,
-                                           full_output=full_output,
-                                           verbose=False)
-                if full_output:
-                    array_corr_filt[z], recon[z] = res
-                else:
-                    array_corr_filt[z] = res
-        array_corr = array_ori.copy()
-        array_corr[np.where(bpm_mask)] = \
-            array_corr_filt[np.where(bpm_mask)]
-
-    if full_output and mode == "fft":
-        return array_corr, recon
-    return array_corr
+                filled[z] = res
+    out[bad] = filled[bad]
+    if full_output:
+        return out, recon
+    return out
 
 
 def get_err_spec(F_i, W, ind, npix, G_i, dims):

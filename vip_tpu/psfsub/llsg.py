@@ -66,9 +66,10 @@ def llsg(*all_args: List, **all_kwargs: dict):
     algo_params, rot_options = resolve_algo_params(
         LLSG_Params, all_args, all_kwargs)
 
-    if algo_params.cube.ndim != 3:
+    cube_nd = np.ndim(algo_params.cube)
+    if cube_nd != 3:
         raise TypeError("Input array is not a cube (3d array)")
-    if not algo_params.cube.shape[0] == algo_params.angle_list.shape[0]:
+    if len(algo_params.angle_list) != len(algo_params.cube):
         raise TypeError("Angle list vector has wrong length. It must equal "
                         "the number frames in the cube")
 
@@ -160,7 +161,6 @@ def llsg(*all_args: List, **all_kwargs: dict):
     if algo_params.verbose:
         print("")
         timing(start_time)
-
     if algo_params.full_output:
         (ders_l, frame_l), (ders_s, frame_s), (ders_g, frame_g) = derotated
         return ders_l, ders_s, ders_g, frame_l, frame_s, frame_g
@@ -172,15 +172,14 @@ def _decompose_patch(cube_init, indices, i_patch, n_segments_ann, rank,
                      max_iter, auto_rank_mode, cevr, residuals_tol,
                      random_seed, debug=False, full_output=False):
     """One patch decomposition (reference llsg.py:401-448)."""
-    j = i_patch
-    yy, xx = indices[j]
+    yy, xx = indices[i_patch]
     data_segm = cube_init[:, yy, xx]
 
     if low_rank_ref:
-        ref_segments = list(range(n_segments_ann))
-        ref_segments.pop(j)
-        yy_ref = np.hstack([indices[m][0] for m in ref_segments])
-        xx_ref = np.hstack([indices[m][1] for m in ref_segments])
+        # reference library = every OTHER segment of this annulus
+        others = [m for m in range(n_segments_ann) if m != i_patch]
+        yy_ref = np.hstack([indices[m][0] for m in others])
+        xx_ref = np.hstack([indices[m][1] for m in others])
         data_ref = cube_init[:, yy_ref, xx_ref]
     else:
         data_ref = data_segm
