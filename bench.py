@@ -123,6 +123,38 @@ def main():
         _emit(f"negfc_mcmc_lnprob_{n_mc}x{sz_mc}x{sz_mc}_{nw}walkers",
               nw / t_mcmc, "walker_evals/s", nw / t_mcmc / 100.0)
 
+        # --- batched-injection contrast throughput (SURVEY §3.3): all
+        # nbranch x fc_rad_sep injected cubes through ONE vmapped PCA
+        # program vs the serial per-pattern loop. Off by default: the
+        # serial leg's host-looped stages (noise_per_annulus, aperture
+        # photometry) pay ~30 ms tunnel latency per dispatch and blow
+        # the driver's bench budget; run BENCH_THROUGHPUT=1 to record.
+        run_tp = os.environ.get("BENCH_THROUGHPUT", "0") == "1"
+    if FULL and run_tp:
+        from vip_tpu.metrics.contrcurve import throughput
+
+        n_tc, sz_tc = 40, 100
+        cube_tc = cube[:n_tc, :sz_tc, :sz_tc].astype(float)
+        ang_tc = angles[:n_tc].astype(float)
+        yy, xx = np.mgrid[:19, :19]
+        psf_tc = np.exp(-((yy - 9.0) ** 2 + (xx - 9.0) ** 2)
+                        / (2 * (4 / 2.355) ** 2))
+        from vip_tpu.psfsub import pca as _pca
+
+        def tp_run(batched):
+            return throughput(cube_tc, ang_tc, psf_tc, 4.0, _pca,
+                              nbranch=2, ncomp=5, verbose=False,
+                              batch_patterns=batched)
+
+        t0 = time.perf_counter(); tp_run(True)
+        t_batched = time.perf_counter() - t0          # incl. compile
+        t0 = time.perf_counter(); tp_run(True)
+        t_batched = min(t_batched, time.perf_counter() - t0)
+        t0 = time.perf_counter(); tp_run(False)
+        t_serial = time.perf_counter() - t0
+        _emit(f"throughput_batched_speedup_{n_tc}x{sz_tc}x{sz_tc}",
+              t_serial / t_batched, "x_vs_serial", t_serial / t_batched)
+
     # --- headline: PCA-ADI in the benchmarked speed mode (LAST line) ---
     t_head = _time(pca_run(ROT_MODE))
     _emit(f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_{ROT_MODE}",

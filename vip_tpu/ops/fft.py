@@ -218,6 +218,7 @@ def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
 # ---------------------------------------------------------------------------
 # Fourier sub-pixel shift
 # ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("npad",))
 def fourier_shift(array, shift_y, shift_x, npad):
     """Shift a 2-d array by (shift_y, shift_x) pixels via an FFT phase ramp.
 
@@ -226,7 +227,8 @@ def fourier_shift(array, shift_y, shift_x, npad):
     bit-parity, or a common upper bound when batching frames with different
     shifts. Replicates the pad-to-square / pad-to-even preamble
     (recentering.py:126-180) including the shift-sign-dependent placement
-    for the odd→even case.
+    for the odd→even case. Jitted (eager complex FFTs are unimplemented
+    on the tunneled TPU backend).
     """
     ny_ori, nx_ori = array.shape
     real_dtype = jnp.result_type(array.dtype, jnp.float32)
@@ -285,8 +287,14 @@ def fourier_shift(array, shift_y, shift_x, npad):
     return jax.lax.dynamic_slice(shifted, (p_y0, p_x0), (ny_ori, nx_ori))
 
 
+@functools.partial(jax.jit, static_argnames=("npad",))
 def fourier_shift_batch(cube, shifts_y, shifts_x, npad):
-    """vmapped :func:`fourier_shift` with a shared static pad margin."""
+    """vmapped :func:`fourier_shift` with a shared static pad margin.
+
+    Jitted: eager complex FFT ops are unimplemented on the tunneled TPU
+    backend, and callers (e.g. ``cube_inject_companions``) invoke this
+    outside any jit of their own.
+    """
     return jax.vmap(fourier_shift, in_axes=(0, 0, 0, None))(
         cube, shifts_y, shifts_x, npad
     )
