@@ -163,9 +163,16 @@ def ipca(*all_args: List, **all_kwargs: dict):
     'Christiaens24' paths)."""
     algo_params, rot_options = resolve_algo_params(
         IPCA_Params, all_args, all_kwargs)
-    pca_params, _ = separate_kwargs_dict(
-        initial_kwargs=separate_kwargs_dict(all_kwargs, IPCA_Params)[0],
-        parent_class=PCA_Params)
+    # Seed the inner-PCA kwargs from the RESOLVED params (not the raw
+    # kwargs) so positionally-passed arguments (cube, angle_list, ...)
+    # reach the pca() calls too.
+    import dataclasses as _dc
+
+    _pca_fields = {f.name for f in _dc.fields(PCA_Params)}
+    pca_params = {f.name: getattr(algo_params, f.name)
+                  for f in _dc.fields(IPCA_Params)
+                  if f.name in _pca_fields
+                  and getattr(algo_params, f.name) is not None}
 
     start_time = time_ini(algo_params.verbose)
     pca_params["full_output"] = True

@@ -121,6 +121,10 @@ def rotate_fft_pipeline(frame, angle):
     return rotated[cy0:cy1, cx0:cx1]
 
 
+# jitted: eager complex arithmetic is unimplemented on the TPU backend
+_rotate_fft_pipeline_jit = jax.jit(rotate_fft_pipeline)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _cube_rotate_fft(cube, angles, chunk):
     if chunk is None or chunk >= cube.shape[0]:
@@ -164,7 +168,8 @@ def frame_rotate(array, angle, imlib="vip-fft", interpolation="lanczos4",
             out = _rotate_fft_blended(frame_nan, angle, edge_blend, ker)
         else:
             work = np.nan_to_num(array, copy=True)
-            out = np.array(rotate_fft_pipeline(jnp.asarray(work), angle))
+            out = np.array(_rotate_fft_pipeline_jit(jnp.asarray(work),
+                                                    angle))
         if mask_ori.any():
             out[mask_ori] = mask_val
         return out

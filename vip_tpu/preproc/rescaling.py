@@ -8,11 +8,32 @@ workhorse: pad → per-channel FFT zoom → (collapse) → inverse: crop.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..var.coords import frame_center
 from ..var.shapes import get_square
 from .subsampling import cube_collapse
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dim_pp",))
+def _scale_fft_core(big, dim_pp):
+    """fft2 -> centered frequency-domain pad/crop -> ifft2, as ONE jitted
+    program: on the tunneled TPU backend complex arrays cannot cross a
+    dispatch boundary (eager complex ops and complex host transfers are
+    unimplemented), so the spectrum must live and die inside one jit."""
+    dim_p = big.shape[0]
+    F = jnp.fft.fftshift(jnp.fft.fft2(big))
+    if dim_pp > dim_p:
+        off = (dim_pp - dim_p) // 2
+        tmp = jnp.zeros((dim_pp, dim_pp), F.dtype)
+        tmp = jax.lax.dynamic_update_slice(tmp, F, (off, off))
+    else:
+        off = (dim_p - dim_pp) // 2
+        tmp = jax.lax.dynamic_slice(F, (off, off), (dim_pp, dim_pp))
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fftshift(tmp)))
 
 __all__ = ["cube_px_resampling", "frame_px_resampling", "cube_rescaling",
            "frame_rescaling", "cube_rescaling_wavelengths", "check_scal_vector",
@@ -41,23 +62,15 @@ def scale_fft(array, scale, ori_dim=False):
     big = np.zeros((dim_p, dim_p), dtype=array.dtype.kind)
     big[kd_io:kd_io + dim, kd_io:kd_io + dim] = array
 
-    # numpy's pocketfft always upcasts to float64; match that here even
-    # when the canvas quantized the values to float32
-    array_f = np.fft.fftshift(
-        np.asarray(jnp.fft.fft2(jnp.asarray(big, dtype=jnp.float64))))
-
+    # numpy's pocketfft always upcasts to float64; match that when x64 is
+    # live (CPU parity runs). On TPU float64/complex128 is unavailable —
+    # keep f32 there. The whole fft -> pad/crop -> ifft chain runs inside
+    # _scale_fft_core (complex cannot cross a dispatch boundary on the
+    # tunneled TPU backend).
+    f_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     dim_pp = int(dim + 2 * kf_io)
-    if dim_pp > dim_p:
-        tmp = np.zeros((dim_pp, dim_pp), dtype=complex)
-        tmp[(dim_pp - dim_p) // 2:(dim_pp + dim_p) // 2,
-            (dim_pp - dim_p) // 2:(dim_pp + dim_p) // 2] = array_f
-    else:
-        tmp = array_f[kd_io - kf_io:kd_io - kf_io + dim_pp,
-                      kd_io - kf_io:kd_io - kf_io + dim_pp]
-
-    tmp = np.asarray(jnp.fft.ifft2(
-        jnp.asarray(np.fft.fftshift(tmp), dtype=jnp.complex128)))
-    array_resc = tmp.real
+    array_resc = np.asarray(_scale_fft_core(
+        jnp.asarray(big, dtype=f_dtype), dim_pp))
 
     dim_resc = int(round(scale * dim))
     if dim_resc > dim and dim_resc % 2 != dim % 2:

@@ -7,6 +7,8 @@ filters.py:405-550) but run as FFT convolutions on device, vmapped over
 cubes instead of the reference's ``pool_map`` (filters.py:550+).
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -74,9 +76,12 @@ def _fft_convolve_same(image, kernel):
     return full[y0:y0 + iy, x0:x0 + ix]
 
 
+@functools.partial(jax.jit, static_argnames=("interpolate_nan",))
 def convolve_with_mask(image, kernel, interpolate_nan=True):
     """astropy-style convolution: NaNs (and boundary) handled by dividing by
-    the convolved valid-coverage map."""
+    the convolved valid-coverage map. Jitted: the intermediate complex
+    spectra must not cross a dispatch boundary on the tunneled TPU
+    backend."""
     image = jnp.asarray(image)
     kernel = jnp.asarray(kernel, image.dtype)
     finite = jnp.isfinite(image)
