@@ -320,6 +320,35 @@ class PACO:
         return Cinv, m, patch
 
 
+def _subpixel_psf_bank(psf, angs, mask, chunk=8192):
+    """Batched subpixel PSF shifts for every (pixel, frame) rotated
+    coordinate (angs: (nv, nf, 2)); replaces the reference's per-call
+    ``frame_shift`` (one device dispatch per pixel x frame — paco.py:931)
+    with a handful of ``fourier_shift_batch`` calls. All fractional
+    shifts share the pad margin 1 (exact-zero shifts are identity either
+    way, so the per-call ceil(max|shift|) pad is matched to roundoff)."""
+    from ..ops.fft import fourier_shift_batch
+
+    nv, nf, _ = angs.shape
+    sy = (angs[..., 1] - angs[..., 1].astype(int)).ravel()
+    sx = (angs[..., 0] - angs[..., 0].astype(int)).ravel()
+    K = sy.shape[0]
+    psf_j = jnp.asarray(psf)
+    pieces = []
+    for k0 in range(0, K, chunk):
+        n_k = min(chunk, K - k0)
+        sy_k = np.zeros(chunk, sy.dtype)
+        sx_k = np.zeros(chunk, sx.dtype)
+        sy_k[:n_k] = sy[k0:k0 + n_k]
+        sx_k[:n_k] = sx[k0:k0 + n_k]
+        block = fourier_shift_batch(
+            jnp.broadcast_to(psf_j, (chunk, *psf.shape)),
+            jnp.asarray(sy_k), jnp.asarray(sx_k), 1)
+        pieces.append(np.asarray(block)[:n_k])
+    bank = np.concatenate(pieces, axis=0)
+    return bank[:, mask].reshape(nv, nf, -1)
+
+
 class FastPACO(PACO):
     """Algorithm 2 of [FLA18] (reference paco.py:881-1083): precompute
     the patch statistics once, then evaluate every rotation track."""
@@ -345,27 +374,34 @@ class FastPACO(PACO):
         if self.verbose:
             print("Running Fast PACO...")
 
+        # pass 1: rotation-track geometry + validity for every pixel
+        n_f = len(self.angles)
+        tracks = np.zeros((npx, n_f, 2))
+        valid = np.zeros(npx, dtype=bool)
         for i, p0 in enumerate(phi0s):
             angles_px = get_rotated_pixel_coords(x, y, p0, self.angles)
-            if (int(np.max(angles_px.flatten())) >= self.width or
-                    int(np.min(angles_px.flatten())) < 0):
-                a[i] = np.nan
-                b[i] = np.nan
-                continue
+            tracks[i] = angles_px
+            valid[i] = (int(np.max(angles_px.flatten())) < self.width
+                        and int(np.min(angles_px.flatten())) >= 0)
+        a[~valid] = np.nan
+        b[~valid] = np.nan
+
+        # pass 2: batched subpixel PSF bank for all valid tracks
+        vidx = np.where(valid)[0]
+        if use_subpixel_psf_astrometry and len(vidx):
+            bank = _subpixel_psf_bank(normalised_psf, tracks[vidx],
+                                      psf_mask)
+        else:
+            bank = None
+        base_psf = normalised_psf[psf_mask]
+
+        # pass 3: per-pixel ML estimates (host linear algebra)
+        for k, i in enumerate(vidx):
             Cinlst, mlst, hlst, patch = [], [], [], []
-            for ll, ang in enumerate(angles_px):
+            for ll, ang in enumerate(tracks[i]):
                 Cinlst.append(Cinv[int(ang[0]), int(ang[1])])
                 mlst.append(m[int(ang[0]), int(ang[1])])
-                if use_subpixel_psf_astrometry:
-                    offax = frame_shift(normalised_psf,
-                                        ang[1] - int(ang[1]),
-                                        ang[0] - int(ang[0]),
-                                        imlib="vip-fft",
-                                        interpolation="lanczos4",
-                                        border_mode="reflect")[psf_mask]
-                else:
-                    offax = normalised_psf[psf_mask]
-                hlst.append(offax)
+                hlst.append(bank[k, ll] if bank is not None else base_psf)
                 patch.append(patches[int(ang[0]), int(ang[1]), ll])
             a[i] = self.al(hlst, Cinlst)
             b[i] = self.bl(hlst, Cinlst, patch, mlst)
@@ -409,14 +445,28 @@ class FullPACO(PACO):
         Cinv = np.zeros((self.height, self.width, self.patch_area_pixels,
                          self.patch_area_pixels))
 
+        # rotation-track geometry + validity, then one batched PSF bank
+        n_f = len(self.angles)
+        tracks = np.zeros((npx, n_f, 2))
+        valid = np.zeros(npx, dtype=bool)
         for i, p0 in enumerate(phi0s):
             angles_px = get_rotated_pixel_coords(x, y, (p0[1], p0[0]),
                                                  self.angles)
-            if (int(np.max(angles_px.flatten())) >= self.width or
-                    int(np.min(angles_px.flatten())) < 0):
-                a[i] = np.nan
-                b[i] = np.nan
-                continue
+            tracks[i] = angles_px
+            valid[i] = (int(np.max(angles_px.flatten())) < self.width
+                        and int(np.min(angles_px.flatten())) >= 0)
+        a[~valid] = np.nan
+        b[~valid] = np.nan
+        vidx = np.where(valid)[0]
+        if use_subpixel_psf_astrometry and len(vidx):
+            bank = _subpixel_psf_bank(normalised_psf, tracks[vidx],
+                                      psf_mask)
+        else:
+            bank = None
+        base_psf = normalised_psf[psf_mask]
+
+        for k, i in enumerate(vidx):
+            angles_px = tracks[i]
             current_patch, mlst, h, clst = [], [], [], []
             for ll, ang in enumerate(angles_px):
                 if np.max(patch[int(ang[0]), int(ang[1])]) == 0:
@@ -432,16 +482,7 @@ class FullPACO(PACO):
                 mlst.append(m[int(ang[0]), int(ang[1])])
                 clst.append(Cinv[int(ang[0]), int(ang[1])])
                 current_patch.append(apatch)
-                if use_subpixel_psf_astrometry:
-                    offax = frame_shift(normalised_psf,
-                                        ang[1] - int(ang[1]),
-                                        ang[0] - int(ang[0]),
-                                        imlib="vip-fft",
-                                        interpolation="lanczos4",
-                                        border_mode="reflect")[psf_mask]
-                else:
-                    offax = normalised_psf[psf_mask]
-                h.append(offax)
+                h.append(bank[k, ll] if bank is not None else base_psf)
             current_patch = np.array(current_patch)
             patches = np.array([current_patch[ll, ll]
                                 for ll in range(len(angles_px))])

@@ -70,15 +70,7 @@ def circle_overlap_window(cy, cx, r, window):
     return w, y0, x0
 
 
-def aperture_flux(image, ys, xs, r, window=None):
-    """Exact-aperture fluxes of ``image`` at arbitrary centers (vmapped).
-
-    ys, xs: (k,) aperture centers (floats, traced ok). Returns (k,) sums.
-    Apertures fully inside the frame are exact; windows are clipped at the
-    frame edge (matching photutils' zero-contribution outside the image).
-    """
-    if window is None:
-        window = int(2 * float(r) + 4)
+def _aperture_flux_core(image, ys, xs, r, window):
     ny, nx = image.shape
 
     def one(cy, cx):
@@ -93,6 +85,39 @@ def aperture_flux(image, ys, xs, r, window=None):
         return jnp.sum(jnp.where(inside, patch * w, 0.0))
 
     return jax.vmap(one)(jnp.asarray(ys), jnp.asarray(xs))
+
+
+_aperture_flux_jit = jax.jit(_aperture_flux_core,
+                             static_argnames=("window",))
+
+
+def aperture_flux(image, ys, xs, r, window=None):
+    """Exact-aperture fluxes of ``image`` at arbitrary centers (vmapped).
+
+    ys, xs: (k,) aperture centers (floats, traced ok). Returns (k,) sums.
+    Apertures fully inside the frame are exact; windows are clipped at the
+    frame edge (matching photutils' zero-contribution outside the image).
+
+    Concrete (host) calls are padded to power-of-two buckets so repeated
+    calls with varying aperture counts (one per annulus in
+    ``noise_per_annulus``) share a handful of compiled programs instead
+    of recompiling per count.
+    """
+    if window is None:
+        window = int(2 * float(r) + 4)
+    concrete = not isinstance(ys, jax.core.Tracer) \
+        and not isinstance(xs, jax.core.Tracer)
+    if not concrete:
+        return _aperture_flux_core(image, ys, xs, r, window)
+    ys = np.asarray(ys, dtype=float).reshape(-1)
+    xs = np.asarray(xs, dtype=float).reshape(-1)
+    k = ys.shape[0]
+    bucket = max(64, 1 << max(0, (k - 1)).bit_length())
+    ys_p = np.zeros(bucket)
+    xs_p = np.zeros(bucket)
+    ys_p[:k] = ys
+    xs_p[:k] = xs
+    return _aperture_flux_jit(image, ys_p, xs_p, r, window)[:k]
 
 
 def ring_aperture_centers(sourcey, sourcex, cy, cx, fwhm, n_max):
