@@ -152,77 +152,65 @@ def get_values_optimize(cube, angs, ncomp, annulus_width, aperture_radius,
             "or decreasing the annulus or aperture size. "
             f"r_guess: {r_guess:.1f}px; half xy dim: {cenx_fr:.1f}px")
 
-    algo_opt_copy = dict(algo_options)
-    ncomp = algo_opt_copy.pop("ncomp", ncomp)
-    svd_mode = algo_opt_copy.pop("svd_mode", svd_mode)
-    scaling = algo_opt_copy.pop("scaling", scaling)
-    imlib = algo_opt_copy.pop("imlib", imlib)
-    interpolation = algo_opt_copy.pop("interpolation", interpolation)
-    collapse = algo_opt_copy.pop("collapse", collapse)
-    collapse_ifs = algo_opt_copy.pop("collapse_ifs", "absmean")
-    nproc = algo_opt_copy.pop("nproc", 1)
-    verbose = algo_opt_copy.pop("verbose", False)
+    # user-supplied algo_options win over this function's own defaults;
+    # whatever is not consumed here flows through to the algo verbatim
+    opts = dict(algo_options)
+
+    def _pull(**defaults):
+        return {k: opts.pop(k, v) for k, v in defaults.items()}
+
+    base = _pull(ncomp=ncomp, svd_mode=svd_mode, scaling=scaling,
+                 imlib=imlib, interpolation=interpolation,
+                 collapse=collapse, collapse_ifs="absmean", nproc=1,
+                 verbose=False)
+    collapse = base["collapse"]      # downstream shape logic keys on it
 
     if algo is pca_annulus:
-        res = pca_annulus(cube, angs, ncomp, annulus_width, r_guess,
-                          cube_ref, svd_mode, scaling, imlib=imlib,
-                          interpolation=interpolation, collapse=collapse,
-                          collapse_ifs=collapse_ifs, weights=weights,
-                          **algo_opt_copy)
+        res = pca_annulus(cube, angs, base["ncomp"], annulus_width,
+                          r_guess, cube_ref, base["svd_mode"],
+                          base["scaling"], imlib=base["imlib"],
+                          interpolation=base["interpolation"],
+                          collapse=base["collapse"],
+                          collapse_ifs=base["collapse_ifs"],
+                          weights=weights, **opts)
     elif algo is pca_annular or algo is nmf_annular:
-        tol = algo_opt_copy.pop("tol", 1e-1)
-        min_frames_lib = algo_opt_copy.pop("min_frames_lib", 2)
-        max_frames_lib = algo_opt_copy.pop("max_frames_lib", 200)
-        radius_int = max(1, int(np.floor(r_guess - annulus_width / 2)))
-        radius_int = algo_opt_copy.pop("radius_int", radius_int)
-        asize = algo_opt_copy.pop("asize", annulus_width)
-        delta_rot = algo_opt_copy.pop("delta_rot", delta_rot)
+        ann = _pull(tol=1e-1, min_frames_lib=2, max_frames_lib=200,
+                    radius_int=max(1, int(np.floor(r_guess
+                                                   - annulus_width / 2))),
+                    asize=annulus_width, delta_rot=delta_rot)
 
-        crop_sz = int(2 * np.ceil(radius_int + asize + 1))
-        if not crop_sz % 2:
-            crop_sz += 1
-        if crop_sz < cube.shape[-2] and crop_sz < cube.shape[-1]:
+        crop_sz = int(2 * np.ceil(ann["radius_int"] + ann["asize"] + 1))
+        crop_sz += 1 - crop_sz % 2
+        if crop_sz < min(cube.shape[-2], cube.shape[-1]):
             pad = int((cube.shape[-2] - crop_sz) / 2)
             crop_cube = cube_crop_frames(cube, crop_sz, verbose=False)
         else:
-            crop_cube = cube
-            pad = 0
+            crop_cube, pad = cube, 0
+
+        call = dict(cube=crop_cube, angle_list=angs, cube_ref=cube_ref,
+                    fwhm=fwhm, radius_int=ann["radius_int"],
+                    delta_rot=ann["delta_rot"], ncomp=base["ncomp"],
+                    scaling=base["scaling"], imlib=base["imlib"],
+                    interpolation=base["interpolation"],
+                    collapse=base["collapse"], weights=weights,
+                    nproc=base["nproc"],
+                    min_frames_lib=ann["min_frames_lib"],
+                    max_frames_lib=ann["max_frames_lib"],
+                    full_output=False, verbose=base["verbose"])
         if algo is pca_annular:
-            res_tmp = algo(cube=crop_cube, angle_list=angs,
-                           cube_ref=cube_ref, radius_int=radius_int,
-                           fwhm=fwhm, asize=asize, delta_rot=delta_rot,
-                           ncomp=ncomp, svd_mode=svd_mode, scaling=scaling,
-                           imlib=imlib, interpolation=interpolation,
-                           collapse=collapse, collapse_ifs=collapse_ifs,
-                           weights=weights, tol=tol, nproc=nproc,
-                           min_frames_lib=min_frames_lib,
-                           max_frames_lib=max_frames_lib, full_output=False,
-                           verbose=verbose, **algo_opt_copy)
+            call.update(asize=ann["asize"], svd_mode=base["svd_mode"],
+                        collapse_ifs=base["collapse_ifs"], tol=ann["tol"])
         else:
-            res_tmp = algo(cube=crop_cube, angle_list=angs,
-                           cube_ref=cube_ref, radius_int=radius_int,
-                           fwhm=fwhm, asize=annulus_width,
-                           delta_rot=delta_rot, ncomp=ncomp, scaling=scaling,
-                           imlib=imlib, interpolation=interpolation,
-                           collapse=collapse, weights=weights, nproc=nproc,
-                           min_frames_lib=min_frames_lib,
-                           max_frames_lib=max_frames_lib, full_output=False,
-                           verbose=verbose, **algo_opt_copy)
-        res = np.pad(res_tmp, pad, mode="constant", constant_values=0)
+            # NOTE reference quirk: the nmf_annular branch passes the raw
+            # annulus_width, not the (possibly overridden) asize
+            call.update(asize=annulus_width)
+        res = np.pad(algo(**call, **opts), pad, mode="constant",
+                     constant_values=0)
     elif algo is pca:
-        scale_list = algo_opt_copy.pop("scale_list", None)
-        ifs_collapse_range = algo_opt_copy.pop("ifs_collapse_range", "all")
-        mask_rdi = algo_opt_copy.pop("mask_rdi", None)
-        delta_rot = algo_opt_copy.pop("delta_rot", delta_rot)
-        source_xy = algo_opt_copy.pop("source_xy", None)
+        extra = _pull(scale_list=None, ifs_collapse_range="all",
+                      mask_rdi=None, delta_rot=delta_rot, source_xy=None)
         res = pca(cube=cube, angle_list=angs, cube_ref=cube_ref,
-                  scale_list=scale_list, ncomp=ncomp, svd_mode=svd_mode,
-                  scaling=scaling, delta_rot=delta_rot, source_xy=source_xy,
-                  fwhm=fwhm, imlib=imlib, interpolation=interpolation,
-                  collapse=collapse, collapse_ifs=collapse_ifs,
-                  ifs_collapse_range=ifs_collapse_range, nproc=nproc,
-                  weights=weights, mask_rdi=mask_rdi, verbose=verbose,
-                  **algo_opt_copy)
+                  fwhm=fwhm, weights=weights, **base, **extra, **opts)
     else:
         res = algo(cube=cube, angle_list=angs, **algo_options)
 
@@ -291,93 +279,88 @@ def get_mu_and_sigma(cube, angs, ncomp, annulus_width, aperture_radius, fwhm,
     else:
         array = cube.copy()
 
-    algo_opt_copy = dict(algo_options)
-    ncomp = algo_opt_copy.pop("ncomp", ncomp)
-    svd_mode = algo_opt_copy.pop("svd_mode", svd_mode)
-    scaling = algo_opt_copy.pop("scaling", scaling)
-    imlib = algo_opt_copy.pop("imlib", imlib)
-    interpolation = algo_opt_copy.pop("interpolation", interpolation)
-    collapse = algo_opt_copy.pop("collapse", collapse)
-    radius_int = max(int(np.floor(r_guess - annulus_width / 2)), 0)
-    radius_int = algo_opt_copy.pop("radius_int", radius_int)
+    opts = dict(algo_options)
 
-    hp_filter = algo_opt_copy.pop("hp_filter", None)
-    hp_kernel = algo_opt_copy.pop("hp_kernel", None)
-    if hp_filter is not None:
-        if "median" in hp_filter:
-            array = cube_filter_highpass(array, mode=hp_filter,
-                                         median_size=hp_kernel)
-        elif "gauss" in hp_filter:
-            array = cube_filter_highpass(array, mode=hp_filter,
-                                         fwhm_size=hp_kernel)
-        else:
-            array = cube_filter_highpass(array, mode=hp_filter,
-                                         kernel_size=hp_kernel)
+    def _pull(**defaults):
+        return {k: opts.pop(k, v) for k, v in defaults.items()}
 
+    base = _pull(ncomp=ncomp, svd_mode=svd_mode, scaling=scaling,
+                 imlib=imlib, interpolation=interpolation,
+                 collapse=collapse,
+                 radius_int=max(int(np.floor(r_guess - annulus_width / 2)),
+                                0))
+    radius_int = base["radius_int"]
+
+    hp = _pull(hp_filter=None, hp_kernel=None)
+    if hp["hp_filter"] is not None:
+        mode = hp["hp_filter"]
+        size_kw = ("median_size" if "median" in mode
+                   else "fwhm_size" if "gauss" in mode else "kernel_size")
+        array = cube_filter_highpass(array, mode=mode,
+                                     **{size_kw: hp["hp_kernel"]})
+
+    # the inverse-angle reduction (speckle-noise realization with the
+    # companion removed) is needed whenever a planet was subtracted
+    need_inv = f_guess is not None and psfn is not None
     pca_res_inv = None
     if algo is pca_annulus:
-        pca_res = pca_annulus(array, angs, ncomp, annulus_width, r_guess,
-                              cube_ref, svd_mode, scaling, imlib=imlib,
-                              interpolation=interpolation, collapse=collapse,
-                              weights=weights, **algo_opt_copy)
-        if f_guess is not None and psfn is not None:
-            pca_res_inv = pca_annulus(array, -angs, ncomp, annulus_width,
-                                      r_guess, cube_ref, svd_mode, scaling,
-                                      imlib=imlib,
-                                      interpolation=interpolation,
-                                      collapse=collapse, weights=weights,
-                                      **algo_opt_copy)
+        def _annulus(a_list):
+            return pca_annulus(array, a_list, base["ncomp"], annulus_width,
+                               r_guess, cube_ref, base["svd_mode"],
+                               base["scaling"], imlib=base["imlib"],
+                               interpolation=base["interpolation"],
+                               collapse=base["collapse"], weights=weights,
+                               **opts)
+        pca_res = _annulus(angs)
+        if need_inv:
+            pca_res_inv = _annulus(-angs)
     elif algo is pca_annular or algo is nmf_annular:
-        tol = algo_opt_copy.pop("tol", 1e-1)
-        min_frames_lib = algo_opt_copy.pop("min_frames_lib", 2)
-        max_frames_lib = algo_opt_copy.pop("max_frames_lib", 200)
-        radius_int = max(1, int(np.floor(r_guess - annulus_width / 2)))
-        radius_int = algo_opt_copy.pop("radius_int", radius_int)
-        asize = algo_opt_copy.pop("asize", annulus_width)
-        delta_rot = algo_opt_copy.pop("delta_rot", delta_rot)
-        _ = algo_opt_copy.pop("verbose", verbose)
+        ann = _pull(tol=1e-1, min_frames_lib=2, max_frames_lib=200,
+                    radius_int=max(1, int(np.floor(r_guess
+                                                   - annulus_width / 2))),
+                    asize=annulus_width, delta_rot=delta_rot,
+                    verbose=verbose)
+        radius_int = ann["radius_int"]
 
-        crop_sz = int(2 * np.ceil(radius_int + asize + 1))
-        if not crop_sz % 2:
-            crop_sz += 1
-        if crop_sz < cube.shape[-2] and crop_sz < cube.shape[-1]:
+        crop_sz = int(2 * np.ceil(ann["radius_int"] + ann["asize"] + 1))
+        crop_sz += 1 - crop_sz % 2
+        if crop_sz < min(cube.shape[-2], cube.shape[-1]):
             pad = int((cube.shape[-2] - crop_sz) / 2)
             crop_cube = cube_crop_frames(array, crop_sz, verbose=False)
         else:
-            crop_cube = array
-            pad = 0
-        common = dict(cube_ref=cube_ref, radius_int=radius_int, fwhm=fwhm,
-                      asize=annulus_width, delta_rot=delta_rot, ncomp=ncomp,
-                      scaling=scaling, imlib=imlib,
-                      interpolation=interpolation, collapse=collapse,
-                      tol=tol, min_frames_lib=min_frames_lib,
-                      max_frames_lib=max_frames_lib, full_output=False,
-                      verbose=False, weights=weights, **algo_opt_copy)
+            crop_cube, pad = array, 0
+        common = dict(cube_ref=cube_ref, radius_int=ann["radius_int"],
+                      fwhm=fwhm, asize=annulus_width,
+                      delta_rot=ann["delta_rot"], ncomp=base["ncomp"],
+                      scaling=base["scaling"], imlib=base["imlib"],
+                      interpolation=base["interpolation"],
+                      collapse=base["collapse"], tol=ann["tol"],
+                      min_frames_lib=ann["min_frames_lib"],
+                      max_frames_lib=ann["max_frames_lib"],
+                      full_output=False, verbose=False, weights=weights,
+                      **opts)
         if algo is pca_annular:
-            common["svd_mode"] = svd_mode
-        pca_res_t = algo(cube=crop_cube, angle_list=angs, **common)
-        pca_res = np.pad(pca_res_t, pad, mode="constant", constant_values=0)
-        if f_guess is not None and psfn is not None:
-            pca_res_tinv = algo(cube=crop_cube, angle_list=-angs, **common)
-            pca_res_inv = np.pad(pca_res_tinv, pad, mode="constant",
-                                 constant_values=0)
+            common["svd_mode"] = base["svd_mode"]
+        pca_res = np.pad(algo(cube=crop_cube, angle_list=angs, **common),
+                         pad, mode="constant", constant_values=0)
+        if need_inv:
+            pca_res_inv = np.pad(
+                algo(cube=crop_cube, angle_list=-angs, **common), pad,
+                mode="constant", constant_values=0)
     elif algo is pca:
-        scale_list = algo_opt_copy.pop("scale_list", None)
-        ifs_collapse_range = algo_opt_copy.pop("ifs_collapse_range", "all")
-        nproc = algo_opt_copy.pop("nproc", 1)
-        source_xy = algo_opt_copy.pop("source_xy", None)
-        common = dict(cube_ref=cube_ref, scale_list=scale_list, ncomp=ncomp,
-                      svd_mode=svd_mode, scaling=scaling,
-                      delta_rot=delta_rot, source_xy=source_xy, imlib=imlib,
-                      interpolation=interpolation, collapse=collapse,
-                      ifs_collapse_range=ifs_collapse_range, nproc=nproc,
-                      weights=weights, verbose=False, **algo_opt_copy)
+        extra = _pull(scale_list=None, ifs_collapse_range="all", nproc=1,
+                      source_xy=None)
+        common = dict(cube_ref=cube_ref, delta_rot=delta_rot,
+                      weights=weights, verbose=False,
+                      **{k: v for k, v in base.items()
+                         if k != "radius_int"},
+                      **extra, **opts)
         pca_res = pca(cube=array, angle_list=angs, **common)
-        if f_guess is not None and psfn is not None:
+        if need_inv:
             pca_res_inv = pca(cube=array, angle_list=-angs, **common)
     else:
         pca_res = algo(cube=array, angle_list=angs, **algo_options)
-        if f_guess is not None and psfn is not None:
+        if need_inv:
             pca_res_inv = algo(cube=array, angle_list=-angs, **algo_options)
 
     if f_guess is not None and psfn is not None:

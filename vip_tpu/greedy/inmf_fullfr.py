@@ -97,7 +97,7 @@ def inmf(*all_args: List, **all_kwargs: dict):
 
     # --- first iteration ---
     cube_nn = np.asarray(algo_params.cube, dtype=float).copy()
-    cube_nn[np.where(cube_nn < 0)] = 0
+    cube_nn[cube_nn < 0] = 0
     nmf_params["cube"] = cube_nn
     nmf_params["cube_ref"] = ref_cube
     nmf_params["ncomp"] = final_ncomp[0]
@@ -132,12 +132,9 @@ def inmf(*all_args: List, **all_kwargs: dict):
             residuals_cube, residuals_cube_, algo_params.angle_list,
             algo_params.thr, mask=mask_center_px, r_out=algo_params.r_out)
     else:
-        sig_mask = np.ones_like(frame)
-        sig_mask[np.where(frame < algo_params.thr)] = 0
+        sig_mask = (frame >= algo_params.thr).astype(float)
         nstim = sig_mask.copy()
-    sig_image = frame.copy()
-    sig_image[np.where(1 - sig_mask)] = 0
-    sig_image[np.where(sig_image < 0)] = 0
+    sig_image = np.where(sig_mask.astype(bool), np.maximum(frame, 0), 0.0)
     sig_images[0] = sig_image.copy()
     stim_cube[0] = nstim.copy()
     mask_rdi_tmp = None
@@ -154,18 +151,16 @@ def inmf(*all_args: List, **all_kwargs: dict):
                                  imlib=algo_params.imlib,
                                  nproc=algo_params.nproc)
         if algo_params.thr_mode == "STIM":
-            mask_sig = np.zeros_like(sig_image)
-            mask_sig[np.where(sig_image > 0)] = 1
+            mask_sig = (sig_image > 0).astype(float)
             sig_mcube = np.repeat(mask_sig[np.newaxis, :, :], nframes,
                                   axis=0)
             sig_mcube = cube_derotate(sig_mcube, -algo_params.angle_list,
                                       imlib="skimage",
                                       interpolation="bilinear",
                                       nproc=algo_params.nproc)
-            sig_cube[np.where(sig_mcube < 0.5)] = 0
-            sig_cube[np.where(sig_cube < 0)] = 0
+            sig_cube[(sig_mcube < 0.5) | (sig_cube < 0)] = 0
         else:
-            sig_cube[np.where(sig_cube < algo_params.thr)] = 0
+            sig_cube[sig_cube < algo_params.thr] = 0
 
         if algo_params.strategy == "ARDI":
             ref_cube = np.concatenate((algo_params.cube - sig_cube,
@@ -210,18 +205,15 @@ def inmf(*all_args: List, **all_kwargs: dict):
                 algo_params.thr, mask=mask_center_px,
                 r_out=algo_params.r_out)
         else:
-            sig_mask = np.ones_like(frame)
-            sig_mask[np.where(frame < algo_params.thr)] = 0
+            sig_mask = (frame >= algo_params.thr).astype(float)
             nstim = sig_mask.copy()
 
-        inv_sig_mask = np.ones_like(sig_mask)
-        inv_sig_mask[np.where(sig_mask)] = 0
+        inv_sig_mask = np.where(sig_mask, 0.0, 1.0)
         if mask_center_px:
             inv_sig_mask = mask_circle(inv_sig_mask, mask_center_px,
                                        fillwith=1)
-        sig_image = frame.copy()
-        sig_image[np.where(inv_sig_mask)] = 0
-        sig_image[np.where(sig_image < 0)] = 0
+        sig_image = np.where(inv_sig_mask.astype(bool), 0.0,
+                             np.maximum(frame, 0))
 
         it_cube[it] = frame.copy()
         it_cube_nd[it] = frame_nd.copy()

@@ -62,21 +62,19 @@ def cube_subtract_sky_pca(sci_cube, sky_cube, masks, ref_cube=None, ncomp=2,
     sky_anchor_cube = sky_pc_anchor.reshape(sky_cube.shape)
     sky_boat_cube = np.dot(sky_pcs_kl, sky_boat).reshape(sky_cube.shape)
 
-    transf_sci = np.zeros((sky_cube.shape[0], Msci_masked_anchor.shape[0]))
-    for i in range(Msci_masked_anchor.shape[0]):
-        transf_sci[:, i] = np.inner(sky_pc_anchor, Msci_masked_anchor[i].T)
+    # least-squares coefficients of each science frame on the anchor PCs,
+    # then the optimal sky model on the boat region — the reference's
+    # per-frame np.inner loops (skysubtraction.py:...) as two matmuls
+    transf_sci = sky_pc_anchor @ Msci_masked_anchor.T
 
     Msky_pcs_anchor = prepare_matrix(sky_anchor_cube, scaling=None,
                                      verbose=False)
-    mat_inv = np.linalg.inv(np.dot(Msky_pcs_anchor, Msky_pcs_anchor.T))
-    transf_sci_scaled = np.dot(mat_inv, transf_sci)
+    mat_inv = np.linalg.inv(Msky_pcs_anchor @ Msky_pcs_anchor.T)
+    transf_sci_scaled = mat_inv @ transf_sci
 
-    sci_cube_skysub = np.zeros_like(sci_cube)
-    sky_opt = sci_cube.copy()
-    for i in range(Msci_masked.shape[0]):
-        sky_opt[i] = np.sum([transf_sci_scaled[j, i] * sky_boat_cube[j]
-                             for j in range(ncomp)], axis=0)
-        sci_cube_skysub[i] = sci_cube_boat[i] - sky_opt[i]
+    sky_opt = np.einsum("ji,jyx->iyx", transf_sci_scaled[:ncomp],
+                        sky_boat_cube[:ncomp])
+    sci_cube_skysub = sci_cube_boat - sky_opt
 
     if ref_cube is not None:
         ref_cube = np.asarray(ref_cube, dtype=float)
@@ -84,19 +82,11 @@ def cube_subtract_sky_pca(sci_cube, sky_cube, masks, ref_cube=None, ncomp=2,
         Mref_masked_anchor = prepare_matrix(ref_cube_anchor, scaling=None,
                                             verbose=False)
         ref_cube_boat = _apply_mask(ref_cube, mask_boat)
-        Mref_masked = prepare_matrix(ref_cube_boat, scaling=None,
-                                     verbose=False)
 
-        transf_ref = np.zeros((sky_cube.shape[0], Mref_masked.shape[0]))
-        for i in range(Mref_masked.shape[0]):
-            transf_ref[:, i] = np.inner(sky_pc_anchor, Mref_masked_anchor[i].T)
-        transf_ref_scaled = np.dot(mat_inv, transf_ref)
-
-        ref_cube_skysub = np.zeros_like(ref_cube)
-        for i in range(Mref_masked.shape[0]):
-            sky_opt_i = np.sum([transf_ref_scaled[j, i] * sky_boat_cube[j]
-                                for j in range(ncomp)], axis=0)
-            ref_cube_skysub[i] = ref_cube_boat[i] - sky_opt_i
+        transf_ref_scaled = mat_inv @ (sky_pc_anchor @ Mref_masked_anchor.T)
+        ref_cube_skysub = ref_cube_boat - np.einsum(
+            "ji,jyx->iyx", transf_ref_scaled[:ncomp],
+            sky_boat_cube[:ncomp])
 
         if full_output:
             return (sci_cube_skysub, ref_cube_skysub, sky_anchor_cube,

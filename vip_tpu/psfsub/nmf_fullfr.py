@@ -93,18 +93,16 @@ def nmf(*all_args: List, **all_kwargs: dict):
         else:
             raise ValueError("Remove frame(s) with negative values")
     else:
+        # test signal-subtracted values when a cube_sig is given
+        probe = array if algo_params.cube_sig is None \
+            else array - algo_params.cube_sig
         if handle_neg == "null":
+            neg = probe < 0
+            array[neg] = 0
             if algo_params.cube_sig is not None:
-                neg = np.where(array - algo_params.cube_sig < 0)
-                array[neg] = 0
                 algo_params.cube_sig[neg] = 0
-            else:
-                array[np.where(array < 0)] = 0
         elif handle_neg == "subtr_min":
-            if algo_params.cube_sig is not None:
-                array -= np.amin(array - algo_params.cube_sig)
-            else:
-                array -= np.amin(array)
+            array -= np.amin(probe)
         else:
             raise ValueError("Mode to handle neg. pixels not recognized")
 
@@ -143,17 +141,13 @@ def nmf(*all_args: List, **all_kwargs: dict):
         residuals, reconstructed, H = res
         recon_cube = residuals_cube.copy()
         if handle_neg == "mask":
-            for fr in range(n):
-                residuals_cube[fr][yy, xx] = residuals[fr]
+            residuals_cube[:, yy, xx] = residuals
             if algo_params.full_output:
-                for fr in range(n):
-                    recon_cube[fr][yy, xx] = reconstructed[fr]
-                for pp in range(algo_params.ncomp):
-                    H_tmp[pp][yy, xx] = H[pp]
+                recon_cube[:, yy, xx] = reconstructed
+                H_tmp[:, yy, xx] = H
                 H = H_tmp
         else:
-            for fr in range(n):
-                residuals_cube[fr] = residuals[fr].reshape((y, x))
+            residuals_cube[:] = residuals.reshape((n, y, x))
             if algo_params.full_output:
                 recon_cube = reshape_matrix(reconstructed, y, x)
                 H = H.reshape(algo_params.ncomp, y, x)

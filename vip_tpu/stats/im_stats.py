@@ -17,13 +17,12 @@ def frame_average_radprofile(frame, sep=1, init_rad=None,
 
     check_array(frame, dim=2)
     cy, cx = frame_center(frame)
-    if init_rad is None:
-        init_rad = 1
+    init_rad = 1 if init_rad is None else init_rad
     x, y = np.indices(frame.shape)
-    r = np.sqrt((x - cx)**2 + (y - cy)**2).astype(int)
-    tbin = np.bincount(r.ravel(), frame.ravel())
-    nr = np.bincount(r.ravel())
-    radprofile = tbin / nr
+    r = np.hypot(x - cx, y - cy).astype(int)
+    npx_per_rad = np.bincount(r.ravel())
+    radprofile = np.bincount(r.ravel(), frame.ravel()) / npx_per_rad
+    nr = npx_per_rad
 
     radists = np.arange(init_rad + 1, int(cy), sep) - 1
     df = pd.DataFrame({"rad": radists, "radprof": radprofile[radists],
@@ -48,12 +47,9 @@ def frame_average_radprofile(frame, sep=1, init_rad=None,
 def frame_histo_stats(image_array, plot=False):
     """Basic frame statistics (mean, median, std, max, min)
     (reference im_stats.py:88-142)."""
-    vector = image_array.flatten()
-    mean = vector.mean()
-    median = np.median(vector)
-    maxim = vector.max()
-    minim = vector.min()
-    std = vector.std()
+    vector = image_array.ravel()
+    mean, median, std = vector.mean(), np.median(vector), vector.std()
+    maxim, minim = vector.max(), vector.min()
     if plot:
         import matplotlib.pyplot as plt
         fig, axes = plt.subplots(nrows=1, ncols=2, figsize=(10, 4))
