@@ -65,6 +65,7 @@ def test_cube_disk_free_removes_disk():
     assert np.abs(cdf).std() < 0.02
 
 
+@pytest.mark.slow
 def test_firstguess_fd_recovers_flux():
     rng = np.random.default_rng(2)
     n, sz = 8, 60

@@ -27,6 +27,7 @@ def data():
     return cube, angs, psf
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["KLIP", "LOCI"])
 def test_fmmf_parity(data, model):
     cube, angs, psf = data

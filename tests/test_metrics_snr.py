@@ -61,6 +61,7 @@ def test_snr_exclude_lobes_parity(ref_snr, frame):
     assert abs(ref - got) < 1e-8
 
 
+@pytest.mark.slow
 def test_snrmap_parity(ref_snr, frame):
     from vip_tpu.metrics import snrmap
 

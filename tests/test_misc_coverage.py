@@ -81,6 +81,7 @@ def test_ds9_gated_import():
         Ds9Window()
 
 
+@pytest.mark.slow
 def test_speckle_noise_uncertainty_small():
     from vip_tpu.fm.fakecomp import normalize_psf
     from vip_tpu.fm.negfc_speckle_noise import speckle_noise_uncertainty

@@ -60,6 +60,7 @@ def test_nmf_parity(ref_psfsub, cube_angles):
     assert np.max(np.abs(rec_r - rec_g)) < 2e-3 * np.abs(rec_r).max()
 
 
+@pytest.mark.slow
 def test_nmf_annular_parity(ref_psfsub, cube_angles):
     from vip_tpu.psfsub import nmf_annular
 

@@ -95,6 +95,7 @@ def test_find_scal_vector_parity():
     assert np.allclose(o_flux, t_flux, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_cube_fix_badpix_ifs_runs():
     from vip_tpu.preproc.badpixremoval import cube_fix_badpix_ifs
 
