@@ -65,4 +65,118 @@ t("andromeda", lambda: invprob.andromeda(
     cube, oversampling_fact=0.5, angle_list=ang, psf=psf, verbose=False))
 t("ipca", lambda: greedy.ipca(cube, ang, ncomp=2, nit=2, verbose=False))
 t("sigma_filter", lambda: stats.clip_array(frame, 3, 3))
+
+
+
+# ------------------------------------------------------------------
+# tier 2: heavier public entry points
+from vip_tpu import preproc, psfsub, metrics, fm, invprob
+
+t("roll_sub", lambda: psfsub.roll_sub(cube, ang, verbose=False))
+t("nmf_annular", lambda: psfsub.nmf_annular(
+    cube, ang, ncomp=2, fwhm=4, asize=8, radius_int=4, verbose=False))
+t("pca_grid", lambda: psfsub.pca_grid(cube, ang, fwhm=4,
+                                      range_pcs=(1, 4, 1), verbose=False))
+t("pca_annulus", lambda: psfsub.pca_annulus(
+    cube, ang, ncomp=2, annulus_width=10, r_guess=16))
+t("fmmf", lambda: invprob.fmmf(
+    cube, ang, psf / psf.sum(), fwhm=4, min_r=8, max_r=16, verbose=False))
+t("fast_paco", lambda: __import__("vip_tpu").invprob.FastPACO(
+    cube=cube, angles=ang, psf=psf / psf.sum(), fwhm=4.0,
+    pixscale=1.0).run(cpu=1))
+t("normalize_psf+contrast_curve", lambda: metrics.contrast_curve(
+    cube, ang, psf, fwhm=4.0, pxscale=0.01, starphot=5000.0,
+    algo=psfsub.median_sub, nbranch=1, plot=False, verbose=False))
+t("completeness_curve", lambda: metrics.completeness_curve(
+    cube, ang, psf, fwhm=4.0, algo=psfsub.median_sub,
+    an_dist=[16], pxscale=0.01, starphot=5000.0, plot=False,
+    verbose=False))
+t("firstguess", lambda: fm.firstguess(
+    cube, ang, psf / psf.sum(), planets_xy_coord=[(44, 32)], fwhm=4.0,
+    ncomp=2, verbose=False, simplex=False))
+t("cube_recenter_2dfit", lambda: preproc.cube_recenter_2dfit(
+    cube, fwhm=4.0, subi_size=9, model="gauss", verbose=False,
+    debug=False, plot=False))
+t("cube_collapse_wmean", lambda: preproc.cube_collapse(
+    cube, mode="wmean", w=np.linspace(1, 2, n)))
+t("frame_deconvolution", lambda: __import__("vip_tpu").var.
+  frame_deconvolution(frame, psf / psf.sum(), n_it=5))
+_anchor = (np.mgrid[:sz, :sz][0] < sz // 3)
+_boat = ~_anchor
+t("cube_subtract_sky_pca", lambda: preproc.cube_subtract_sky_pca(
+    cube, cube[:5] * 0.1 + rng.standard_normal(
+        (5, sz, sz)).astype(np.float32), (_anchor, _boat), ncomp=2))
+t("cube_detect_badfr_pxstats", lambda: preproc.cube_detect_badfr_pxstats(
+    cube, verbose=False, plot=False))
+t("cube_filter_iuwt", lambda: __import__("vip_tpu").var.cube_filter_iuwt(
+    cube[:3], coeff=3))
+
+
+
+# ------------------------------------------------------------------
+# tier 3: objects layer, samplers, Dataset workflow
+from vip_tpu.objects import Dataset, PPResult
+from vip_tpu import fm
+
+def _dataset_flow():
+    ds = Dataset(cube=cube.astype(float), angles=ang.astype(float),
+                 psf=psf.astype(float), fwhm=4.0, px_scale=0.01)
+    ds.normalize_psf(size=None, verbose=False)
+    ds.inject_companions(flux=20, rad_dists=[18], verbose=False)
+    return ds
+
+t("Dataset workflow", _dataset_flow)
+
+def _pppca():
+    from vip_tpu.objects import PPPCA
+    ds = Dataset(cube=cube.astype(float), angles=ang.astype(float),
+                 psf=psf.astype(float), fwhm=4.0, px_scale=0.01)
+    res = PPResult()
+    p = PPPCA(dataset=ds, ncomp=3, results=res, verbose=False)
+    p.run()
+    p.make_snrmap()
+    return p
+
+t("PPPCA run + snrmap", _pppca)
+
+def _ppmediansub():
+    from vip_tpu.objects import PPMedianSub
+    ds = Dataset(cube=cube.astype(float), angles=ang.astype(float),
+                 psf=psf.astype(float), fwhm=4.0, px_scale=0.01)
+    p = PPMedianSub(dataset=ds, verbose=False)
+    p.run()
+    return p
+
+t("PPMedianSub run", _ppmediansub)
+
+def _mcmc():
+    from vip_tpu.fm import mcmc_negfc_sampling, normalize_psf
+    psfn = normalize_psf(psf, fwhm=4.0, size=13, verbose=False)
+    cubefc = fm.cube_inject_companions(
+        cube.astype(float), psfn, ang.astype(float), flevel=40, plsc=0.1,
+        rad_dists=[16], theta=30, verbose=False)
+    chain = mcmc_negfc_sampling(
+        cubefc, ang.astype(float), psfn, initial_state=(16.0, 30.0, 40.0),
+        fwhm=4.0, annulus_width=8, aperture_radius=2, nwalkers=12,
+        niteration_min=3, niteration_limit=6, conv_test="gb", check_maxgap=2,
+        verbosity=0, display=False, save=False)
+    return chain
+
+t("mcmc_negfc_sampling (short)", _mcmc)
+
+def _nested():
+    from vip_tpu.fm import nested_negfc_sampling, normalize_psf
+    psfn = normalize_psf(psf, fwhm=4.0, size=13, verbose=False)
+    cubefc = fm.cube_inject_companions(
+        cube.astype(float), psfn, ang.astype(float), flevel=40, plsc=0.1,
+        rad_dists=[16], theta=30, verbose=False)
+    res = nested_negfc_sampling(
+        init=(16.0, 30.0, 40.0), cube=cubefc, angs=ang.astype(float),
+        psfn=psfn, fwhm=4.0, annulus_width=8, aperture_radius=2,
+        npoints=20, dlogz=5.0, verbose=False)
+    return res
+
+t("nested_negfc_sampling (short)", _nested)
+
+
 print("SMOKE DONE", flush=True)
