@@ -104,3 +104,16 @@ def test_memmap_and_header_utils(tmp_path):
     x = np.array([1.0, 2.0], dtype=">f8")
     sw = byteswap_array(x)
     assert np.array_equal(np.asarray(sw, dtype=float), [1.0, 2.0])
+
+
+def test_lazy_hdu_slice_variants(tmp_path):
+    """Negative-step, empty and strided slices of the lazy HDU behave
+    like numpy slicing on the decoded array."""
+    path = str(tmp_path / "slices.fits")
+    cube = np.arange(5 * 4 * 4, dtype=np.float32).reshape(5, 4, 4)
+    write_fits(path, cube, verbose=False)
+    lazy = open_fits(path, return_memmap=True, verbose=False)
+    assert np.array_equal(lazy[::-1], cube[::-1])
+    assert np.array_equal(lazy[4:1:-1], cube[4:1:-1])
+    assert np.array_equal(lazy[1:4:2], cube[1:4:2])
+    assert lazy[3:3].shape == (0, 4, 4)

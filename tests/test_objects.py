@@ -109,3 +109,20 @@ def test_compute_significance(ds):
     cy, cx = 20, 20
     obj.compute_significance(source_xy=(cx + 10, cy))
     assert obj.signf > 2
+
+
+def test_dataset_save_load_list_attrs_and_shape(ds, tmp_path):
+    """Round-trip a Dataset whose injections_yx is a list (npz stores it
+    as a 2-d array; load must rebuild the list) and check shape-derived
+    attributes are recomputed after load."""
+    import copy
+
+    d = copy.deepcopy(ds)
+    d.normalize_psf(size=None, verbose=False)
+    d.inject_companions(flux=10, rad_dists=[10], verbose=False)
+    path = str(tmp_path / "ds_roundtrip")
+    d.save(path)
+    d2 = type(d).load(path)
+    assert (d2.n, d2.y, d2.x, d2.w) == (d.n, d.y, d.x, d.w)
+    assert isinstance(d2.injections_yx, list)
+    assert np.allclose(d2.cube, d.cube)

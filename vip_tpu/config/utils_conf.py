@@ -207,11 +207,19 @@ class Saveable:
                     continue
                 value = f[key]
                 if "_item_" + key in f.files:
-                    value = value.item()
+                    # the marker records a non-ndarray attribute; lists
+                    # and tuples land in npz as multi-element arrays
+                    # where .item() raises (the reference has the same
+                    # trap at utils_conf.py:120) — rebuild via tolist()
+                    value = value.item() if value.ndim == 0 \
+                        else value.tolist()
                 setattr(obj, key, value)
         for name in getattr(cls, "_saved_attributes", ()):
             if not hasattr(obj, name):
                 setattr(obj, name, None)
+        post = getattr(obj, "_post_load", None)
+        if callable(post):
+            post()             # e.g. recompute shape-derived attributes
         return obj
 
 

@@ -192,9 +192,14 @@ class _LazyHDU:
             idx = int(key) + (self.shape[0] if key < 0 else 0)
             return self._read_frames(idx, idx + 1)[0]
         if isinstance(key, slice):
-            start, stop, step = key.indices(self.shape[0])
-            block = self._read_frames(start, stop)
-            return block[::step] if step != 1 else block
+            wanted = range(*key.indices(self.shape[0]))
+            if len(wanted) == 0:
+                first = self._read_frames(0, min(1, self.shape[0]))
+                dtype = first.dtype if first is not None else np.float64
+                return np.empty((0,) + tuple(self.shape[1:]), dtype)
+            lo, hi = min(wanted), max(wanted)
+            block = self._read_frames(lo, hi + 1)
+            return block[np.asarray(wanted) - lo]
         raise TypeError("lazy FITS HDU supports only int/slice indexing "
                         "along the frame axis")
 

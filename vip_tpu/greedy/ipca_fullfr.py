@@ -46,6 +46,10 @@ def _greeds_native(cube, angles, ncomp, nit, ncomp_start=1, pup=0,
 
     from ..ops.linalg import svd_top
 
+    if nit < 1 or ncomp < ncomp_start:
+        raise ValueError("GreeDS needs nit >= 1 and ncomp >= ncomp_start "
+                         f"(got nit={nit}, ncomp={ncomp}, "
+                         f"ncomp_start={ncomp_start})")
     t = cube.shape[0]
     estimate = np.zeros(cube.shape[1:])
     it_frames = []

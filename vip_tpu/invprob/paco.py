@@ -344,9 +344,10 @@ def _subpixel_psf_bank(psf, angs, mask, chunk=8192):
         block = fourier_shift_batch(
             jnp.broadcast_to(psf_j, (chunk, *psf.shape)),
             jnp.asarray(sy_k), jnp.asarray(sx_k), 1)
-        pieces.append(np.asarray(block)[:n_k])
+        # mask per chunk: keeps peak host memory at the masked size
+        pieces.append(np.asarray(block)[:n_k][:, mask])
     bank = np.concatenate(pieces, axis=0)
-    return bank[:, mask].reshape(nv, nf, -1)
+    return bank.reshape(nv, nf, -1)
 
 
 class FastPACO(PACO):

@@ -177,6 +177,8 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     collapse = str(getattr(algo_dict.get("collapse", "median"), "value",
                            algo_dict.get("collapse", "median")))
     imlib = algo_dict.get("imlib", "vip-fft")
+    if imlib not in ("vip-fft", "vip-fft-small"):
+        return None        # interpolation backends -> serial fallback
     rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
 
     stack = jnp.asarray(np.stack([np.asarray(c, float) for c in cubes_fc]))

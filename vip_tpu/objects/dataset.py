@@ -169,6 +169,20 @@ class Dataset(Saveable):
                          "wavelengths", "px_scale", "cuberef",
                          "injections_yx"]
 
+    def _set_shape_attrs(self):
+        """Derive (w, n, y, x) from the cube shape."""
+        if self.cube.ndim == 3:
+            self.n, self.y, self.x = self.cube.shape
+            self.w = 1
+        else:
+            self.w, self.n, self.y, self.x = self.cube.shape
+
+    def _post_load(self):
+        """Recompute shape-derived attributes after ``Saveable.load``
+        (which restores only ``_saved_attributes``)."""
+        if isinstance(self.cube, np.ndarray):
+            self._set_shape_attrs()
+
     def __init__(self, cube, hdu=0, angles=None, wavelengths=None,
                  fwhm=None, px_scale=None, psf=None, psfn=None,
                  cuberef=None):
@@ -181,11 +195,7 @@ class Dataset(Saveable):
         else:
             raise TypeError("`Cube` has a wrong type")
 
-        if self.cube.ndim == 3:
-            self.n, self.y, self.x = self.cube.shape
-            self.w = 1
-        else:
-            self.w, self.n, self.y, self.x = self.cube.shape
+        self._set_shape_attrs()
 
         if isinstance(cuberef, str):
             self.cuberef = open_fits(cuberef, hdu, verbose=False)

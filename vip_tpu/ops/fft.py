@@ -43,6 +43,34 @@ def _shear_phase(N, dtype):
     return jnp.outer(q, q) / N
 
 
+def decompose_rotation(angles, real_dtype=jnp.float32):
+    """Quadrant reduction shared by every 3-shear rotation path:
+    ``angle = 90*k + dangle`` with ``dangle`` in (-45, 45].
+
+    Returns (k, dangle) — k the int32 number of rot90 pre-rotations,
+    dangle the residual shear angle. Works on scalars and arrays
+    (traced ok). Keeping this in ONE place matters: the subtle quadrant
+    placement (the +1-pixel dy/dx shifts downstream) must stay identical
+    across the exact, fused and packed speed paths.
+    """
+    angles = jnp.asarray(angles, real_dtype) % 360.0
+    d = angles % 90.0
+    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
+    use_rot = angles > 45.0
+    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
+                  0.0).astype(jnp.int32) % 4
+    dangle = jnp.where(use_rot, dangle_gt, angles)
+    return k, dangle
+
+
+def quad_rot90(k, frame):
+    """rot90 by a traced quadrant count as a 4-way ``lax.switch``."""
+    return jax.lax.switch(k, [lambda a: a,
+                              lambda a: jnp.rot90(a, 1),
+                              lambda a: jnp.rot90(a, 2),
+                              lambda a: jnp.rot90(a, 3)], frame)
+
+
 def fft_shear(arr, c, ax, phase=None):
     """One linear shear as a 1-D FFT phase multiplication.
 
@@ -85,14 +113,7 @@ def rotate_fft(array, angle):
         raise TypeError("rotate_fft expects a real array")
     cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
 
-    angle = jnp.asarray(angle, real_dtype) % 360.0
-
-    # quadrant decomposition: angle = 90*k + dangle, dangle in (-45, 45]
-    d = angle % 90.0
-    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
-    use_rot = angle > 45.0
-    k = jnp.where(use_rot, jnp.rint(angle / 90.0), 0.0).astype(jnp.int32) % 4
-    dangle = jnp.where(use_rot, dangle_gt, angle)
+    k, dangle = decompose_rotation(angle, real_dtype)
 
     odd = y_ori % 2
     if not odd:
@@ -101,16 +122,7 @@ def rotate_fft(array, angle):
     else:
         arr = array
 
-    arr = jax.lax.switch(
-        k,
-        [
-            lambda a: a,
-            lambda a: jnp.rot90(a, 1),
-            lambda a: jnp.rot90(a, 2),
-            lambda a: jnp.rot90(a, 3),
-        ],
-        arr,
-    )
+    arr = quad_rot90(k, arr)
     arr = arr[:-1, :-1]  # even N x N, center at N/2
 
     N = arr.shape[0]
@@ -156,25 +168,13 @@ def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
     real_dtype = jnp.result_type(frames.dtype, jnp.float32)
     cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
 
-    angles = jnp.asarray(angles, real_dtype) % 360.0
-    d = angles % 90.0
-    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
-    use_rot = angles > 45.0
-    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
-                  0.0).astype(jnp.int32) % 4
-    dangle = jnp.where(use_rot, dangle_gt, angles)
+    k, dangle = decompose_rotation(angles, real_dtype)
 
     # quadrant rot90: the reference rot90s the whole (N+1-extended) canvas
     # about its center; on the centrally-placed block this equals a plain
     # rot90 of the small frame placed one pixel down/right per quadrant
     # (k=1: +row, k=2: +row+col, k=3: +col) — verified bit-exact.
-    def _quad(km, fr):
-        return jax.lax.switch(km, [lambda a: a,
-                                   lambda a: jnp.rot90(a, 1),
-                                   lambda a: jnp.rot90(a, 2),
-                                   lambda a: jnp.rot90(a, 3)], fr)
-
-    rot = jax.vmap(_quad)(k, frames).astype(cdtype)
+    rot = jax.vmap(quad_rot90)(k, frames).astype(cdtype)
     dy = jnp.asarray([0, 1, 1, 0])[k]
     dx = jnp.asarray([0, 0, 1, 1])[k]
 
@@ -357,26 +357,12 @@ def rotate_fft_fast_batch(cube, angles):
     cube = jnp.asarray(cube)
     n, N, _ = cube.shape
     real_dtype = jnp.result_type(cube.dtype, jnp.float32)
-    angles = jnp.asarray(angles, real_dtype) % 360.0
-
-    # quadrant decomposition (same as rotate_fft)
-    d = angles % 90.0
-    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
-    use_rot = angles > 45.0
-    k = jnp.where(use_rot, jnp.rint(angles / 90.0), 0.0).astype(jnp.int32) % 4
-    dangle = jnp.where(use_rot, dangle_gt, angles)
+    k, dangle = decompose_rotation(angles, real_dtype)
 
     # rot90 about the (N/2, N/2) center of an even frame == rot90 of the
     # (N+1)x(N+1) zero-extended frame, cropped back (cf. rotate_fft)
     ext = jnp.zeros((n, N + 1, N + 1), cube.dtype).at[:, :-1, :-1].set(cube)
-
-    def _quad(km, fr):
-        return jax.lax.switch(km, [lambda a: a,
-                                   lambda a: jnp.rot90(a, 1),
-                                   lambda a: jnp.rot90(a, 2),
-                                   lambda a: jnp.rot90(a, 3)], fr)
-
-    ext = jax.vmap(_quad)(k, ext)
+    ext = jax.vmap(quad_rot90)(k, ext)
     work = ext[:, :-1, :-1].astype(real_dtype)
 
     a = jnp.tan(jnp.deg2rad(dangle) / 2)

@@ -562,21 +562,10 @@ def rotate_fft_exact_fused(frames, angles, pad_y, py0, px0, cy0, cy1,
     if not fused_shear_supported(y, N):
         raise ValueError("unsupported geometry for the fused shear path")
 
-    angles = jnp.asarray(angles, jnp.float32) % 360.0
-    d = angles % 90.0
-    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
-    use_rot = angles > 45.0
-    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
-                  0.0).astype(jnp.int32) % 4
-    dangle = jnp.where(use_rot, dangle_gt, angles)
+    from .fft import decompose_rotation, quad_rot90
 
-    def _quad(km, fr):
-        return jax.lax.switch(km, [lambda a: a,
-                                   lambda a: jnp.rot90(a, 1),
-                                   lambda a: jnp.rot90(a, 2),
-                                   lambda a: jnp.rot90(a, 3)], fr)
-
-    rot = jax.vmap(_quad)(k, frames)
+    k, dangle = decompose_rotation(angles)
+    rot = jax.vmap(quad_rot90)(k, frames)
     dy = jnp.asarray([0, 1, 1, 0])[k]
     dx = jnp.asarray([0, 0, 1, 1])[k]
 
@@ -645,25 +634,14 @@ def rotate_fft_small_fused(cube, angles, interpret=False):
         raise ValueError("unsupported canvas for the fused small path")
     P = N // _Q
 
-    angles = jnp.asarray(angles, jnp.float32) % 360.0
-    d = angles % 90.0
-    dangle_gt = jnp.where(d > 45.0, d - 90.0, d)
-    use_rot = angles > 45.0
-    k = jnp.where(use_rot, jnp.rint(angles / 90.0),
-                  0.0).astype(jnp.int32) % 4
-    dangle = jnp.where(use_rot, dangle_gt, angles)
+    from .fft import decompose_rotation, quad_rot90
+
+    k, dangle = decompose_rotation(angles)
 
     # rot90 about the (N/2, N/2) center of the even canvas == rot90 of
     # the (N+1)^2 zero-extended canvas, cropped back (cf. rotate_fft)
     ext = jnp.zeros((B, N + 1, N + 1), cube.dtype).at[:, :-1, :-1].set(cube)
-
-    def _quad(km, fr):
-        return jax.lax.switch(km, [lambda a: a,
-                                   lambda a: jnp.rot90(a, 1),
-                                   lambda a: jnp.rot90(a, 2),
-                                   lambda a: jnp.rot90(a, 3)], fr)
-
-    work = jax.vmap(_quad)(k, ext)[:, :-1, :-1]
+    work = jax.vmap(quad_rot90)(k, ext)[:, :-1, :-1]
 
     a = jnp.tan(jnp.deg2rad(dangle) / 2)
     b = -jnp.sin(jnp.deg2rad(dangle))
