@@ -155,3 +155,25 @@ def test_sharded_mcmc_lnprob_matches_single_device():
     a = np.asarray(serial(jnp.asarray(walkers)))
     b = np.asarray(sharded(walkers))
     assert np.allclose(a, b, atol=1e-8)
+
+
+def test_sharded_pattern_frames_matches_single_device():
+    """Pattern-axis-sharded contrast reductions == per-cube pipeline."""
+    from jax.sharding import Mesh
+    from vip_tpu.metrics.sharded import sharded_pattern_frames
+    from vip_tpu.ops.pipeline import pca_adi_pipeline
+
+    rng = np.random.default_rng(5)
+    n, sz = 8, 32
+    base = rng.standard_normal((n, sz, sz)).astype(np.float32)
+    angles = np.linspace(0, 40, n).astype(np.float32)
+    pats = [base + 0.1 * i for i in range(5)]  # odd count -> padding path
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("patterns",))
+    got = sharded_pattern_frames(pats, angles, mesh=mesh, ncomp=3)
+
+    for i, p in enumerate(pats):
+        ref = np.asarray(pca_adi_pipeline(
+            jnp.asarray(p), jnp.asarray(angles), ncomp=3, method="eigen",
+            collapse="median"))
+        assert np.allclose(got[i], ref, atol=1e-5), i

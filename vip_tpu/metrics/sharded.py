@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_sharded_snrmap", "sharded_snrmap"]
+__all__ = ["make_sharded_snrmap", "sharded_snrmap",
+           "sharded_pattern_frames"]
 
 
 def make_sharded_snrmap(mesh, shape, fwhm, n_theta=0,
@@ -65,3 +66,45 @@ def sharded_snrmap(frame, fwhm, mesh=None, **kwargs):
     fn = make_sharded_snrmap(mesh, frame.shape, float(fwhm), **kwargs)
     rep = jax.device_put(frame, NamedSharding(mesh, P()))
     return np.asarray(fn(rep))
+
+
+def sharded_pattern_frames(cubes_fc, angles, mesh=None, ncomp=5,
+                           method="eigen", collapse="median",
+                           rot_mode="fft", chunk=None):
+    """Contrast-curve injection patterns sharded across the device mesh.
+
+    The throughput stage reduces one injected cube per (radial pattern,
+    branch) — embarrassingly parallel work the reference loops serially
+    (contrcurve.py:584-1096) and the single-chip fast path vmaps
+    (metrics.contrcurve._batched_pca_frames). Here the pattern axis is
+    laid over the mesh so each device runs the full PCA-ADI pipeline on
+    its share of the injected cubes; no collectives are needed until the
+    (tiny) final frames are gathered. Patterns are padded to a multiple
+    of the mesh size and the padding sliced off after.
+    """
+    from ..ops.pipeline import pca_adi_pipeline
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), axis_names=("patterns",))
+    axis = mesh.axis_names[0]
+    n_dev = len(mesh.devices.ravel())
+
+    stack = np.stack([np.asarray(c, np.float32) for c in cubes_fc])
+    n_pat = stack.shape[0]
+    n_pad = -(-n_pat // n_dev) * n_dev - n_pat
+    if n_pad:
+        stack = np.concatenate([stack, np.repeat(stack[-1:], n_pad, 0)])
+
+    stack_sh = jax.device_put(jnp.asarray(stack),
+                              NamedSharding(mesh, P(axis)))
+    angs = jax.device_put(jnp.asarray(angles, jnp.float32),
+                          NamedSharding(mesh, P()))
+
+    @jax.jit
+    def _reduce_all(cubes, a):
+        return jax.vmap(lambda c: pca_adi_pipeline(
+            c, a, ncomp=ncomp, method=method, collapse=collapse,
+            chunk=chunk, rot_mode=rot_mode))(cubes)
+
+    out = _reduce_all(stack_sh, angs)
+    return np.asarray(out)[:n_pat]
