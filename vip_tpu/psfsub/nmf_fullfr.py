@@ -217,43 +217,29 @@ def _project_subtract(matrix, matrix_ref, ncomp, scaling, mask_center_px,
                       matrix_sig=None, max_iter=100, random_state=None,
                       init_svd="nndsvda", **kwargs):
     """NMF projection + subtraction (reference nmf_fullfr.py:345-480)."""
-    if matrix_sig is None:
-        matrix_emp = matrix.copy()
-    else:
-        matrix_emp = matrix - matrix_sig
+    matrix_emp = matrix.copy() if matrix_sig is None else matrix - matrix_sig
 
+    per_frame = indices is not None and frame is not None
     if matrix_ref is not None:
         ref_lib = matrix_ref
-    elif indices is not None and frame is not None:
-        ref_lib = matrix_emp[indices].copy()
     else:
-        ref_lib = matrix_emp.copy()
+        ref_lib = (matrix_emp[indices] if per_frame else matrix_emp).copy()
 
     if np.median(ref_lib) < 0:
         raise ValueError("Mostly negative values in the cube")
     ref_lib = np.where(ref_lib < 0, 0, ref_lib)
+    if per_frame and ref_lib.shape[0] <= 10:
+        raise RuntimeError("Less than 10 frames left in the PCA library"
+                           ", Try decreasing the parameter delta_rot")
 
-    if indices is not None and frame is not None:
-        if ref_lib.shape[0] <= 10:
-            raise RuntimeError("Less than 10 frames left in the PCA library"
-                               ", Try decreasing the parameter delta_rot")
-        curr_frame = matrix[frame]
-        curr_frame_emp = matrix_emp[frame]
-        _, H, _ = nmf_fit(ref_lib, ncomp, max_iter=max_iter, init=init_svd)
-        H = np.asarray(H)
-        W = np.asarray(nmf_transform(curr_frame_emp[np.newaxis, ...], H,
-                                     max_iter=max_iter))
-        reconstructed = np.dot(W, H)
-        residuals = curr_frame - reconstructed
-        if full_output:
-            return residuals, reconstructed, H
-        return residuals
-    else:
-        _, H, _ = nmf_fit(ref_lib, ncomp, max_iter=max_iter, init=init_svd)
-        H = np.asarray(H)
-        W = np.asarray(nmf_transform(matrix_emp, H, max_iter=max_iter))
-        reconstructed = np.dot(W, H)
-        residuals = matrix - reconstructed
-        if full_output:
-            return residuals, reconstructed, H
-        return residuals
+    # fit the basis on the library, project the empirical target, rebuild
+    target = matrix_emp[frame][None] if per_frame else matrix_emp
+    _, H, _ = nmf_fit(ref_lib, ncomp, max_iter=max_iter, init=init_svd)
+    H = np.asarray(H)
+    W = np.asarray(nmf_transform(target, H, max_iter=max_iter))
+    reconstructed = W @ H
+    raw = matrix[frame] if per_frame else matrix
+    residuals = raw - reconstructed
+    if full_output:
+        return residuals, reconstructed, H
+    return residuals
