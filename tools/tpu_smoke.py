@@ -16,7 +16,11 @@ lbdas = np.linspace(1.0, 1.3, 4)
 cube4 = rng.standard_normal((4, n, sz, sz)).astype(np.float32) + 10.0
 
 def t(name, fn):
-    for attempt in (1, 2):
+    """Run one entry; on the TPU backend a failing device call can crash
+    the worker (self-heals in ~1-2 min), so retry once after a pause.
+    SMOKE_RETRY=0 disables the retry for fast CPU checks."""
+    attempts = (1, 2) if os.environ.get("SMOKE_RETRY", "1") == "1" else (2,)
+    for attempt in attempts:
         t0 = time.perf_counter()
         try:
             fn()
