@@ -159,11 +159,14 @@ def pca_adi_pipeline(cube, angles, ncomp=10, method="eigen", collapse="median",
     collapsed residual frame (y, x).
     """
     n, y, x = cube.shape
-    M = cube.reshape(n, -1)
-    M = matrix_scaling_jax(M, scaling)
+    M = matrix_scaling_jax(cube.reshape(n, -1), scaling)
     V = svd_top(M, ncomp, method=method)
     recon = (M @ V.T) @ V
-    resid = (cube.reshape(n, -1) - recon).reshape(n, y, x)
+    # residuals live in the SCALED space, like the reference's
+    # _project_subtract (pca_fullfr.py:1727-1732) — subtracting recon
+    # from the raw cube would leave the stellar halo in when scaling
+    # is not None
+    resid = (M - recon).reshape(n, y, x)
     der = _derotate_frames(resid, angles, chunk=chunk, rot_mode=rot_mode,
                            interpolation=interpolation)
     from ..preproc.subsampling import collapse_jax

@@ -24,7 +24,7 @@ from ..config import (Adimsdi, Collapse, Imlib, Interpolation,
                       SvdMode, check_array, check_enough_memory, time_ini,
                       timing)
 from ..config.utils_param import resolve_algo_params, setup_parameters
-from ..ops.linalg import matrix_scaling_jax, project_subtract, svd_top
+from ..ops.linalg import project_subtract, svd_top
 from ..preproc.derotation import (_compute_pa_thresh, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
@@ -94,7 +94,22 @@ def pca(*all_args: List, **all_kwargs: dict):
 
     start_time = time_ini(algo_params.verbose)
 
-    check_array(algo_params.cube, (3, 4), msg="cube")
+    if algo_params.batch is None:
+        check_array(algo_params.cube, (3, 4), msg="cube")
+    elif not isinstance(algo_params.cube, (str, np.ndarray)):
+        raise TypeError("`cube` must be a numpy (3d or 4d) array or a str "
+                        "with the full path on disk")
+
+    # memory guard for in-memory cubes (reference pca_fullfr.py:438-457)
+    if not isinstance(algo_params.cube, str):
+        input_bytes = (algo_params.cube_ref.nbytes
+                       if algo_params.cube_ref is not None
+                       else algo_params.cube.nbytes)
+        check_enough_memory(
+            input_bytes, 1.0, raise_error=algo_params.check_memory,
+            error_msg=(" Set check_memory=False to override this memory "
+                       "check or set `batch` to run incremental PCA"),
+            verbose=algo_params.verbose)
 
     if algo_params.left_eigv:
         if (algo_params.batch is not None or algo_params.mask_rdi is not None
@@ -113,6 +128,19 @@ def pca(*all_args: List, **all_kwargs: dict):
                               algo_params.adimsdi))
         add_params = {"start_time": start_time,
                       "full_output": algo_params.full_output}
+        if algo_params.cube_ref is not None:
+            # reference pca_fullfr.py:499-509: mSDI refs must be 4D; 'A'
+            # strategies fold the science frames into the library
+            if algo_params.cube_ref.ndim != 4:
+                raise TypeError("Ref cube has wrong format for 4d input "
+                                "cube")
+            if "A" in str(algo_params.ref_strategy):
+                add_params["ref_strategy"] = "ARSDI"
+                if adimsdi == "single":
+                    add_params["cube_ref"] = np.concatenate(
+                        (algo_params.cube, algo_params.cube_ref), axis=1)
+            else:
+                add_params["ref_strategy"] = "RSDI"
         if adimsdi == "double":
             func_params = setup_parameters(params_obj=algo_params,
                                            fkt=_adimsdi_doublepca,
@@ -140,36 +168,112 @@ def pca(*all_args: List, **all_kwargs: dict):
 
     # ------------------------------------------------------------------
     # 4D cube without scale_list: per-channel ADI, collapse over channels
+    # (reference pca_fullfr.py:543-657)
     # ------------------------------------------------------------------
-    if algo_params.cube.ndim == 4:
-        z = algo_params.cube.shape[0]
-        ifs_adi_frames = np.zeros((z, *algo_params.cube.shape[-2:]))
-        for ch in range(z):
-            ifs_adi_frames[ch] = pca(
+    if not isinstance(algo_params.cube, str) and algo_params.cube.ndim == 4:
+        nch, nz, ny, nx = algo_params.cube.shape
+        collapse_ifs = str(getattr(algo_params.collapse_ifs, "value",
+                                   algo_params.collapse_ifs))
+
+        # per-channel ncomp: a len-nch list maps one scalar per channel;
+        # any other list/tuple is a PCA grid shared by every channel
+        nc = algo_params.ncomp
+        if isinstance(nc, tuple):
+            nc = list(nc)
+        if not isinstance(nc, list):
+            ncomp_ch = [nc] * nch
+        elif len(nc) != nch:
+            ncomp_ch = [nc] * nch
+        else:
+            ncomp_ch = nc
+        grid_case = isinstance(ncomp_ch[0], (tuple, list))
+        fwhm_ch = ([algo_params.fwhm] * nch
+                   if np.isscalar(algo_params.fwhm) else algo_params.fwhm)
+
+        grid_no_src = grid_case and algo_params.source_xy is None
+        if grid_no_src:
+            ifs_adi_frames = np.zeros((nch, len(ncomp_ch[0]), ny, nx))
+        else:
+            ifs_adi_frames = np.zeros((nch, ny, nx))
+        pcs, recon, residuals_cube, residuals_cube_ = [], [], [], []
+        recon_cube, table, pclist, fr_cube_list = [], [], [], []
+
+        for ch in range(nch):
+            ref_ch = None
+            if algo_params.cube_ref is not None:
+                if algo_params.cube_ref[ch].ndim != 3:
+                    raise TypeError("Ref cube has wrong format for 4d "
+                                    "input cube")
+                if algo_params.ref_strategy == "RDI":
+                    ref_ch = algo_params.cube_ref[ch]
+                elif algo_params.ref_strategy == "ARDI":
+                    ref_ch = np.concatenate((algo_params.cube[ch],
+                                             algo_params.cube_ref[ch]))
+                else:
+                    raise TypeError("ref_strategy argument not recognized."
+                                    " Should be 'RDI' or 'ARDI'")
+            res_ch = pca(
                 algo_params.cube[ch], algo_params.angle_list,
-                cube_ref=None if algo_params.cube_ref is None
-                else algo_params.cube_ref[ch],
-                ncomp=algo_params.ncomp, svd_mode=algo_params.svd_mode,
-                scaling=algo_params.scaling,
+                cube_ref=ref_ch, ncomp=ncomp_ch[ch],
+                svd_mode=algo_params.svd_mode, scaling=algo_params.scaling,
                 mask_center_px=algo_params.mask_center_px,
                 source_xy=algo_params.source_xy,
-                delta_rot=algo_params.delta_rot, fwhm=algo_params.fwhm,
+                delta_rot=algo_params.delta_rot, fwhm=fwhm_ch[ch],
                 imlib=algo_params.imlib,
                 interpolation=algo_params.interpolation,
-                collapse=algo_params.collapse, verbose=False,
-                **rot_options)
-        frame = cube_collapse(ifs_adi_frames,
-                              mode=str(getattr(algo_params.collapse_ifs,
-                                               "value",
-                                               algo_params.collapse_ifs)))
+                collapse=algo_params.collapse,
+                weights=algo_params.weights, verbose=False,
+                full_output=True, **rot_options)
+            if algo_params.source_xy is not None:
+                if grid_case:
+                    fr_cube_list.append(res_ch[0])
+                    ifs_adi_frames[ch] = res_ch[1]
+                    table.append(res_ch[2])
+                else:
+                    ifs_adi_frames[ch] = res_ch[0]
+                    recon_cube.append(res_ch[1])
+                    residuals_cube.append(res_ch[2])
+                    residuals_cube_.append(res_ch[3])
+            elif grid_case:
+                ifs_adi_frames[ch] = res_ch[0]
+                pclist.append(res_ch[1])
+            else:
+                ifs_adi_frames[ch] = res_ch[0]
+                pcs.append(res_ch[1])
+                recon.append(res_ch[2])
+                residuals_cube.append(res_ch[3])
+                residuals_cube_.append(res_ch[4])
+
+        if grid_no_src:
+            final_residuals_cube = np.stack([
+                cube_collapse(ifs_adi_frames[:, i], mode=collapse_ifs)
+                for i in range(len(ncomp_ch[0]))])
+        else:
+            final_residuals_cube = (np.array(fr_cube_list)
+                                    if fr_cube_list else None)
+            frame = cube_collapse(ifs_adi_frames, mode=collapse_ifs)
+        if final_residuals_cube is not None and algo_params.med_of_npcs:
+            final_residuals_cube = np.median(final_residuals_cube, axis=0)
+
+        if algo_params.full_output and algo_params.source_xy is None:
+            if grid_case:
+                return final_residuals_cube, pclist, ifs_adi_frames
+            return (frame, np.array(pcs), np.array(recon),
+                    np.array(residuals_cube), np.array(residuals_cube_),
+                    ifs_adi_frames)
         if algo_params.full_output:
-            return frame, ifs_adi_frames
-        return frame
+            if grid_case:
+                return final_residuals_cube, frame, table, ifs_adi_frames
+            return (frame, np.array(recon_cube), np.array(residuals_cube),
+                    np.array(residuals_cube_), ifs_adi_frames)
+        return final_residuals_cube if grid_no_src else frame
 
     if algo_params.batch is not None:
+        if algo_params.cube_ref is not None:
+            raise ValueError("RDI not compatible with batch mode")
         from .utils_pca import pca_incremental
 
-        return pca_incremental(
+        res_inc = pca_incremental(
             algo_params.cube, algo_params.angle_list,
             batch=algo_params.batch, ncomp=algo_params.ncomp,
             collapse=algo_params.collapse, verbose=algo_params.verbose,
@@ -177,6 +281,10 @@ def pca(*all_args: List, **all_kwargs: dict):
             weights=algo_params.weights, nproc=algo_params.nproc,
             imlib=algo_params.imlib,
             interpolation=algo_params.interpolation, **rot_options)
+        if algo_params.full_output:
+            frame, _, pcs, medians = res_inc
+            return frame, pcs, medians     # reference pca_fullfr.py:763-765
+        return res_inc
 
     if algo_params.cube_ref is not None:
         if algo_params.ref_strategy == "ARDI":
@@ -198,6 +306,9 @@ def pca(*all_args: List, **all_kwargs: dict):
 
             if algo_params.full_output:
                 final_residuals_cube, frame, table, _ = res_pca
+                if algo_params.med_of_npcs:
+                    final_residuals_cube = np.median(final_residuals_cube,
+                                                     axis=0)
                 return final_residuals_cube, frame, table
             return res_pca[1]
         recon_cube, residuals_cube, residuals_cube_, frame = res_pca
@@ -647,8 +758,9 @@ def _project_subtract(cube, cube_ref, ncomp, scaling, mask_center_px,
             print(f"Components used : {ncomp}")
 
     ncomp = int(ncomp)
-    method = MODE_TO_METHOD.get(str(getattr(svd_mode, "value", svd_mode)),
-                                "lapack")
+    method = MODE_TO_METHOD.get(str(getattr(svd_mode, "value", svd_mode)))
+    if method is None:
+        raise ValueError("The SVD `mode` is not recognized")
 
     discard = bool(left_eigv) and indices is None and frame is None
     matrix = prepare_matrix(cube, scaling, mask_center_px, mode="fullfr",

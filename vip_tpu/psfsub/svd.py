@@ -67,8 +67,14 @@ def svd_wrapper(matrix, mode, ncomp, verbose=False, full_output=False,
 
     key = None
     if method == "randsvd":
-        seed = random_state if isinstance(random_state, (int, np.integer)) \
-            else 0
+        if isinstance(random_state, (int, np.integer)):
+            seed = int(random_state)
+        elif isinstance(random_state, np.random.RandomState):
+            seed = int(random_state.randint(2 ** 31))
+        elif isinstance(random_state, np.random.Generator):
+            seed = int(random_state.integers(2 ** 31))
+        else:
+            seed = 0
         key = jax.random.PRNGKey(seed)
 
     U, S, V = svd_top(jnp.asarray(matrix), int(ncomp), method=method, key=key,
