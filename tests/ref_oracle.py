@@ -647,8 +647,38 @@ def _install_stubs():
         def blob_dog(*a, **k):
             raise NotImplementedError
 
-        def peak_local_max(*a, **k):
-            raise NotImplementedError
+        def peak_local_max(image, min_distance=1, threshold_abs=None,
+                           threshold_rel=None, exclude_border=True,
+                           num_peaks=np.inf, **kw):
+            # skimage.feature.peak_local_max semantics: maxima of a
+            # (2*min_distance+1) square max-filter, thresholded, border
+            # exclusion, sorted by decreasing intensity
+            from scipy.ndimage import maximum_filter
+
+            img = np.asarray(image, dtype=float)
+            size = 2 * min_distance + 1
+            maxf = maximum_filter(img, size=size, mode="constant",
+                                  cval=-np.inf)
+            mask = img == maxf
+            thr = -np.inf
+            if threshold_abs is not None:
+                thr = max(thr, threshold_abs)
+            if threshold_rel is not None:
+                thr = max(thr, threshold_rel * img.max())
+            mask &= img > thr
+            if exclude_border:
+                border = min_distance if exclude_border is True \
+                    else int(exclude_border)
+                if border:
+                    inner = np.zeros_like(mask)
+                    inner[border:-border, border:-border] = True
+                    mask &= inner
+            coords = np.column_stack(np.nonzero(mask))
+            order = np.argsort(img[coords[:, 0], coords[:, 1]])[::-1]
+            coords = coords[order]
+            if np.isfinite(num_peaks) and len(coords) > int(num_peaks):
+                coords = coords[: int(num_peaks)]
+            return coords
 
         feature.blob_log = blob_log
         feature.blob_dog = blob_dog
