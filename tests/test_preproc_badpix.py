@@ -176,3 +176,53 @@ def test_badframes_parity():
                                                      verbose=False)
         assert np.array_equal(g_o, g_t), dist
         assert np.array_equal(b_o, b_t), dist
+
+
+def test_sigma_filter_device_edges_and_clumps():
+    """Device fixed point == reference serial sweep on edge/corner bad
+    pixels, multi-iteration clumps, and a frame needing several erosion
+    sweeps (exact equality: both take medians of identical multisets)."""
+    ref = load_ref("vip_hci.stats.clip_sigma")
+    rng = np.random.default_rng(11)
+    fr = rng.normal(0, 5, (32, 32))
+    bpm = (rng.random((32, 32)) < 0.15)
+    bpm[0, :4] = True          # top edge run
+    bpm[-1, -1] = True         # corner
+    bpm[10:17, 10:17] = True   # 7x7 clump -> needs ~4 sweeps
+    ours = sigma_filter(fr.copy(), bpm.astype(int))
+    theirs = ref.sigma_filter(fr.copy(), bpm.astype(float))
+    assert np.max(np.abs(ours - theirs)) == 0.0
+
+
+def test_cube_sigma_filter_batched_matches_per_frame():
+    from vip_tpu.stats.clip_sigma import cube_sigma_filter
+
+    rng = np.random.default_rng(5)
+    cube = rng.normal(0, 3, (4, 24, 24))
+    bpms = rng.random((4, 24, 24)) < 0.1
+    bpms[2, 5:12, 5:12] = True  # one frame needs more sweeps than others
+    got = cube_sigma_filter(cube.copy(), bpms.astype(int))
+    for i in range(4):
+        want = sigma_filter(cube[i].copy(), bpms[i].astype(int))
+        assert np.max(np.abs(got[i] - want)) == 0.0
+
+
+def test_clip_array_half_res_y_and_min_std():
+    """half_res_y window geometry and the min_std floor vs the host
+    oracle (exercises the device kernel's non-default static branches)."""
+    from vip_tpu.stats.clip_sigma import _clip_neighbor_host
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 2, (26, 26))
+    seed = rng.random((26, 26)) < 0.1
+    for nn, mad, min_std in ((5, False, 1.5), (5, True, None),
+                             (3, False, None)):
+        hbx = nn // 2
+        hby = max(1, hbx // 2)
+        want = _clip_neighbor_host(a, ~seed, 2.0, 2.5, hby, hbx, mad,
+                                   min_std)
+        got = clip_array(a, 2.0, 2.5, seed, neighbor=True,
+                         num_neighbor=nn, mad=mad, min_std=min_std,
+                         half_res_y=True)
+        assert all(np.array_equal(x, y)
+                   for x, y in zip(np.where(want), got)), (nn, mad, min_std)

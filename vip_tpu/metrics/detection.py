@@ -92,6 +92,13 @@ def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
     with per-source S/N when ``full_output``.
     """
     def check_blobs(arr, coords_temp, fwhm, debug, pad):
+        """Vet blobs with a DIRECT Gaussian2D LM fit — the reference fits a
+        raw ``models.Gaussian2D`` initialized at the subimage centre with
+        amplitude=max and stddev from the expected FWHM (reference
+        detection.py:147-162), NOT ``fit_2dgaussian`` (whose moment-based
+        initialization diverges on marginal blobs)."""
+        from scipy.optimize import least_squares
+
         coords = []
         for y, x in coords_temp:
             subsi = 3 * int(np.ceil(fwhm))
@@ -109,14 +116,22 @@ def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
             except RuntimeError:
                 continue
             cy, cx = frame_center(subim)
-            df = fit_2dgaussian(subim, crop=False, fwhmx=fwhm, fwhmy=fwhm,
-                                full_output=True, debug=False)
-            fit_y = float(df["centroid_y"].iloc[0])
-            fit_x = float(df["centroid_x"].iloc[0])
-            fwhm_y = abs(float(df["fwhm_y"].iloc[0]))
-            fwhm_x = abs(float(df["fwhm_x"].iloc[0]))
-            amplitude = float(df["amplitude"].iloc[0])
-            mean_fwhm_fit = np.mean([fwhm_x, fwhm_y])
+            sig = fwhm * GAUSSIAN_FWHM_TO_SIGMA
+            p0 = np.array([subim.max(), cx, cy, sig, sig, 0.0])
+            sy, sx = np.indices(subim.shape)
+            xr, yr, data = sx.ravel(), sy.ravel(), subim.ravel()
+
+            def resid(p):
+                return gaussian_2d(xr, yr, *p) - data
+
+            try:
+                res = least_squares(resid, p0, method="lm", max_nfev=5000)
+            except Exception:
+                res = least_squares(resid, p0, max_nfev=5000)
+            amplitude, fit_x, fit_y, x_stddev, y_stddev, _ = res.x
+            fwhm_y = y_stddev * GAUSSIAN_SIGMA_TO_FWHM
+            fwhm_x = x_stddev * GAUSSIAN_SIGMA_TO_FWHM
+            mean_fwhm_fit = np.mean([abs(fwhm_x), abs(fwhm_y)])
             condyf = np.allclose(fit_y, cy, atol=2)
             condxf = np.allclose(fit_x, cx, atol=2)
             condmf = np.allclose(mean_fwhm_fit, fwhm, atol=3)
@@ -127,6 +142,7 @@ def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
                     print(f"fit peak = {amplitude:.3f}")
                     print(f"fwhm_y in px = {fwhm_y:.3f}, fwhm_x in px = "
                           f"{fwhm_x:.3f}")
+                    print(f"mean fit fwhm = {mean_fwhm_fit:.3f}")
         return coords
 
     array = np.asarray(array, dtype=float)

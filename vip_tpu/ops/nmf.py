@@ -65,6 +65,16 @@ def nndsvd_init(X, n_components, variant="nndsvda"):
         avg = X.mean()
         W = jnp.where(W == 0, avg, W)
         H = jnp.where(H == 0, avg, H)
+    elif variant == "nndsvdar":
+        # sklearn: zeros -> |avg * N(0,1) / 100| (different RNG stream here;
+        # the reference treats nndsvdar frames as non-reproducible anyway,
+        # its snapshot script keeps only their detections)
+        avg = X.mean()
+        kW, kH = jax.random.split(jax.random.PRNGKey(0))
+        rW = jnp.abs(avg * jax.random.normal(kW, W.shape, X.dtype) / 100)
+        rH = jnp.abs(avg * jax.random.normal(kH, H.shape, X.dtype) / 100)
+        W = jnp.where(W == 0, rW, W)
+        H = jnp.where(H == 0, rH, H)
     return W, H
 
 
@@ -130,7 +140,7 @@ def _nmf_mu(X, n_components, max_iter=100, tol=1e-4, update_H=True,
 def nmf_fit(X, n_components, max_iter=100, tol=1e-4, init="nndsvda"):
     """Fit NMF: X ≈ W H with W, H >= 0. Returns (W, H, n_iter)."""
     X = jnp.asarray(X)
-    if init in ("nndsvd", "nndsvda"):
+    if init in ("nndsvd", "nndsvda", "nndsvdar"):
         W, H, it = _nmf_mu(X, int(n_components), int(max_iter), tol,
                            update_H=True, variant=init)
     elif init == "random":

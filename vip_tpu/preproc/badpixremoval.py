@@ -10,13 +10,40 @@ blocks.
 """
 
 import numpy as np
-from scipy.ndimage import median_filter
+from scipy.ndimage import median_filter as _sp_median_filter
 
 from ..config import time_ini, timing
 from ..stats.clip_sigma import clip_array, sigma_filter
 from ..var.coords import dist_matrix, frame_center
 from ..var.shapes import get_annulus_segments
 from .cosmetics import frame_pad
+
+
+def median_filter(frame, size, mode="mirror"):
+    """Windowed median (scipy signature) on device; scipy fallback for
+    frames smaller than the mirror pad or non-mirror modes."""
+    if mode != "mirror" or min(frame.shape[-2:]) <= size // 2:
+        return _sp_median_filter(frame, size, mode=mode)
+    from ..ops.badpix import median_filter_device
+
+    return np.asarray(median_filter_device(frame, int(size)),
+                      dtype=frame.dtype)
+
+
+def _cube_median_filter(cube, size, chunk=100):
+    """Batched device median filter over the frame axis, chunked to bound
+    the window-stack working set (size^2 x frame bytes per frame)."""
+    if min(cube.shape[-2:]) <= size // 2:
+        return np.stack([_sp_median_filter(f, size, mode="mirror")
+                         for f in cube])
+    from ..ops.badpix import median_filter_device
+
+    out = np.empty_like(cube)
+    for i in range(0, cube.shape[0], chunk):
+        blk = cube[i:i + chunk]
+        out[i:i + chunk] = np.asarray(median_filter_device(blk, int(size)),
+                                      dtype=cube.dtype)
+    return out
 
 __all__ = ["frame_fix_badpix_isolated", "cube_fix_badpix_isolated",
            "cube_fix_badpix_annuli", "cube_fix_badpix_clump",
@@ -251,9 +278,8 @@ def cube_fix_badpix_isolated(array, bpm_mask=None, correct_only=False,
         else:
             final_bpm = bpm_mask.copy()
 
-        for i, frame in enumerate(fixed):
-            smoothed = median_filter(frame, size, mode="mirror")
-            frame[final_bpm] = smoothed[final_bpm]
+        smoothed = _cube_median_filter(fixed, size)
+        fixed[:, final_bpm] = smoothed[:, final_bpm]
         n_fixed = nz * int(final_bpm.sum())
 
     if verbose:
@@ -670,12 +696,14 @@ def cube_fix_badpix_clump(array, bpm_mask=None, correct_only=False, cy=None,
                 seeds[i], excls[i], min_thr, max_nit, half_res_y, mad,
                 verbose)
     else:
-        fwhm_scalar = fwhm if np.isscalar(fwhm) else np.median(fwhm)
-        box, nneig = _clump_kernel_geom(fwhm_scalar)
         bpm3 = _stack_per_frame(bpm_mask.astype(bool), nz)
-        for i in range(nz):
-            out[i] = sigma_filter(out[i], bpm3[i], box, nneig,
-                                  half_res_y, verbose)
+        # one vmapped device fixed point over the frame axis (the box/nneig
+        # arguments are ignored by sigma_filter, reference
+        # clip_sigma.py:187-191)
+        from ..stats.clip_sigma import cube_sigma_filter
+
+        out = cube_sigma_filter(out, bpm3, verbose=verbose).astype(
+            out.dtype)
         bad_total = bpm3
     if full_output:
         return out, bad_total
