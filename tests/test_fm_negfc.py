@@ -83,6 +83,119 @@ def test_device_lnprob_matches_host(negfc_data):
     assert np.allclose(dev, host, rtol=1e-4, atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def negfc_small():
+    """Smaller cube for per-branch device/host parity checks."""
+    rng = np.random.default_rng(7)
+    from scipy.ndimage import gaussian_filter
+    from vip_tpu.fm import cube_inject_companions, normalize_psf
+
+    n, size, fwhm = 10, 61, 4.0
+    angles = np.linspace(0, 50, n)
+    yy, xx = np.mgrid[:25, :25]
+    sigma = fwhm / 2.355
+    psf = np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / (2 * sigma**2))
+    psfn = normalize_psf(psf, fwhm=fwhm, verbose=False)
+
+    cube = gaussian_filter(rng.standard_normal((n, size, size)), 1.2) * 0.3
+    r_true, theta_true, f_true = 12.0, 35.0, 15.0
+    cube = cube_inject_companions(cube, psfn, angles, flevel=f_true,
+                                  rad_dists=[r_true], theta=theta_true,
+                                  verbose=False)
+    cube_ref = gaussian_filter(
+        rng.standard_normal((n, size, size)), 1.2) * 0.3
+    return cube, angles, psfn, (r_true, theta_true, f_true), fwhm, cube_ref
+
+
+@pytest.mark.parametrize("branch", [
+    "weights", "transmission", "cube_ref", "scaling-tmean",
+    "scaling-tstd", "fmerit-sum", "fmerit-stddev", "collapse-sum",
+])
+def test_device_lnprob_branches_match_host(negfc_small, branch):
+    """Each newly supported device-model branch agrees with the host
+    lnprob (itself oracle-checked vs the reference)."""
+    import jax.numpy as jnp
+    from vip_tpu.fm.negfc_mcmc import lnprob
+    from vip_tpu.ops.negfc_model import make_batched_lnprob
+
+    cube, angles, psfn, truth, fwhm, cube_ref = negfc_small
+    r, th, f = truth
+    n = cube.shape[0]
+    bounds = [(r - 2, r + 2), (th - 10, th + 10), (0, 5 * f)]
+
+    host_kw = dict(mu_sigma=(0.001, 0.05))
+    dev_kw = dict(mu_sigma_is_tuple=True)
+    mu, sig2 = 0.001, 0.05 ** 2
+    if branch == "weights":
+        w = np.linspace(0.8, 1.2, n)
+        host_kw["weights"] = w
+        dev_kw["weights"] = w
+    elif branch == "transmission":
+        trans = np.array([[0.0, 4.0, 8.0, 14.0, 30.0],
+                          [0.0, 0.3, 0.7, 1.0, 1.0]])
+        host_kw["transmission"] = trans
+        dev_kw["transmission"] = trans
+    elif branch == "cube_ref":
+        host_kw["cube_ref"] = cube_ref
+        dev_kw["cube_ref"] = cube_ref
+    elif branch == "scaling-tmean":
+        host_kw["scaling"] = dev_kw["scaling"] = "temp-mean"
+    elif branch == "scaling-tstd":
+        host_kw["scaling"] = dev_kw["scaling"] = "temp-standard"
+    elif branch == "fmerit-sum":
+        host_kw["mu_sigma"] = 0.001
+        dev_kw["mu_sigma_is_tuple"] = False
+        dev_kw["fmerit"] = host_kw["fmerit"] = "sum"
+        sig2 = 0.0
+    elif branch == "fmerit-stddev":
+        host_kw["mu_sigma"] = 0.001
+        dev_kw["mu_sigma_is_tuple"] = False
+        dev_kw["fmerit"] = host_kw["fmerit"] = "stddev"
+        sig2 = 0.0
+    elif branch == "collapse-sum":
+        host_kw["collapse"] = dev_kw["collapse"] = "sum"
+
+    batched = make_batched_lnprob(cube, angles, psfn, 3, 4, r, th, 1.0,
+                                  fwhm, mu, sig2, bounds, **dev_kw)
+    params = np.array([[r, th, f],
+                       [r + 0.5, th - 2.0, f * 1.2],
+                       [r - 0.7, th + 3.0, f * 0.8]])
+    dev = np.asarray(batched(jnp.asarray(params)))
+    host = np.array([
+        lnprob(tuple(p), bounds, cube, angles, psfn, fwhm, 4, 3, 1.0,
+               (r, th, f), **host_kw)
+        for p in params
+    ])
+    assert np.allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_lnprob_4d_matches_host(negfc_small):
+    """4-D (IFS) cube device model vs host lnprob, scalar flux broadcast
+    over channels + absmean IFS collapse."""
+    import jax.numpy as jnp
+    from vip_tpu.fm.negfc_mcmc import lnprob
+    from vip_tpu.ops.negfc_model import make_batched_lnprob
+
+    cube3, angles, psfn, truth, fwhm, _ = negfc_small
+    r, th, f = truth
+    cube4 = np.stack([cube3, cube3 * 1.1])
+    psfn4 = np.stack([psfn, psfn])
+    bounds = [(r - 2, r + 2), (th - 10, th + 10), (0, 5 * f)]
+    mu_sigma = (0.001, 0.05)
+
+    batched = make_batched_lnprob(cube4, angles, psfn4, 3, 4, r, th, 1.0,
+                                  fwhm, mu_sigma[0], mu_sigma[1] ** 2,
+                                  bounds)
+    params = np.array([[r, th, f], [r + 0.4, th - 1.5, f * 1.1]])
+    dev = np.asarray(batched(jnp.asarray(params)))
+    host = np.array([
+        lnprob(tuple(p), bounds, cube4, angles, psfn4, fwhm, 4, 3, 1.0,
+               (r, th, f), mu_sigma=mu_sigma)
+        for p in params
+    ])
+    assert np.allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
 def test_mcmc_negfc_sampling_device(negfc_data):
     from vip_tpu.fm import confidence, mcmc_negfc_sampling
 

@@ -116,7 +116,11 @@ def test_golden_detection(golden_ds, name):
                      golden_ds["expected_yx"])
 
 
-@pytest.mark.parametrize("name", ["nmf_adi", "nmf_ann_adi", "nmf_drot_adi"])
+@pytest.mark.parametrize("name", [
+    "nmf_adi",
+    pytest.param("nmf_ann_adi", marks=pytest.mark.slow),  # ~27 min: annular
+    "nmf_drot_adi",                                       # MU x 10000 iters
+])
 def test_golden_detection_nmf(golden_ds, name):
     """NMF frames are stochastic (snapshot script skips them too); assert
     the detection oracle instead, exactly like the reference."""

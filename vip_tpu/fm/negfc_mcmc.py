@@ -9,8 +9,11 @@ ONE vmapped, jit-compiled XLA computation per half-ensemble
 machinery: geometric check schedule, Gelman-Rubin and autocorrelation
 tests, dynamic chain growth.
 
-When the fast path does not apply (custom algos, weights, transmission,
-4-d cubes), the same sampler runs with the host likelihood.
+The device model covers the full pca_annulus family — 3-D and 4-D
+cubes, per-frame weights, (non-gradient) coronagraph transmission,
+cube_ref RDI libraries, all matrix scalings and both merit variants.
+When the fast path does not apply (custom algos, radial-gradient
+transmission), the same sampler runs with the host likelihood.
 """
 
 import datetime
@@ -236,13 +239,28 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
     # ------------------------------------------------------------------
     # choose likelihood backend: fully-on-device fast path when possible
     # ------------------------------------------------------------------
+    # the device model covers the full pca_annulus family: 3-D and 4-D
+    # cubes, weights, (non-gradient) transmission, cube_ref RDI libraries,
+    # all matrix scalings and both merit variants. Host fallback remains
+    # only for custom algos (incl. pca_annular's moving libraries),
+    # radial-gradient transmission and exotic algo_options.
+    _dev_opts = dict(algo_options)
+    _opt_overrides = {
+        k: _dev_opts.pop(k, d) for k, d in (
+            ("ncomp", ncomp), ("svd_mode", svd_mode), ("scaling", scaling),
+            ("collapse", collapse), ("collapse_ifs", "absmean"),
+            ("nproc", 1), ("verbose", False), ("imlib", imlib),
+            ("interpolation", interpolation))}
     use_device = (
-        algo is pca_annulus and cube.ndim == 3
-        and isinstance(mu_sigma, tuple)
-        and collapse in ("median", "mean") and weights is None
-        and transmission is None and cube_ref is None and scaling is None
-        and imlib in ("vip-fft", "ndimage-fourier")
-        and np.asarray(psfn).ndim == 2
+        algo is pca_annulus
+        and not _dev_opts  # unknown algo_options -> host path
+        and _opt_overrides["collapse"] in ("median", "mean", "sum")
+        and _opt_overrides["collapse_ifs"] in ("absmean", "mean", "median",
+                                               "sum")
+        and not radial_gradient
+        and (isinstance(mu_sigma, tuple) or fmerit in ("sum", "stddev"))
+        and _opt_overrides["imlib"] in ("vip-fft", "ndimage-fourier")
+        and np.asarray(psfn).ndim == (2 if cube.ndim == 3 else 3)
     )
 
     if use_device:
@@ -252,12 +270,22 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
         if verbosity > 0:
             print("Evaluating all walkers on device (batched XLA "
                   "likelihood)...")
+        if isinstance(mu_sigma, tuple):
+            dev_mu, dev_sig2 = mu_sigma[0], mu_sigma[1] ** 2
+        else:
+            dev_mu, dev_sig2 = float(mu_sigma), 0.0
         lnprob_batched = make_batched_lnprob(
-            cube, angs, psfn, ncomp, annulus_width, initial_state[0],
-            initial_state[1], aperture_radius, fwhm, mu_sigma[0],
-            mu_sigma[1] ** 2, bounds,
-            svd_method=MODE_TO_METHOD.get(svd_mode, "lapack"),
-            collapse=collapse, sigma=sigma, force_rPA=force_rPA)
+            cube, angs, psfn, _opt_overrides["ncomp"], annulus_width,
+            initial_state[0], initial_state[1], aperture_radius, fwhm,
+            dev_mu, dev_sig2, bounds,
+            svd_method=MODE_TO_METHOD.get(_opt_overrides["svd_mode"],
+                                          "lapack"),
+            collapse=_opt_overrides["collapse"], sigma=sigma,
+            force_rPA=force_rPA, weights=weights,
+            transmission=transmission, cube_ref=cube_ref,
+            scaling=_opt_overrides["scaling"],
+            collapse_ifs=_opt_overrides["collapse_ifs"],
+            mu_sigma_is_tuple=isinstance(mu_sigma, tuple), fmerit=fmerit)
     else:
         def lnprob_batched(coords):
             return np.array([

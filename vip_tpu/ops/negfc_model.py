@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fft import rotate_fft
-from .linalg import svd_top
+from .linalg import matrix_scaling_jax as _matrix_scaling_jnp, svd_top
 from ..preproc.derotation import rotate_fft_pipeline
 
 __all__ = ["make_negfc_lnprob", "make_batched_lnprob", "cyclic_fourier_shift"]
@@ -57,7 +57,7 @@ def _inject_negfc(cube, psfn, angs, r, theta, flux):
 
     ang = jnp.deg2rad(theta)
 
-    def one(frame, a):
+    def one(frame, a, f):
         shift_y = r * jnp.sin(ang - jnp.deg2rad(a))
         shift_x = r * jnp.cos(ang - jnp.deg2rad(a))
         int_y = shift_y.astype(jnp.int32)
@@ -68,28 +68,56 @@ def _inject_negfc(cube, psfn, angs, r, theta, flux):
         canvas = jnp.zeros((ny, nx), cube.dtype)
         canvas = jax.lax.dynamic_update_slice(canvas, stamp.astype(cube.dtype),
                                               (sty + int_y, stx + int_x))
-        return frame - flux * canvas
+        return frame - f * canvas
 
-    return jax.vmap(one)(cube, jnp.asarray(angs, cube.dtype))
+    # flux may be a scalar or a per-frame vector (weights-scaled)
+    flux_fr = jnp.broadcast_to(jnp.asarray(flux, cube.dtype), (n,))
+    return jax.vmap(one)(cube, jnp.asarray(angs, cube.dtype), flux_fr)
+
+
+def _extend_transmission(transmission, width):
+    """Pad a (2, n_rad) transmission table to cover [0, diag] (the
+    injection's extension rule, fm/fakecomp.py:128-156)."""
+    transmission = np.asarray(transmission, dtype=float)
+    rad = transmission[0].tolist()
+    tr = transmission[1].tolist()
+    diag = np.sqrt(2) * width / 2
+    if transmission[0, 0] != 0:
+        rad = [0.0] + rad
+        tr = [0.0] + tr
+    if rad[-1] < diag:
+        rad = rad + [diag]
+        tr = tr + [tr[-1]]
+    return np.array(rad), np.array(tr)
 
 
 def make_negfc_lnprob(cube, angs, psfn, ncomp, annulus_width, r_guess,
                       theta_guess, aperture_radius, fwhm, mu, sigma2_spe,
                       bounds, svd_method="lapack", collapse="median",
-                      sigma="spe+pho", force_rPA=False):
+                      sigma="spe+pho", force_rPA=False, weights=None,
+                      transmission=None, cube_ref=None, scaling=None,
+                      collapse_ifs="absmean", mu_sigma_is_tuple=True,
+                      fmerit="sum"):
     """Build the jittable single-walker log-probability.
 
-    Static geometry (annulus indices padded to a rectangle gather, aperture
-    indices) is precomputed on host from (r_guess, theta_guess).
-    Returns ``lnprob(params)`` where params = (r, theta, f) (or (f,) if
-    ``force_rPA``).
+    Static geometry (annulus indices, aperture indices) is precomputed on
+    host from (r_guess, theta_guess). Returns ``lnprob(params)`` with
+    params = (r, theta, f[, f2, ...]) — or just the fluxes if
+    ``force_rPA`` — matching the reference lnlike's parameterization
+    (vip_hci/fm/negfc_mcmc.py:123-343). Supports 3-D and 4-D cubes,
+    per-frame ``weights`` on the injected flux, radial coronagraph
+    ``transmission`` (non-gradient mode), an RDI ``cube_ref`` library
+    (whose principal components are static and precomputed), the four
+    matrix ``scaling`` modes, and the mu_sigma/fmerit merit variants.
     """
     from ..var.shapes import disk_coords, get_annulus_segments
 
     cube = jnp.asarray(cube)
     psfn = jnp.asarray(psfn)
     angs = np.asarray(angs, dtype=float)
-    n, ny, nx = cube.shape
+    is4d = cube.ndim == 4
+    nch = cube.shape[0] if is4d else 1
+    n, ny, nx = cube.shape[-3:]
 
     # static annulus + aperture geometry (negfc_fmerit.py:600-625)
     inrad = int(r_guess - annulus_width / 2.0)
@@ -121,19 +149,51 @@ def make_negfc_lnprob(cube, angs, psfn, ncomp, annulus_width, r_guess,
     use_pho = "pho" in sigma
     ncomp = int(ncomp)
 
-    def forward(params):
-        if force_rPA:
-            r = jnp.asarray(r_guess, cube.dtype)
-            theta = jnp.asarray(theta_guess, cube.dtype)
-            f = params[0]
-        else:
-            r, theta, f = params[0], params[1], params[2]
+    w_fr = None if weights is None else jnp.asarray(weights, cube.dtype)
 
-        cube_fc = _inject_negfc(cube, psfn, angs, r, theta, f)
+    # transmission tables, one per channel (static radii/values)
+    if transmission is not None:
+        transmission = np.asarray(transmission, dtype=float)
+        tabs = []
+        for ch in range(nch):
+            col = 1 if transmission.shape[0] == 2 else ch + 1
+            tabs.append(_extend_transmission(
+                np.array([transmission[0], transmission[col]]), nx))
+        t_rad = jnp.asarray(np.stack([t[0] for t in tabs]))
+        t_val = jnp.asarray(np.stack([t[1] for t in tabs]))
+
+    # static RDI library -> static principal components (the injection
+    # never touches the reference cube, so V is a constant of the model)
+    if cube_ref is not None:
+        if is4d:
+            if isinstance(cube_ref, (list, tuple)):
+                refs = [np.asarray(c, float) for c in cube_ref]
+            elif np.asarray(cube_ref).ndim == 3:
+                refs = [np.asarray(cube_ref, float)] * nch
+            else:
+                refs = [np.asarray(cube_ref[ch], float)
+                        for ch in range(nch)]
+        else:
+            refs = [np.asarray(cube_ref, float)]
+        V_static = []
+        for rc in refs:
+            data_ref = _matrix_scaling_jnp(
+                jnp.asarray(rc)[:, ann_yy_j, ann_xx_j], scaling)
+            V_static.append(svd_top(data_ref, ncomp, method=svd_method))
+        V_static = jnp.stack(V_static)          # (nch, ncomp, npx)
+
+    def forward_3d(cube_ch, psfn_ch, r, theta, f, ch):
+        if transmission is not None:
+            f = f * jnp.interp(r, t_rad[ch], t_val[ch])
+        flux_fr = f if w_fr is None else f * w_fr
+        cube_fc = _inject_negfc(cube_ch, psfn_ch, angs, r, theta, flux_fr)
 
         # pca_annulus on static annulus indices
-        data = cube_fc[:, ann_yy_j, ann_xx_j]           # (n, npx)
-        V = svd_top(data, ncomp, method=svd_method)
+        data = _matrix_scaling_jnp(cube_fc[:, ann_yy_j, ann_xx_j], scaling)
+        if cube_ref is not None:
+            V = V_static[ch]
+        else:
+            V = svd_top(data, ncomp, method=svd_method)
         transformed = data @ V.T
         recon = transformed @ V
         residuals = data - recon
@@ -143,23 +203,69 @@ def make_negfc_lnprob(cube, angs, psfn, ncomp, annulus_width, r_guess,
 
         der = jax.vmap(rotate_fft_pipeline)(cube_zeros, neg_angs)
         if collapse == "median":
-            frame = jnp.median(der, axis=0)
+            return jnp.median(der, axis=0)
         elif collapse == "mean":
-            frame = jnp.mean(der, axis=0)
+            return jnp.mean(der, axis=0)
+        elif collapse == "sum":
+            return jnp.sum(der, axis=0)
+        raise ValueError("collapse not supported in device model")
+
+    def forward(params):
+        if force_rPA:
+            r = jnp.asarray(r_guess, cube.dtype)
+            theta = jnp.asarray(theta_guess, cube.dtype)
+            fluxes = params
         else:
-            raise ValueError("collapse not supported in device model")
+            r, theta = params[0], params[1]
+            fluxes = params[2:]
+
+        if not is4d:
+            frame = forward_3d(cube, psfn, r, theta, fluxes[0], 0)
+        else:
+            # scalar flux broadcasts over channels (reference lnlike
+            # flux handling, negfc_mcmc.py:288-300)
+            fl = jnp.broadcast_to(fluxes, (nch,)) if fluxes.shape[0] == 1 \
+                else fluxes
+            frames = jnp.stack([
+                forward_3d(cube[ch], psfn[ch], r, theta, fl[ch], ch)
+                for ch in range(nch)])
+            if collapse_ifs == "mean":
+                frame = jnp.mean(frames, axis=0)
+            elif collapse_ifs == "median":
+                frame = jnp.median(frames, axis=0)
+            elif collapse_ifs == "sum":
+                frame = jnp.sum(frames, axis=0)
+            elif collapse_ifs == "absmean":
+                frame = jnp.mean(jnp.abs(frames), axis=0)
+            else:
+                raise ValueError("collapse_ifs not supported in device "
+                                 "model")
         return frame[ap_yy, ap_xx]
 
     def lnprob(params):
         inb = jnp.all((params >= lo) & (params <= hi))
         values = forward(params)
-        num = (mu - values) ** 2
-        denom = jnp.zeros_like(values)
-        if use_spe:
-            denom = denom + sigma2
-        if use_pho:
-            denom = denom + jnp.abs(values - mu)
-        ll = -0.5 * jnp.sum(num / denom)
+        if mu_sigma_is_tuple:
+            num = (mu - values) ** 2
+            denom = jnp.zeros_like(values)
+            if use_spe:
+                denom = denom + sigma2
+            if use_pho:
+                denom = denom + jnp.abs(values - mu)
+            ll = -0.5 * jnp.sum(num / denom)
+        elif fmerit == "sum":
+            ll = -0.5 * jnp.sum(jnp.abs(values - mu))
+        elif fmerit == "stddev":
+            # reference: -np.std(values[values != 0], ddof=1) * values.size
+            nz = values != 0
+            k = jnp.sum(nz)
+            mean_nz = jnp.sum(jnp.where(nz, values, 0.0)) / \
+                jnp.maximum(k, 1)
+            var = jnp.sum(jnp.where(nz, (values - mean_nz) ** 2, 0.0)) / \
+                jnp.maximum(k - 1, 1)
+            ll = -jnp.sqrt(var) * values.size
+        else:
+            raise ValueError("fmerit choice not recognized.")
         return jnp.where(inb, ll, -jnp.inf)
 
     return lnprob
