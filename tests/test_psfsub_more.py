@@ -75,15 +75,26 @@ def test_nmf_annular_parity(ref_psfsub, cube_angles):
     assert np.max(np.abs(np.asarray(ref) - np.asarray(got))) < 5e-3
 
 
-def test_xloci_parity(ref_psfsub, cube_angles):
+@pytest.mark.parametrize("solver,tol_abs", [
+    ("lstsq", 1e-7),
+    # the device Lawson–Hanson NNLS matches scipy.optimize.nnls exactly.
+    # 'lsq' converges to KKT residual 1e-12 while scipy's trf/lsmr stops
+    # at its default tolerance (status 2) on these ill-conditioned
+    # (κ~1e7) speckle Grams, leaving a ~3e-4 gap that is scipy's
+    # truncation, not ours — test_lsq_solvers.py asserts our objective
+    # is at least as low as scipy's on the same segments
+    ("nnls", 1e-6),
+    ("lsq", 5e-4),
+])
+def test_xloci_parity(ref_psfsub, cube_angles, solver, tol_abs):
     from vip_tpu.psfsub import xloci
 
     cube, angles = cube_angles
     kwargs = dict(fwhm=4, asize=10, delta_rot=0.3, n_segments=2,
-                  dist_threshold=90, solver="lstsq", tol=1e-2, verbose=False)
+                  dist_threshold=90, solver=solver, tol=1e-2, verbose=False)
     ref = ref_psfsub.xloci(cube.copy(), angles, **kwargs)
     got = xloci(cube.copy(), angles, **kwargs)
-    assert np.max(np.abs(ref - got)) < 1e-7
+    assert np.max(np.abs(ref - got)) < tol_abs
 
 
 def test_frame_diff_parity(ref_psfsub, cube_angles):

@@ -2,10 +2,12 @@
 
 TPU rebuild of vip_hci/psfsub/loci.py. The per-(annulus, segment) jobs of
 the reference's reversed-order fork pool (loci.py:441-454) run as a host
-loop; inside each segment the per-frame least-squares solves are batched on
-device when the solver is 'lstsq' (vmapped SVD-based solve over the frame
-axis with masked reference sets); 'nnls'/'lsq' fall back to scipy per
-frame.
+loop; inside each segment ALL per-frame least-squares solves — 'lstsq',
+'nnls' (Lawson–Hanson active set) and 'lsq' (box-constrained) — run as a
+single batched device program over the frame axis with masked reference
+libraries (ops/lsq_solvers.py). Segment pixel counts are padded to
+power-of-two buckets so different annuli share compilations (zero pixel
+columns leave the Gram, and hence the solution, unchanged).
 """
 
 from dataclasses import dataclass
@@ -13,7 +15,6 @@ from enum import Enum
 from typing import List, Tuple, Union
 
 import numpy as np
-import scipy as sp
 from scipy.spatial.distance import cdist
 
 from ..config import (Adimsdi, Collapse, Imlib, Interpolation,
@@ -263,36 +264,10 @@ def _leastsq_patch_ifs(multispec_fr, nseg, indices, indices_opt, scal,
     else:
         mat_dists_ann = mat_dists_ann_full
 
-    threshold = np.percentile(mat_dists_ann[mat_dists_ann != 0],
-                              dist_threshold)
-    mat_dists_ann[mat_dists_ann > threshold] = np.nan
-    mat_dists_ann[mat_dists_ann == 0] = np.nan
-
-    matrix_res = np.zeros((values.shape[0], yy.shape[0]))
-    for zz in range(n_wls):
-        vector = mat_dists_ann[zz]
-        if np.nansum(vector) != 0:
-            ind_ref = np.where(~np.isnan(vector))[0]
-            A = values_opt[ind_ref]
-            b = values_opt[zz]
-            if solver == "lstsq":
-                coef = sp.linalg.lstsq(A.T, b, cond=tol)[0]
-            elif solver == "nnls":
-                coef = sp.optimize.nnls(A.T, b)[0]
-            elif solver == "lsq":
-                coef = sp.optimize.lsq_linear(A.T, b, bounds=(0, 1),
-                                              method="trf",
-                                              lsq_solver="lsmr")["x"]
-            else:
-                raise ValueError("solver not recognized")
-        else:
-            raise RuntimeError("No frames left in the reference set. Try "
-                               "increasing `dist_threshold` or decreasing "
-                               "`delta_sep`.")
-        recon = np.dot(coef, values[ind_ref])
-        matrix_res[zz] = values[zz] - recon
-
-    return matrix_res
+    masks = _library_masks(mat_dists_ann, dist_threshold,
+                           "increasing `dist_threshold` or decreasing "
+                           "`delta_sep`")
+    return _solve_patch_device(values, values_opt, masks, solver, tol)
 
 
 def _leastsq_adi(cube, angle_list, fwhm=4, metric="manhattan",
@@ -386,36 +361,41 @@ def _leastsq_patch(cube, ayxyx, pa_thresholds, angles, metric,
     else:
         mat_dists_ann = mat_dists_ann_full
 
-    threshold = np.percentile(mat_dists_ann[mat_dists_ann != 0],
-                              dist_threshold)
-    mat_dists_ann[mat_dists_ann > threshold] = np.nan
-    mat_dists_ann[mat_dists_ann == 0] = np.nan
-
-    matrix_res = np.zeros((values.shape[0], yy.shape[0]))
-    for i in range(n_frames):
-        vector = mat_dists_ann[i]
-        if np.nansum(vector) > 0:
-            ind_ref = np.where(~np.isnan(vector))[0]
-            A = values_opt[ind_ref]
-            b = values_opt[i]
-            if solver == "lstsq":
-                try:
-                    coef = sp.linalg.lstsq(A.T, b, cond=tol)[0]
-                except Exception:
-                    coef = sp.optimize.nnls(A.T, b)[0]
-            elif solver == "nnls":
-                coef = sp.optimize.nnls(A.T, b)[0]
-            elif solver == "lsq":
-                coef = sp.optimize.lsq_linear(A.T, b, bounds=(0, 1),
-                                              method="trf",
-                                              lsq_solver="lsmr")["x"]
-            else:
-                raise ValueError("`solver` not recognized")
-        else:
-            raise RuntimeError("No frames left in the reference set. Try "
-                               "increasing `dist_threshold` or decreasing "
-                               "`delta_rot`.")
-        recon = np.dot(coef, values[ind_ref])
-        matrix_res[i] = values[i] - recon
-
+    masks = _library_masks(mat_dists_ann, dist_threshold,
+                           "increasing `dist_threshold` or decreasing "
+                           "`delta_rot`")
+    matrix_res = _solve_patch_device(values, values_opt, masks, solver, tol)
     return matrix_res, yy, xx
+
+
+def _library_masks(mat_dists_ann, dist_threshold, hint):
+    """Percentile-threshold the distance matrix into per-frame boolean
+    library masks (reference loci.py:506-516); raise the reference's
+    empty-library error per frame."""
+    mat = mat_dists_ann.copy()
+    threshold = np.percentile(mat[mat != 0], dist_threshold)
+    mat[mat > threshold] = np.nan
+    mat[mat == 0] = np.nan
+    masks = ~np.isnan(mat)
+    if not masks.any(axis=1).all():
+        raise RuntimeError("No frames left in the reference set. Try "
+                           + hint + ".")
+    return masks
+
+
+def _solve_patch_device(values, values_opt, masks, solver, tol):
+    """All of a segment's per-frame solves as one batched device call,
+    with pixel axes padded to power-of-two buckets for compile reuse."""
+    from ..ops.lsq_solvers import loci_segment_residuals
+
+    import jax.numpy as jnp
+
+    p = values.shape[1]
+    p_pad = 1 << (p - 1).bit_length()
+    po = values_opt.shape[1]
+    po_pad = 1 << (po - 1).bit_length()
+    v = np.pad(values, ((0, 0), (0, p_pad - p)))
+    vo = np.pad(values_opt, ((0, 0), (0, po_pad - po)))
+    res = loci_segment_residuals(jnp.asarray(v), jnp.asarray(vo),
+                                 jnp.asarray(masks), tol, solver=solver)
+    return np.asarray(res)[:, :p]
