@@ -135,6 +135,22 @@ def main():
         _emit(f"badpix_isolated_{N_FRAMES}x{SIZE}x{SIZE}",
               N_FRAMES / t_bp, "frames/s", N_FRAMES / t_bp / 110.0)
 
+        # --- out-of-core streaming PCA (pass-1 device merge-SVD with
+        # host prefetch + pass-2 streamed project/derotate/collapse);
+        # batches sized to 1/8 of the cube so the full cube is never
+        # device-resident ---
+        from vip_tpu.psfsub.utils_pca import pca_incremental
+
+        inc_batch = max(8, N_FRAMES // 8)
+
+        def inc_run():
+            return jnp.asarray(pca_incremental(
+                cube, angles, batch=inc_batch, ncomp=NCOMP, verbose=False))
+
+        t_inc = _time(inc_run, reps=1)
+        _emit(f"pca_incremental_{N_FRAMES}x{SIZE}x{SIZE}_batch{inc_batch}",
+              N_FRAMES / t_inc, "frames/s", N_FRAMES / t_inc / 1000.0)
+
         # --- NEGFC MCMC walker throughput ---
         from vip_tpu.ops.negfc_model import make_batched_lnprob
 
