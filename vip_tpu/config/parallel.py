@@ -64,9 +64,12 @@ def frame_mesh(n_devices=None, axis_name="frames", devices=None):
     return Mesh(np.array(devices), axis_names=(axis_name,))
 
 
-def shard_cube(cube, mesh, axis_name="frames"):
-    """Place a cube on ``mesh`` sharded along its leading (frame) axis."""
-    return jax.device_put(cube, NamedSharding(mesh, P(axis_name)))
+def shard_cube(cube, mesh, axis_name=None, spec=None):
+    """Place a cube on ``mesh`` sharded along its leading (frame) axis,
+    or along an explicit PartitionSpec ``spec``."""
+    if spec is None:
+        spec = P(mesh.axis_names[0] if axis_name is None else axis_name)
+    return jax.device_put(cube, NamedSharding(mesh, spec))
 
 
 def device_put_sharded_frames(cube, mesh=None):

@@ -15,7 +15,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config.parallel import frame_mesh, shard_cube
 
 __all__ = ["make_sharded_snrmap", "sharded_snrmap",
            "sharded_pattern_frames"]
@@ -61,7 +63,7 @@ def sharded_snrmap(frame, fwhm, mesh=None, **kwargs):
     """Convenience wrapper: replicate the frame, run the sharded polar
     S/N engine, return a numpy map."""
     if mesh is None:
-        mesh = Mesh(np.array(jax.devices()), axis_names=("px",))
+        mesh = frame_mesh(axis_name="px")
     frame = np.asarray(frame, dtype=np.float32)
     fn = make_sharded_snrmap(mesh, frame.shape, float(fwhm), **kwargs)
     rep = jax.device_put(frame, NamedSharding(mesh, P()))
@@ -85,7 +87,7 @@ def sharded_pattern_frames(cubes_fc, angles, mesh=None, ncomp=5,
     from ..ops.pipeline import pca_adi_pipeline
 
     if mesh is None:
-        mesh = Mesh(np.array(jax.devices()), axis_names=("patterns",))
+        mesh = frame_mesh(axis_name="patterns")
     axis = mesh.axis_names[0]
     n_dev = len(mesh.devices.ravel())
 
@@ -95,8 +97,7 @@ def sharded_pattern_frames(cubes_fc, angles, mesh=None, ncomp=5,
     if n_pad:
         stack = np.concatenate([stack, np.repeat(stack[-1:], n_pad, 0)])
 
-    stack_sh = jax.device_put(jnp.asarray(stack),
-                              NamedSharding(mesh, P(axis)))
+    stack_sh = shard_cube(jnp.asarray(stack), mesh, axis_name=axis)
     angs = jax.device_put(jnp.asarray(angles, jnp.float32),
                           NamedSharding(mesh, P()))
 

@@ -27,14 +27,15 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
     OpenCV path, reference README.rst:183), optionally chunked to bound
     HBM."""
     if rot_mode == "interp":
+        from ..config.parallel import chunked_vmap
         from .interp_rotation import rotate_interp_batch
 
         if chunk is None or chunk >= cube.shape[0]:
             return rotate_interp_batch(cube, -angles, mode=interpolation)
-        return jax.lax.map(
-            lambda fa: rotate_interp_batch(fa[0][None], -fa[1][None],
-                                           mode=interpolation)[0],
-            (cube, angles), batch_size=chunk)
+        return chunked_vmap(
+            lambda f, a: rotate_interp_batch(f[None], -a[None],
+                                             mode=interpolation)[0],
+            batch_size=chunk)(cube, angles)
     if rot_mode == "fft-small":
         # 1.25x-padded, packed 3-shear FFT rotation restricted to the
         # inscribed circular FoV: for circle-masked content the shear

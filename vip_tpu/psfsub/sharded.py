@@ -19,8 +19,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
+
+from ..config.parallel import frame_mesh, shard_cube
 
 from ..preproc.derotation import rotate_fft_pipeline
 
@@ -84,16 +86,15 @@ def sharded_pca_adi(cube, angles, ncomp=5, mesh=None):
     import numpy as np
 
     if mesh is None:
-        devices = np.array(jax.devices())
-        mesh = Mesh(devices, axis_names=("frames",))
+        mesh = frame_mesh()
     n_dev = len(mesh.devices.ravel())
     n = cube.shape[0]
     if n % n_dev:
         raise ValueError(f"n_frames ({n}) must divide evenly over "
                          f"{n_dev} devices")
     fn = make_sharded_pca_adi(mesh, ncomp)
-    cube_sh = jax.device_put(cube, NamedSharding(mesh, P("frames")))
-    ang_sh = jax.device_put(angles, NamedSharding(mesh, P("frames")))
+    cube_sh = shard_cube(cube, mesh)
+    ang_sh = shard_cube(angles, mesh)
     return np.asarray(fn(cube_sh, ang_sh))
 
 
@@ -177,8 +178,7 @@ def sharded_pca_annular(cube, angles, ncomp=5, fwhm=4.0, asize=4,
     from ..var.shapes import get_annulus_segments, resolve_n_segments
 
     if mesh is None:
-        devices = np.array(jax.devices())
-        mesh = Mesh(devices, axis_names=("frames",))
+        mesh = frame_mesh()
     n_dev = len(mesh.devices.ravel())
     n, y, x = cube.shape
     if n % n_dev:
@@ -213,12 +213,10 @@ def sharded_pca_annular(cube, angles, ncomp=5, fwhm=4.0, asize=4,
     fn = make_sharded_pca_annular(mesh, segments, ncomp,
                                   collapse=collapse, method=method,
                                   scaling=scaling)
-    spec_fr = NamedSharding(mesh, P("frames"))
-    spec_seg = NamedSharding(mesh, P(None, "frames"))
-    cube_sh = jax.device_put(np.asarray(cube, float), spec_fr)
-    ang_sh = jax.device_put(np.asarray(angles, float), spec_fr)
-    masks_sh = jax.device_put(np.stack(masks), spec_seg)
-    keff_sh = jax.device_put(np.stack(keffs), spec_seg)
+    cube_sh = shard_cube(np.asarray(cube, float), mesh)
+    ang_sh = shard_cube(np.asarray(angles, float), mesh)
+    masks_sh = shard_cube(np.stack(masks), mesh, spec=P(None, "frames"))
+    keff_sh = shard_cube(np.stack(keffs), mesh, spec=P(None, "frames"))
     return np.asarray(fn(cube_sh, ang_sh, masks_sh, keff_sh))
 
 
