@@ -177,3 +177,41 @@ def test_sharded_pattern_frames_matches_single_device():
             jnp.asarray(p), jnp.asarray(angles), ncomp=3, method="eigen",
             collapse="median"))
         assert np.allclose(got[i], ref, atol=1e-5), i
+
+
+def test_sharded_pca_sdi_single_matches_single_device():
+    """Channel-sharded ADI+mSDI single PCA == the same math unsharded."""
+    from vip_tpu.psfsub.sharded import (_zoom_bilinear,
+                                        sharded_pca_sdi_single)
+    from vip_tpu.preproc.derotation import rotate_fft_pipeline
+
+    rng = np.random.default_rng(6)
+    z, n, sz = 4, 8, 32
+    cube = rng.standard_normal((z, n, sz, sz))
+    angles = np.linspace(0, 40, n)
+    scal = np.linspace(1.0, 1.3, z)
+    ncomp = 3
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("channels",))
+    got = sharded_pca_sdi_single(cube, angles, scal, ncomp=ncomp, mesh=mesh)
+
+    # single-device replica of the same program
+    resc = jnp.stack([
+        jax.vmap(lambda f, s=s: _zoom_bilinear(f, jnp.asarray(s)))(
+            jnp.asarray(cube[ch]))
+        for ch, s in enumerate(scal)])
+    M = resc.reshape(z * n, sz * sz)
+    e, EV = jnp.linalg.eigh(M @ M.T)
+    V = (EV.T @ M)[::-1]
+    V = (V / jnp.sqrt(jnp.abs(e))[::-1, None])[:ncomp]
+    resid = (M - (M @ V.T) @ V).reshape(z, n, sz, sz)
+    desc = jnp.stack([
+        jax.vmap(lambda f, s=s: _zoom_bilinear(f, jnp.asarray(1.0 / s)))(
+            resid[ch])
+        for ch, s in enumerate(scal)])
+    cube_adi = jnp.mean(desc, axis=0)
+    der = jax.vmap(rotate_fft_pipeline)(cube_adi,
+                                        -jnp.asarray(angles))
+    ref = np.asarray(jnp.mean(der, axis=0))
+    assert np.allclose(got, ref, atol=1e-8)

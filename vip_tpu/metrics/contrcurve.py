@@ -115,13 +115,33 @@ def _check_algo(algo, algo_class):
 
 
 def _process_patterns(cubes_fc, algo, argl, parangles, fwhm_med, algo_dict,
-                      batch_patterns, verbose, start_time):
+                      batch_patterns, verbose, start_time,
+                      pattern_mesh=None):
     """Run ``algo`` over every injected pattern cube.
 
     Serial black-box calls by default (API parity with reference
     contrcurve.py:584-1096). With ``batch_patterns`` and the native
     full-frame ``pca``, the injected cubes stack on a leading pattern
-    axis and reduce in ONE vmapped XLA program (SURVEY §3.3)."""
+    axis and reduce in ONE vmapped XLA program (SURVEY §3.3); with a
+    ``pattern_mesh`` the pattern axis is laid over the device mesh
+    instead (metrics.sharded.sharded_pattern_frames)."""
+    if pattern_mesh is not None:
+        parsed = _parse_batchable_pca(cubes_fc, algo, algo_dict)
+        if parsed is not None and parsed["scaling"] is None:
+            from .sharded import sharded_pattern_frames
+
+            out = sharded_pattern_frames(
+                cubes_fc, np.asarray(parangles, float),
+                mesh=pattern_mesh, ncomp=parsed["ncomp"],
+                method=parsed["method"], collapse=parsed["collapse"],
+                rot_mode=parsed["rot_mode"])
+            if verbose:
+                print(f"{len(cubes_fc)} patterns processed sharded over "
+                      f"{len(pattern_mesh.devices.ravel())} devices")
+                timing(start_time)
+            return list(np.asarray(out))
+        if verbose:
+            print("pattern_mesh: algo/params not shardable, falling back")
     if batch_patterns:
         frames = _batched_pca_frames(cubes_fc, parangles, algo, algo_dict)
         if frames is not None:
@@ -151,9 +171,9 @@ _BATCHABLE_PCA_KEYS = {"ncomp", "scaling", "collapse", "svd_mode", "imlib",
                        "nproc", "interpolation"}
 
 
-def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
-    """All injection patterns through one vmapped full-frame PCA program.
-    Returns None when the algo/params combination is not batchable."""
+def _parse_batchable_pca(cubes_fc, algo, algo_dict):
+    """Eligibility + parameter parse shared by the vmapped and sharded
+    pattern fast paths; None when not batchable."""
     if getattr(algo, "__name__", "") != "pca" \
             or not getattr(algo, "__module__", "").startswith("vip_tpu"):
         return None
@@ -164,11 +184,6 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     ncomp = algo_dict.get("ncomp", 1)
     if not isinstance(ncomp, (int, np.integer)):
         return None
-
-    import jax
-
-    from ..ops.pipeline import pca_adi_pipeline
-
     svd_mode = str(algo_dict.get("svd_mode", "lapack"))
     method = {"lapack": "lapack", "eigen": "eigen",
               "randsvd": "rand"}.get(svd_mode)
@@ -180,6 +195,22 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     if imlib not in ("vip-fft", "vip-fft-small"):
         return None        # interpolation backends -> serial fallback
     rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
+    return dict(ncomp=int(ncomp), method=method, collapse=collapse,
+                rot_mode=rot_mode, scaling=algo_dict.get("scaling"))
+
+
+def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
+    """All injection patterns through one vmapped full-frame PCA program.
+    Returns None when the algo/params combination is not batchable."""
+    parsed = _parse_batchable_pca(cubes_fc, algo, algo_dict)
+    if parsed is None:
+        return None
+    ncomp, method = parsed["ncomp"], parsed["method"]
+    collapse, rot_mode = parsed["collapse"], parsed["rot_mode"]
+
+    import jax
+
+    from ..ops.pipeline import pca_adi_pipeline
 
     stack = jnp.asarray(np.stack([np.asarray(c, float) for c in cubes_fc]))
     angs = jnp.asarray(np.asarray(parangles, dtype=stack.dtype))
@@ -198,7 +229,8 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                theta=0, inner_rad=1, fc_rad_sep=3, wedge=(0, 360), fc_snr=100,
                noise_sep=1, full_output=False, verbose=True, nproc=1,
                imlib="vip-fft", interpolation="lanczos4", scaling=None,
-               algo_class=None, batch_patterns=False, **algo_dict):
+               algo_class=None, batch_patterns=False, pattern_mesh=None,
+               **algo_dict):
     """Algorithm throughput by injection-recovery on radial patterns
     (reference contrcurve.py:584-1096; 4D/IFS branch :950-1077).
 
@@ -365,7 +397,7 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
 
     frames_fc = _process_patterns(
         [b[0] for b in built], algo, argl, parangles, fwhm_med, algo_dict,
-        batch_patterns, verbose, start_time)
+        batch_patterns, verbose, start_time, pattern_mesh=pattern_mesh)
 
     for k, (br, irad) in enumerate(patterns):
         _, fc_map, fcy, fcx = built[k]
@@ -392,7 +424,7 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
                    verbose=True, full_output=False, save_plot=None,
                    object_name=None, frame_size=None, fix_y_lim=(),
                    figsize=(8, 5), algo_class=None, batch_patterns=False,
-                   **algo_dict):
+                   pattern_mesh=None, **algo_dict):
     """Contrast curve at ``sigma`` confidence with the [MAW14] small-sample
     correction (reference contrcurve.py:29-580)."""
     import pandas as pd
@@ -438,7 +470,8 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
                             fc_rad_sep=fc_rad_sep, wedge=wedge, fc_snr=fc_snr,
                             noise_sep=noise_sep, full_output=True,
                             verbose=verbose_thru, algo_class=algo_class,
-                            batch_patterns=batch_patterns, **algo_dict)
+                            batch_patterns=batch_patterns,
+                            pattern_mesh=pattern_mesh, **algo_dict)
     vector_radd = res_throug[3]
     if res_throug[0].shape[0] > 1:
         thruput_mean = np.nanmean(res_throug[0], axis=0)

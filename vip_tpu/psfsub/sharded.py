@@ -18,6 +18,7 @@ virtual CPU mesh and by real pods on ICI.
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
@@ -28,7 +29,8 @@ from ..preproc.derotation import rotate_fft_pipeline
 
 __all__ = ["sharded_pca_adi", "make_sharded_pca_adi",
            "make_sharded_median_adi", "make_sharded_pca_annular",
-           "sharded_pca_annular"]
+           "sharded_pca_annular", "make_sharded_pca_sdi_single",
+           "sharded_pca_sdi_single"]
 
 
 def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
@@ -255,3 +257,98 @@ def make_sharded_median_adi(mesh, axis="frames", collapse="median"):
                         in_specs=(P("frames"), P("frames")), out_specs=P(),
                         check_vma=False)
     return jax.jit(sharded)
+
+
+def _zoom_bilinear(frame, scale):
+    """Spatial zoom about the frame center as two resample matmuls.
+
+    The (N, N) bilinear interpolation matrix is built from the traced
+    ``scale`` scalar, so every channel shares one compiled program — the
+    uniform-shape property the sharded SDI path needs (the exact
+    integer-padded scale_fft has per-scale shapes). This is the MXU
+    analogue of the reference's interpolation imlibs for
+    cube_rescaling_wavelengths (reference rescaling.py:324-477).
+    """
+    N = frame.shape[0]
+    c = (N - 1) / 2.0
+    u = jnp.arange(N, dtype=frame.dtype)
+    src = (u - c) / scale + c
+    d = jnp.abs(src[:, None] - u[None, :])
+    W = jnp.maximum(0.0, 1.0 - d)
+    W = W / jnp.maximum(W.sum(axis=1, keepdims=True), 1e-30)
+    return W @ frame @ W.T
+
+
+def make_sharded_pca_sdi_single(mesh, ncomp, axis="channels"):
+    """Sharded ADI+mSDI single-step PCA (P4 of SURVEY §2.c).
+
+    The wavelength axis of the 4-D cube is laid over the mesh: each
+    device rescales its channels to a common lambda locally (batched
+    matmul zoom), the joint (z·n, p) PCA library's Gram is assembled
+    with one all_gather over ICI, projection/subtraction and the inverse
+    rescale stay local, the channel collapse is a psum, and the ADI
+    derotation stage reshards the frame axis over the same devices
+    (dynamic_slice by axis index) before the final psum-mean collapse —
+    the multi-chip rebuild of the reference's single-PCA mSDI mode
+    (reference pca_fullfr.py:1038-1242).
+
+    Returns fn(cube4d, angles, scal_list) -> (y, x) frame; cube4d is
+    consumed sharded along channels, angles/scal broadcast. Requires
+    z % n_dev == 0 and n % n_dev == 0.
+    """
+    n_dev = len(mesh.devices.ravel())
+
+    def step(cube_loc, angles, scal_loc):
+        z_loc, n, y, x = cube_loc.shape
+        z = z_loc * n_dev
+
+        # local channel rescale to the common wavelength
+        resc = jax.vmap(lambda ch, s: jax.vmap(
+            lambda f: _zoom_bilinear(f, s))(ch))(cube_loc, scal_loc)
+        M_loc = resc.reshape(z_loc * n, y * x)
+
+        # distributed Gram of the joint (z*n, p) library
+        M_full = jax.lax.all_gather(M_loc, axis, tiled=True)
+        C_loc = M_loc @ M_full.T
+        C = jax.lax.all_gather(C_loc, axis, tiled=True)
+        e, EV = jnp.linalg.eigh(C)
+
+        idx = jax.lax.axis_index(axis)
+        EV_loc = jax.lax.dynamic_slice_in_dim(EV, idx * z_loc * n,
+                                              z_loc * n, 0)
+        V = jax.lax.psum(EV_loc.T @ M_loc, axis)[::-1]
+        S = jnp.sqrt(jnp.abs(e))[::-1]
+        V = (V / S[:, None])[:ncomp]
+
+        # local projection + inverse rescale; channel collapse via psum
+        resid = (M_loc - (M_loc @ V.T) @ V).reshape(z_loc, n, y, x)
+        desc = jax.vmap(lambda ch, s: jax.vmap(
+            lambda f: _zoom_bilinear(f, 1.0 / s))(ch))(resid, scal_loc)
+        cube_adi = jax.lax.psum(jnp.sum(desc, axis=0), axis) / z
+
+        # ADI stage: reshard the frame axis over the same mesh axis
+        n_loc = n // n_dev
+        fr_loc = jax.lax.dynamic_slice_in_dim(cube_adi, idx * n_loc, n_loc)
+        ang_loc = jax.lax.dynamic_slice_in_dim(angles, idx * n_loc, n_loc)
+        der = jax.vmap(rotate_fft_pipeline)(fr_loc, -ang_loc)
+        return jax.lax.psum(jnp.sum(der, axis=0), axis) / n
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis), P(), P(axis)), out_specs=P(),
+                        check_vma=False)
+    return jax.jit(sharded)
+
+
+def sharded_pca_sdi_single(cube, angles, scal_list, ncomp=2, mesh=None):
+    """Convenience wrapper: shard the channel axis, run, return numpy."""
+    if mesh is None:
+        mesh = frame_mesh(axis_name="channels")
+    n_dev = len(mesh.devices.ravel())
+    z, n = cube.shape[:2]
+    if z % n_dev or n % n_dev:
+        raise ValueError(f"z ({z}) and n ({n}) must divide evenly over "
+                         f"{n_dev} devices")
+    fn = make_sharded_pca_sdi_single(mesh, ncomp, axis=mesh.axis_names[0])
+    cube_sh = shard_cube(np.asarray(cube, float), mesh)
+    return np.asarray(fn(cube_sh, jnp.asarray(np.asarray(angles, float)),
+                         jnp.asarray(np.asarray(scal_list, float))))
