@@ -311,7 +311,7 @@ def _frame_center_static(ny, nx):
     return int(cy), int(cx)
 
 
-def _packed_shear(z, c1, c2, ax):
+def _packed_shear(z, c1, c2, ax, q0=None):
     """One FFT shear applied to a complex pack ``z = f1 + i f2`` of two
     real frame batches with per-frame shear coefficients c1/c2 (arrays
     broadcastable over the batch).
@@ -324,9 +324,12 @@ def _packed_shear(z, c1, c2, ax):
     frame (the frames are real) and avoids the 4 fftshift copies per
     shear of the exact-parity path.
     """
-    N = z.shape[-1]
+    N = z.shape[2 if ax in (2, -1) else 1]         # FFT length
+    M = z.shape[1 if ax in (2, -1) else 2]         # perpendicular length
     kint = jnp.fft.fftfreq(N, d=1.0 / N).astype(z.real.dtype)  # signed ints
-    q = jnp.arange(N, dtype=z.real.dtype) - N / 2
+    # line coordinate along the perpendicular axis; q0 lets callers pass a
+    # row/col slab cut out of a larger canvas (support pruning)
+    q = jnp.arange(M, dtype=z.real.dtype) + (-M / 2 if q0 is None else q0)
 
     F = jnp.fft.fft(z, axis=ax)
     # F_rev[k] = F[(N - k) mod N] along ax
@@ -344,7 +347,7 @@ def _packed_shear(z, c1, c2, ax):
     return jnp.fft.ifft(G, axis=ax)
 
 
-def rotate_fft_fast_batch(cube, angles):
+def rotate_fft_fast_batch(cube, angles, support_rows=None):
     """Rotate a batch of even square real frames by per-frame angles with
     packed, shift-free 3-shear FFTs (speed mode).
 
@@ -353,6 +356,14 @@ def rotate_fft_fast_batch(cube, angles):
     fftshift sandwiches are folded into signed-frequency phase ramps, and
     intermediate imaginary residue (Nyquist-bin leakage, ~1e-6 relative) is
     dropped at unpack. Use ``rotate_fft`` for exact reference parity.
+
+    ``support_rows=(r0, h)`` prunes the two x-shears to the row slab
+    [r0, r0+h) — exactness-preserving when the caller's content lives in
+    that slab and the output is cropped to it (the x-shear acts on rows
+    independently: zero rows in means zero rows out for shear 1, and the
+    final crop discards the out-of-slab sinc tails shear 3 would have
+    produced — the same structure as ``rotate_fft_exact_pruned``). Rows
+    outside the slab are returned zeroed.
     """
     cube = jnp.asarray(cube)
     n, N, _ = cube.shape
@@ -377,9 +388,17 @@ def rotate_fft_fast_batch(cube, angles):
     a1, a2 = a[0::2], a[1::2]
     b1, b2 = b[0::2], b[1::2]
 
-    z = _packed_shear(z, a1, a2, ax=2)
-    z = _packed_shear(z, b1, b2, ax=1)
-    z = _packed_shear(z, a1, a2, ax=2)
+    if support_rows is None:
+        z = _packed_shear(z, a1, a2, ax=2)
+        z = _packed_shear(z, b1, b2, ax=1)
+        z = _packed_shear(z, a1, a2, ax=2)
+    else:
+        r0, h = support_rows
+        zs = _packed_shear(z[:, r0:r0 + h, :], a1, a2, ax=2, q0=r0 - N / 2)
+        z = jnp.zeros_like(z).at[:, r0:r0 + h, :].set(zs)
+        z = _packed_shear(z, b1, b2, ax=1)
+        zs = _packed_shear(z[:, r0:r0 + h, :], a1, a2, ax=2, q0=r0 - N / 2)
+        z = jnp.zeros_like(z).at[:, r0:r0 + h, :].set(zs)
 
     out = jnp.empty((z.shape[0] * 2, N, N), real_dtype)
     out = out.at[0::2].set(jnp.real(z))

@@ -79,7 +79,11 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
             if use_fused:
                 out = rotate_fft_small_fused(padded, angs)
             else:
-                out = rotate_fft_fast_batch(padded, angs)
+                # prune the two x-shears to the content/crop row slab
+                # (+1 for the quadrant-rot90 shift) — exactness-preserving
+                out = rotate_fft_fast_batch(
+                    padded, angs,
+                    support_rows=(m0, min(pad_to - m0, sz + 1)))
             return out[:, m0:m0 + sz, m0:m0 + sz]
 
         if chunk is None or chunk >= cube.shape[0]:
