@@ -196,6 +196,30 @@ def test_device_lnprob_4d_matches_host(negfc_small):
     assert np.allclose(dev, host, rtol=1e-4, atol=1e-5)
 
 
+def test_mcmc_host_fallback_threaded(negfc_small):
+    """Custom algos route through the host fallback; nproc>1 evaluates
+    walkers on a thread pool (reference fork-pool semantics,
+    negfc_mcmc.py:950-963) and must agree with the serial path."""
+    from vip_tpu.fm import mcmc_negfc_sampling
+    from vip_tpu.psfsub import pca
+
+    cube, angles, psfn, truth, fwhm, _ = negfc_small
+    r, th, f = truth
+
+    def my_algo(cube, angle_list, **kw):
+        return pca(cube=cube, angle_list=angle_list, ncomp=3, verbose=False)
+
+    kwargs = dict(algo=my_algo, ncomp=3, annulus_width=4,
+                  aperture_radius=1, fwhm=fwhm, nwalkers=8,
+                  niteration_min=2, niteration_limit=5, conv_test="gb",
+                  verbosity=0, rng_seed=3)
+    ch1 = mcmc_negfc_sampling(cube, angles, psfn, (r, th, f), nproc=1,
+                              **kwargs)
+    ch4 = mcmc_negfc_sampling(cube, angles, psfn, (r, th, f), nproc=4,
+                              **kwargs)
+    assert np.allclose(ch1, ch4)
+
+
 def test_mcmc_negfc_sampling_device(negfc_data):
     from vip_tpu.fm import confidence, mcmc_negfc_sampling
 

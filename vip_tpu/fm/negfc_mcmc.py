@@ -287,16 +287,31 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
             collapse_ifs=_opt_overrides["collapse_ifs"],
             mu_sigma_is_tuple=isinstance(mu_sigma, tuple), fmerit=fmerit)
     else:
-        def lnprob_batched(coords):
-            return np.array([
-                lnprob(tuple(p), bounds, cube, angs, psfn, fwhm,
-                       annulus_width, ncomp, aperture_radius, initial_state,
-                       cube_ref, svd_mode, scaling, algo, delta_rot, fmerit,
-                       imlib, interpolation, collapse, algo_options, weights,
-                       transmission, radial_gradient, mu_sigma, sigma,
-                       force_rPA)
-                for p in np.asarray(coords)
-            ])
+        def _lnprob_one(p):
+            return lnprob(tuple(p), bounds, cube, angs, psfn, fwhm,
+                          annulus_width, ncomp, aperture_radius,
+                          initial_state, cube_ref, svd_mode, scaling, algo,
+                          delta_rot, fmerit, imlib, interpolation, collapse,
+                          algo_options, weights, transmission,
+                          radial_gradient, mu_sigma, sigma, force_rPA)
+
+        if nproc > 1:
+            # host-fallback walker parallelism (the reference's fork pool,
+            # negfc_mcmc.py:950-963): threads — the per-walker work is
+            # numpy/scipy/jit-dispatch which releases the GIL, and forking
+            # with an initialized accelerator backend is unsafe
+            import concurrent.futures
+
+            _walker_pool = concurrent.futures.ThreadPoolExecutor(nproc)
+
+            def lnprob_batched(coords):
+                return np.fromiter(
+                    _walker_pool.map(_lnprob_one, np.asarray(coords)),
+                    dtype=float)
+        else:
+            def lnprob_batched(coords):
+                return np.array([_lnprob_one(p)
+                                 for p in np.asarray(coords)])
 
     # ------------------------------------------------------------------
     # stretch-move ensemble loop with the reference's convergence schedule
