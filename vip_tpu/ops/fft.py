@@ -164,7 +164,15 @@ def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
     """
     frames = jnp.asarray(frames)
     B, y, x = frames.shape
-    N = pad_y
+    # Odd canvases (odd input frames keep canvas parity): rotate_fft's odd
+    # path rot90s the full odd canvas, then computes the shears on its
+    # even (P-1)-size leading subarray. The centrally-placed block
+    # satisfies 2*py0 + y == P, so the full-canvas rot90 restricted to the
+    # block is a plain rot90 of the small frame at the SAME (py0, px0)
+    # for every quadrant (no +1 shifts), and the crop indices all lie
+    # inside the even working canvas.
+    odd_canvas = pad_y % 2 == 1
+    N = pad_y - 1 if odd_canvas else pad_y
     real_dtype = jnp.result_type(frames.dtype, jnp.float32)
     cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
 
@@ -175,8 +183,11 @@ def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
     # rot90 of the small frame placed one pixel down/right per quadrant
     # (k=1: +row, k=2: +row+col, k=3: +col) — verified bit-exact.
     rot = jax.vmap(quad_rot90)(k, frames).astype(cdtype)
-    dy = jnp.asarray([0, 1, 1, 0])[k]
-    dx = jnp.asarray([0, 0, 1, 1])[k]
+    if odd_canvas:
+        dy = dx = jnp.zeros_like(k)
+    else:
+        dy = jnp.asarray([0, 1, 1, 0])[k]
+        dx = jnp.asarray([0, 0, 1, 1])[k]
 
     a = jnp.tan(jnp.deg2rad(dangle) / 2)[:, None, None]
     b = -jnp.sin(jnp.deg2rad(dangle))[:, None, None]

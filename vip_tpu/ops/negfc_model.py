@@ -24,7 +24,7 @@ import numpy as np
 
 from .fft import rotate_fft
 from .linalg import matrix_scaling_jax as _matrix_scaling_jnp, svd_top
-from ..preproc.derotation import rotate_fft_pipeline
+from ..preproc.derotation import rotate_fft_pruned_batch
 
 __all__ = ["make_negfc_lnprob", "make_batched_lnprob", "cyclic_fourier_shift"]
 
@@ -201,7 +201,7 @@ def make_negfc_lnprob(cube, angs, psfn, ncomp, annulus_width, r_guess,
         cube_zeros = jnp.zeros_like(cube_fc)
         cube_zeros = cube_zeros.at[:, ann_yy_j, ann_xx_j].set(residuals)
 
-        der = jax.vmap(rotate_fft_pipeline)(cube_zeros, neg_angs)
+        der = rotate_fft_pruned_batch(cube_zeros, neg_angs)
         if collapse == "median":
             return jnp.median(der, axis=0)
         elif collapse == "mean":

@@ -142,12 +142,18 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
             (cube_p.reshape(nch, chunk, y, x), ang_p.reshape(nch, chunk)))
         return out.reshape(nch * chunk, y, x)[:n]
 
-    from ..preproc.derotation import rotate_fft_pipeline
+    from ..preproc.derotation import rotate_fft_pruned_batch
 
     if chunk is None or chunk >= cube.shape[0]:
-        return jax.vmap(rotate_fft_pipeline)(cube, -angles)
-    return jax.lax.map(lambda fa: rotate_fft_pipeline(fa[0], -fa[1]),
-                       (cube, angles), batch_size=chunk)
+        return rotate_fft_pruned_batch(cube, -angles)
+    nch = -(-n // chunk)
+    pad_n = nch * chunk - n
+    cube_p = jnp.pad(cube, ((0, pad_n), (0, 0), (0, 0)))
+    ang_p = jnp.pad(-angles, (0, pad_n))
+    out = jax.lax.map(
+        lambda fa: rotate_fft_pruned_batch(fa[0], fa[1]),
+        (cube_p.reshape(nch, chunk, y, x), ang_p.reshape(nch, chunk)))
+    return out.reshape(nch * chunk, y, x)[:n]
 
 
 @functools.partial(

@@ -25,7 +25,7 @@ from jax import shard_map
 
 from ..config.parallel import frame_mesh, shard_cube
 
-from ..preproc.derotation import rotate_fft_pipeline
+from ..preproc.derotation import rotate_fft_pruned_batch
 
 __all__ = ["sharded_pca_adi", "make_sharded_pca_adi",
            "make_sharded_median_adi", "make_sharded_pca_annular",
@@ -70,7 +70,7 @@ def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
         resid = (M_loc - recon).reshape(n_loc, y, x)
 
         # ---- local FFT derotation ----
-        der = jax.vmap(rotate_fft_pipeline)(resid, -angles_loc)
+        der = rotate_fft_pruned_batch(resid, -angles_loc)
 
         # ---- cross-device collapse ----
         if collapse == "median":
@@ -150,7 +150,7 @@ def make_sharded_pca_annular(mesh, segments, ncomp, axis="frames",
 
             res = jax.vmap(one)(masks_loc[s], seg_loc, keff_loc[s])
             resid_loc = resid_loc.at[:, yy, xx].set(res)
-        der = jax.vmap(rotate_fft_pipeline)(resid_loc, -angles_loc)
+        der = rotate_fft_pruned_batch(resid_loc, -angles_loc)
         # pca_annular's mask_val=0 rot_option: pixels that are zero
         # before rotation are reset to zero afterwards
         der = jnp.where(resid_loc == 0, 0.0, der)
@@ -247,7 +247,7 @@ def make_sharded_median_adi(mesh, axis="frames", collapse="median"):
         med_loc = jnp.median(full, axis=0)                 # (y_loc, x)
         med = jax.lax.all_gather(med_loc, axis, tiled=True)  # (y, x)
         resid = cube_loc - med[None]
-        der = jax.vmap(rotate_fft_pipeline)(resid, -angles_loc)
+        der = rotate_fft_pruned_batch(resid, -angles_loc)
         if collapse == "median":
             return _sharded_median(der, axis)
         n_total = n_loc * jax.lax.psum(jnp.ones(()), axis)
@@ -330,7 +330,7 @@ def make_sharded_pca_sdi_single(mesh, ncomp, axis="channels"):
         n_loc = n // n_dev
         fr_loc = jax.lax.dynamic_slice_in_dim(cube_adi, idx * n_loc, n_loc)
         ang_loc = jax.lax.dynamic_slice_in_dim(angles, idx * n_loc, n_loc)
-        der = jax.vmap(rotate_fft_pipeline)(fr_loc, -ang_loc)
+        der = rotate_fft_pruned_batch(fr_loc, -ang_loc)
         return jax.lax.psum(jnp.sum(der, axis=0), axis) / n
 
     sharded = shard_map(step, mesh=mesh,
