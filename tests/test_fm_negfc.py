@@ -108,8 +108,9 @@ def negfc_small():
 
 
 @pytest.mark.parametrize("branch", [
-    "weights", "transmission", "cube_ref", "scaling-tmean",
-    "scaling-tstd", "fmerit-sum", "fmerit-stddev", "collapse-sum",
+    "weights", "transmission", "transmission-short", "cube_ref",
+    "scaling-tmean", "scaling-tstd", "fmerit-sum", "fmerit-stddev",
+    "collapse-sum",
 ])
 def test_device_lnprob_branches_match_host(negfc_small, branch):
     """Each newly supported device-model branch agrees with the host
@@ -133,6 +134,12 @@ def test_device_lnprob_branches_match_host(negfc_small, branch):
     elif branch == "transmission":
         trans = np.array([[0.0, 4.0, 8.0, 14.0, 30.0],
                           [0.0, 0.3, 0.7, 1.0, 1.0]])
+        host_kw["transmission"] = trans
+        dev_kw["transmission"] = trans
+    elif branch == "transmission-short":
+        # table stops short of the companion radius: exercises the
+        # injector's append-1-at-sqrt(2)*width extension rule
+        trans = np.array([[0.0, 4.0, 8.0], [0.0, 0.3, 0.6]])
         host_kw["transmission"] = trans
         dev_kw["transmission"] = trans
     elif branch == "cube_ref":

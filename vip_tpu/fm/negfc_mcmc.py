@@ -304,7 +304,7 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
 
             _walker_pool = concurrent.futures.ThreadPoolExecutor(nproc)
 
-            def lnprob_batched(coords):
+            def lnprob_batched(coords):  # pool shut down before return
                 return np.fromiter(
                     _walker_pool.map(_lnprob_one, np.asarray(coords)),
                     dtype=float)
@@ -446,6 +446,8 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
     if verbosity > 0:
         timing(start_time)
 
+    if "_walker_pool" in locals():
+        _walker_pool.shutdown(wait=False)
     return chain_zero_truncated(chain)
 
 

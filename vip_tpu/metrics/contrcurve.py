@@ -195,6 +195,9 @@ def _parse_batchable_pca(cubes_fc, algo, algo_dict):
     if imlib not in ("vip-fft", "vip-fft-small"):
         return None        # interpolation backends -> serial fallback
     rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
+    ny, nx = cubes_fc[0].shape[-2:]
+    if rot_mode == "fft-small" and (nx % 2 != 0 or ny != nx):
+        rot_mode = "fft"   # same even-square guard as cube_derotate
     return dict(ncomp=int(ncomp), method=method, collapse=collapse,
                 rot_mode=rot_mode, scaling=algo_dict.get("scaling"))
 

@@ -91,14 +91,18 @@ def sharded_pattern_frames(cubes_fc, angles, mesh=None, ncomp=5,
     axis = mesh.axis_names[0]
     n_dev = len(mesh.devices.ravel())
 
-    stack = np.stack([np.asarray(c, np.float32) for c in cubes_fc])
+    # keep the caller's precision: under the x64 parity configuration the
+    # pattern frames must match the vmapped/serial paths bit-for-bit
+    dtype = np.result_type(np.float32, *[np.asarray(c).dtype
+                                         for c in cubes_fc])
+    stack = np.stack([np.asarray(c, dtype) for c in cubes_fc])
     n_pat = stack.shape[0]
     n_pad = -(-n_pat // n_dev) * n_dev - n_pat
     if n_pad:
         stack = np.concatenate([stack, np.repeat(stack[-1:], n_pad, 0)])
 
     stack_sh = shard_cube(jnp.asarray(stack), mesh, axis_name=axis)
-    angs = jax.device_put(jnp.asarray(angles, jnp.float32),
+    angs = jax.device_put(jnp.asarray(np.asarray(angles, dtype)),
                           NamedSharding(mesh, P()))
 
     @jax.jit

@@ -87,6 +87,8 @@ def sigma_filter_device(frame, bpix_map, min_neighbors=3):
     reference would loop forever in that case).
     """
     im0 = jnp.asarray(frame)
+    if not jnp.issubdtype(im0.dtype, jnp.floating):
+        im0 = im0.astype(jnp.float32)   # raw integer detector frames
     bp0 = jnp.asarray(bpix_map, dtype=jnp.int32)
     ny, nx = im0.shape
     # worst case erodes one ring of a frame-sized clump per sweep
@@ -119,8 +121,11 @@ def sigma_filter_device(frame, bpix_map, min_neighbors=3):
 @functools.partial(jax.jit, static_argnames=("min_neighbors",))
 def cube_sigma_filter_device(cube, bpix_maps, min_neighbors=3):
     """vmapped :func:`sigma_filter_device` over the frame axis."""
+    cube = jnp.asarray(cube)
+    if not jnp.issubdtype(cube.dtype, jnp.floating):
+        cube = cube.astype(jnp.float32)
     fn = jax.vmap(lambda f, b: sigma_filter_device(f, b, min_neighbors))
-    return fn(jnp.asarray(cube), jnp.asarray(bpix_maps, dtype=jnp.int32))
+    return fn(cube, jnp.asarray(bpix_maps, dtype=jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -161,6 +166,8 @@ def clip_neighbor_device(array, gpm_ori, lower_sigma, upper_sigma, hy, hx,
     Returns the bad-pixel map (bool), with originally-bad pixels True.
     """
     a = jnp.asarray(array)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        a = a.astype(jnp.float32)
     gpm = jnp.asarray(gpm_ori, dtype=bool)
     ny, nx = a.shape
     wy, wx = 2 * hy + 1, 2 * hx + 1

@@ -76,18 +76,21 @@ def _inject_negfc(cube, psfn, angs, r, theta, flux):
 
 
 def _extend_transmission(transmission, width):
-    """Pad a (2, n_rad) transmission table to cover [0, diag] (the
-    injection's extension rule, fm/fakecomp.py:128-156)."""
+    """Pad a (2, n_rad) transmission table exactly like the injector the
+    host path calls (fm/fakecomp.py:128-155, mirroring reference
+    fakecomp.py:240-263): prepend transmission 0 at radius 0, and append
+    transmission **1** at radius sqrt(2)*width (the full frame size) when
+    the table stops short of sqrt(2)*width/2."""
     transmission = np.asarray(transmission, dtype=float)
     rad = transmission[0].tolist()
     tr = transmission[1].tolist()
-    diag = np.sqrt(2) * width / 2
+    last = transmission[0, -1]
     if transmission[0, 0] != 0:
         rad = [0.0] + rad
         tr = [0.0] + tr
-    if rad[-1] < diag:
-        rad = rad + [diag]
-        tr = tr + [tr[-1]]
+    if last < np.sqrt(2) * width / 2:
+        rad = rad + [np.sqrt(2) * width]
+        tr = tr + [1.0]
     return np.array(rad), np.array(tr)
 
 
