@@ -478,21 +478,51 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     # full cube
     if return_residuals:
         residuals_all = np.empty((n, y, x))
+    # residuals never visit the host on the default path: project,
+    # derotate and collapse chain on device per batch and only the
+    # (y, x) per-batch median crosses the link — on remote-attached
+    # devices the host<->device bandwidth, not the FFT work, is the
+    # bottleneck of this streaming workload
+    device_tail = (imlib == "vip-fft" and weights is None
+                   and not rot_options
+                   and str(collapse) in ("median", "mean", "sum"))
     medians = []
-    for b in range(n_batches):
-        lo = b * batch_size
-        blk = jnp.asarray(read_batch(b).reshape(-1, npx)) - mean
-        resid = np.asarray(blk - (blk @ V.T) @ V).reshape(-1, y, x)
-        if return_residuals:
-            residuals_all[lo:lo + resid.shape[0]] = resid
-            continue
-        resid_der = cube_derotate(resid, angle_list[lo:lo + resid.shape[0]],
-                                  nproc=nproc, imlib=imlib,
-                                  interpolation=interpolation, **rot_options)
-        medians.append(cube_collapse(resid_der, mode=collapse, w=weights))
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(read_batch, 0)
+        for b in range(n_batches):
+            blk_h = nxt.result()
+            if b + 1 < n_batches:
+                nxt = pool.submit(read_batch, b + 1)
+            lo = b * batch_size
+            blk = jnp.asarray(blk_h.reshape(-1, npx)) - mean
+            resid = blk - (blk @ V.T) @ V
+            if return_residuals:
+                residuals_all[lo:lo + resid.shape[0]] = \
+                    np.asarray(resid).reshape(-1, y, x)
+                continue
+            if device_tail:
+                from ..ops.pipeline import derotate_collapse
+
+                # per-batch medians stay device-resident (async dispatch
+                # overlaps the next block's host read); chunk bounds the
+                # 4x-padded rotation canvases in HBM
+                medians.append(derotate_collapse(
+                    resid.reshape(-1, y, x),
+                    jnp.asarray(angle_list[lo:lo + resid.shape[0]],
+                                resid.dtype),
+                    collapse=str(collapse), chunk=50))
+            else:
+                resid_h = np.asarray(resid).reshape(-1, y, x)
+                resid_der = cube_derotate(
+                    resid_h, angle_list[lo:lo + resid_h.shape[0]],
+                    nproc=nproc, imlib=imlib, interpolation=interpolation,
+                    **rot_options)
+                medians.append(cube_collapse(resid_der, mode=collapse,
+                                             w=weights))
 
     if return_residuals:
         return residuals_all
+    medians = [np.asarray(m) for m in medians]
 
     frame = np.median(np.array(medians), axis=0)
     if verbose:
