@@ -64,3 +64,43 @@ def test_public_defs_present():
                 if not _have(mod, node.name):
                     missing.append(f"{mod}.{node.name}")
     assert not missing, f"missing reference public defs: {missing}"
+
+
+def test_kwarg_surface_parity():
+    """Every keyword a reference public function accepts must be accepted
+    by ours (by the same name), unless ours takes **kwargs — the contract
+    that lets a reference user's call sites run unchanged."""
+    import inspect
+
+    def _find(mod, name):
+        for cand in ("vip_tpu." + mod, "vip_tpu." + mod.split(".")[0]):
+            try:
+                m = importlib.import_module(cand)
+                if hasattr(m, name):
+                    return getattr(m, name)
+            except Exception:
+                pass
+        return None
+
+    problems = []
+    for mod, tree in _iter_modules():
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef) \
+                    or node.name.startswith("_"):
+                continue
+            fn = _find(mod, node.name)
+            if fn is None or not callable(fn):
+                continue
+            try:
+                params = inspect.signature(fn).parameters
+            except (ValueError, TypeError):
+                continue
+            if any(p.kind == inspect.Parameter.VAR_KEYWORD
+                   for p in params.values()):
+                continue
+            ref_args = [a.arg for a in node.args.args + node.args.kwonlyargs]
+            miss = [a for a in ref_args
+                    if a not in params and a not in ("self", "cls")]
+            if miss:
+                problems.append(f"{mod}.{node.name}: {miss}")
+    assert not problems, f"keyword-surface mismatches: {problems}"

@@ -105,3 +105,24 @@ def test_speckle_noise_uncertainty_small():
     sp_unc, mean_dev = np.atleast_1d(res[0]), np.atleast_1d(res[1])
     assert sp_unc.shape[-1] == 3  # (r, theta, f)
     assert np.isfinite(sp_unc).all()
+
+
+def test_mask_roi_oracle_parity():
+    """mask_roi must be bit-identical to the reference's GEB20 ROI mask
+    (reference var/shapes.py:913-1017), incl. its out-of-field raises."""
+    from ref_oracle import load_ref
+    ref_var = load_ref("vip_hci.var")
+    import vip_tpu
+
+    rng = np.random.default_rng(1)
+    arr = rng.standard_normal((61, 61))
+    for sxy in [(40, 35), (22, 28), (30, 45)]:
+        for mode in ("bool", "val", "mask"):
+            a = vip_tpu.var.mask_roi(arr.copy(), sxy, mode=mode)
+            b = ref_var.mask_roi(arr.copy(), sxy, mode=mode)
+            assert np.array_equal(a, b), (sxy, mode)
+    for bad in [(3, 30), (58, 30)]:
+        with pytest.raises(TypeError):
+            vip_tpu.var.mask_roi(arr, bad)
+        with pytest.raises(TypeError):
+            ref_var.mask_roi(arr, bad)

@@ -101,8 +101,8 @@ class _Iterable:
         self.it = it
 
 
-def iterable(it):
-    return _Iterable(it)
+def iterable(v):
+    return _Iterable(v)
 
 
 def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=False,
@@ -132,11 +132,12 @@ def pool_imap(nproc, fkt, *args, **kwargs):
         yield res
 
 
-def make_chunks(lst, n):
-    """Split ``lst`` into ``n`` chunks (reference utils_conf.py:615-635)."""
-    lst = list(lst)
-    k, m = divmod(len(lst), n)
-    return [lst[i * k + min(i, m):(i + 1) * k + min(i + 1, m)] for i in range(n)]
+def make_chunks(l, n):
+    """Chunk ``l`` into ``n`` strided parts — same element placement as the
+    reference (utils_conf.py:615-635): make_chunks(range(13), 3) ->
+    [[0,3,6,9,12], [1,4,7,10], [2,5,8,11]]."""
+    l = list(l)
+    return [l[i::n] for i in range(n)]
 
 
 # ---------------------------------------------------------------------------

@@ -369,21 +369,42 @@ def get_annular_wedge(data, inner_radius, width, wedge=(0, 360), mode="ind"):
     raise ValueError(f"mode '{mode}' unknown!")
 
 
-def mask_roi(array, source_xy, exc_radius=4, ann_width=4, inter_factor=4,
+def mask_roi(array, source_xy, exc_radius=4, ann_width=4, inc_radius=8,
              mode="val", plot=False):
-    """Region-of-interest mask combining an annulus through the source and
-    an aperture at the source, minus an exclusion zone (shapes.py:913+)."""
+    """Region-of-interest mask for a test point source [GEB20]: the local
+    circle r2 (radius ``inc_radius``) at the source, the symmetric circle
+    r3 opposite the star, and the annulus r4 through the source, with the
+    exclusion circle r1 (radius ``exc_radius``) removed from r2 and r4
+    (reference shapes.py:913-1017, incl. its out-of-field TypeErrors)."""
     array = np.asarray(array)
-    cy, cx = frame_center(array)
-    sx, sy = source_xy
-    r_source = dist(cy, cx, sy, sx)
+    if exc_radius >= inc_radius:
+        print("Warning: The excluded region is bigger than the included "
+              "region")
+    frsize = array.shape[0]
+    cx, cy = source_xy
+    yc, xc = frame_center(array)
+    distance = dist(yc, xc, cy, cx)
 
-    ann = get_annulus_segments(array, r_source - ann_width / 2, ann_width,
-                               mode="mask")[0] != 0
-    yy, xx = np.mgrid[: array.shape[0], : array.shape[1]]
-    excl = (yy - sy) ** 2 + (xx - sx) ** 2 < (exc_radius * inter_factor) ** 2
-    aper = (yy - sy) ** 2 + (xx - sx) ** 2 < exc_radius**2
-    mask = (ann & ~excl) | aper
+    if distance >= (frsize / 2) - (inc_radius / 2):
+        raise TypeError("Circles are out of the field. Try changing "
+                        "coordinates or the circles radius")
+    if ann_width / 2 + distance > frsize / 2:
+        raise TypeError("Annulus is out of the field. Try changing "
+                        "coordinates or the annulus width")
+
+    yr1, xr1 = get_circle(array, radius=exc_radius, cy=cy, cx=cx,
+                          mode="ind")
+    r2 = get_circle(array, radius=inc_radius, cy=cy, cx=cx, mode="mask")
+    r3 = get_circle(array, radius=inc_radius, cy=2 * yc - cy,
+                    cx=2 * xc - cx, mode="mask")
+    r4 = get_annulus_segments(array, distance - ann_width / 2, ann_width,
+                              mode="mask")[0]
+    # NOTE the reference builds the mask from the masked *values*
+    # (r2+r3+r4 != 0), so zero-valued pixels inside the regions drop out
+    # of the mask — replicated as-is
+    r2[yr1, xr1] = 0
+    r4[yr1, xr1] = 0
+    mask = (r2 + r3 + r4) != 0
     if mode == "bool":
         return mask
     elif mode == "val":
@@ -391,6 +412,8 @@ def mask_roi(array, source_xy, exc_radius=4, ann_width=4, inter_factor=4,
     elif mode == "mask":
         return array * mask
     elif mode == "ind":
+        # NOTE the reference returns np.where(mask is True) here — always
+        # empty (an `is` on an ndarray); we return the actual indices
         return np.where(mask)
     raise ValueError(f"mode '{mode}' unknown!")
 
