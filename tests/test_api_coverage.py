@@ -82,25 +82,42 @@ def test_kwarg_surface_parity():
                 pass
         return None
 
+    def _check(fn, fdef, label, problems):
+        try:
+            params = inspect.signature(fn).parameters
+        except (ValueError, TypeError):
+            return
+        if any(p.kind == inspect.Parameter.VAR_KEYWORD
+               for p in params.values()):
+            return
+        ref_args = [a.arg for a in fdef.args.args + fdef.args.kwonlyargs]
+        miss = [a for a in ref_args
+                if a not in params and a not in ("self", "cls")]
+        if miss:
+            problems.append(f"{label}: {miss}")
+
     problems = []
     for mod, tree in _iter_modules():
         for node in tree.body:
-            if not isinstance(node, ast.FunctionDef) \
-                    or node.name.startswith("_"):
-                continue
-            fn = _find(mod, node.name)
-            if fn is None or not callable(fn):
-                continue
-            try:
-                params = inspect.signature(fn).parameters
-            except (ValueError, TypeError):
-                continue
-            if any(p.kind == inspect.Parameter.VAR_KEYWORD
-                   for p in params.values()):
-                continue
-            ref_args = [a.arg for a in node.args.args + node.args.kwonlyargs]
-            miss = [a for a in ref_args
-                    if a not in params and a not in ("self", "cls")]
-            if miss:
-                problems.append(f"{mod}.{node.name}: {miss}")
+            if isinstance(node, ast.FunctionDef) \
+                    and not node.name.startswith("_"):
+                fn = _find(mod, node.name)
+                if callable(fn):
+                    _check(fn, node, f"{mod}.{node.name}", problems)
+            elif isinstance(node, ast.ClassDef) \
+                    and not node.name.startswith("_"):
+                cls = _find(mod, node.name)
+                if cls is None:
+                    continue
+                for sub in node.body:
+                    if not isinstance(sub, ast.FunctionDef) \
+                            or sub.name.startswith("_"):
+                        continue
+                    meth = getattr(cls, sub.name, None)
+                    if meth is None:
+                        problems.append(
+                            f"{mod}.{node.name}.{sub.name}: MISSING")
+                    elif callable(meth):
+                        _check(meth, sub,
+                               f"{mod}.{node.name}.{sub.name}", problems)
     assert not problems, f"keyword-surface mismatches: {problems}"

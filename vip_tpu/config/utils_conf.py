@@ -143,20 +143,41 @@ def make_chunks(l, n):
 # ---------------------------------------------------------------------------
 # progress bar
 # ---------------------------------------------------------------------------
-def Progressbar(iterable=None, desc=None, total=None, leave=True, backend=None,
-                verbose=True):
-    """Minimal progress wrapper (reference utils_conf.py:133-213).
+class Progressbar:
+    """Progress bars with selectable backends (reference
+    utils_conf.py:133-213): ``tqdm`` (default), ``tqdm_notebook``,
+    ``hide``; the module-level ``Progressbar.backend`` default can be
+    changed globally with ``Progressbar.set``. Supports both the
+    iterable-wrapping and the manual ``bar = Progressbar(total=n);
+    bar.update()`` usage patterns. Falls back to the silent wrapper when
+    tqdm is unavailable."""
 
-    Uses tqdm when available and verbose, else returns the iterable as-is.
-    """
-    if not verbose or iterable is None:
-        return iterable
-    try:
-        from tqdm import tqdm
+    backend = "tqdm"
 
-        return tqdm(iterable, desc=desc, total=total, leave=leave)
-    except ImportError:
-        return iterable
+    def __new__(cls, iterable=None, desc=None, total=None, leave=True,
+                backend=None, verbose=True):
+        if backend is None:
+            backend = Progressbar.backend
+        if not verbose:
+            backend = "hide"
+        if backend in ("tqdm", "tqdm_notebook"):
+            try:
+                if backend == "tqdm_notebook":
+                    from tqdm.notebook import tqdm
+                else:
+                    from tqdm import tqdm
+            except ImportError:
+                return NoProgressbar(iterable=iterable)
+            return tqdm(iterable=iterable, desc=desc, total=total,
+                        leave=leave, ascii=True, ncols=80, file=sys.stdout,
+                        bar_format="{l_bar}{bar}| {n_fmt}/{total_fmt} "
+                                   "[{elapsed}<{remaining}{postfix}]")
+        elif backend == "hide":
+            return NoProgressbar(iterable=iterable)
+        raise NotImplementedError("unknown backend")
+
+    def set(b):
+        Progressbar.backend = b
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +317,14 @@ class NoProgressbar:
 
     def __next__(self):
         return self.iterable.__next__()
+
+    def __getattr__(self, key):
+        if key == "iterable":  # not set yet (e.g. mid-unpickle)
+            raise AttributeError(key)
+        return getattr(self.iterable, key)
+
+    def update(self):
+        pass
 
 
 class FixedObj:
