@@ -10,6 +10,7 @@ import ast
 import importlib
 import os
 
+import numpy as np
 import pytest
 
 REF_ROOT = "/root/reference/src/vip_hci"
@@ -121,3 +122,90 @@ def test_kwarg_surface_parity():
                         _check(meth, sub,
                                f"{mod}.{node.name}.{sub.name}", problems)
     assert not problems, f"keyword-surface mismatches: {problems}"
+
+
+def test_default_value_parity():
+    """Literal default values of shared public callables must match the
+    reference, so calls that rely on defaults behave identically. The
+    allowlist holds the intentional TPU-backend deviations (documented
+    in the corresponding docstrings)."""
+    import inspect
+
+    ALLOWED = {
+        # exact device FFT rotation instead of host skimage interpolation
+        "fm.negfc_simplex.firstguess_from_coord(imlib)",
+        "fm.negfc_simplex.firstguess_from_coord(interpolation)",
+        "fm.negfc_simplex.firstguess_simplex(imlib)",
+        "fm.negfc_simplex.firstguess_simplex(interpolation)",
+        "fm.negfc_simplex.firstguess(imlib)",
+        "fm.negfc_simplex.firstguess(interpolation)",
+        # no cupy on TPU: the accelerated SVD rides jax
+        "psfsub.svd.randomized_svd_gpu(lib)",
+    }
+
+    def _lit(node):
+        try:
+            return ast.literal_eval(node)
+        except Exception:
+            return _lit  # unique sentinel: non-literal, skip
+
+    def _find(mod, qual):
+        for cand in ("vip_tpu." + mod, "vip_tpu." + mod.split(".")[0]):
+            try:
+                obj = importlib.import_module(cand)
+                for p in qual.split("."):
+                    obj = getattr(obj, p)
+                return obj
+            except Exception:
+                pass
+        return None
+
+    def _iter_callables():
+        for mod, tree in _iter_modules():
+            for node in tree.body:
+                if isinstance(node, ast.FunctionDef) \
+                        and not node.name.startswith("_"):
+                    yield mod, node.name, node
+                elif isinstance(node, ast.ClassDef) \
+                        and not node.name.startswith("_"):
+                    for sub in node.body:
+                        if isinstance(sub, ast.FunctionDef) \
+                                and not sub.name.startswith("_"):
+                            yield mod, f"{node.name}.{sub.name}", sub
+
+    problems = []
+    for mod, qual, node in _iter_callables():
+        fn = _find(mod, qual)
+        if fn is None or not callable(fn):
+            continue
+        try:
+            params = inspect.signature(fn).parameters
+        except (ValueError, TypeError):
+            continue
+        args = node.args
+        ref_defaults = {}
+        pos = args.args
+        for a, d in zip(pos[len(pos) - len(args.defaults):], args.defaults):
+            ref_defaults[a.arg] = _lit(d)
+        for a, d in zip(args.kwonlyargs, args.kw_defaults):
+            if d is not None:
+                ref_defaults[a.arg] = _lit(d)
+        for arg, rd in ref_defaults.items():
+            if rd is _lit:
+                continue
+            p = params.get(arg)
+            if p is None or p.default is inspect.Parameter.empty:
+                continue
+            od = p.default
+            try:
+                same = bool(od == rd)
+            except Exception:
+                same = False
+            if not same and isinstance(od, float) and isinstance(rd, float):
+                same = np.isnan(od) and np.isnan(rd)
+            if not same and hasattr(od, "value"):
+                same = od.value == rd
+            key = f"{mod}.{qual}({arg})"
+            if not same and key not in ALLOWED:
+                problems.append(f"{key}: ref={rd!r} ours={od!r}")
+    assert not problems, f"default-value mismatches: {problems}"

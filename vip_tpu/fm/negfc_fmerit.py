@@ -26,7 +26,7 @@ def chisquare(modelParameters, cube, angs, psfs_norm, fwhm, annulus_width,
               svd_mode="lapack", scaling=None, fmerit="sum",
               collapse="median", algo=pca_annulus, delta_rot=1,
               imlib="vip-fft", interpolation="lanczos4", algo_options={},
-              transmission=None, radial_gradient=False, mu_sigma=None,
+              transmission=None, radial_gradient=False, mu_sigma=(0, 1),
               weights=None, force_rPA=False, ndet=None, bin_spec=False,
               debug=False):
     """Reduced χ² of the residuals after negative injection

@@ -95,12 +95,18 @@ def firstguess_simplex(p, cube, angs, psfn, ncomp, fwhm, annulus_width,
                        scaling=None, fmerit="sum", imlib="vip-fft",
                        interpolation="lanczos4", collapse="median",
                        algo=pca_annulus, delta_rot=1, algo_options={},
-                       p_ini=None, transmission=None, radial_gradient=True,
+                       p_ini=None, transmission=None, radial_gradient=False,
                        mu_sigma=(0, 1), weights=None, force_rPA=False,
                        ndet=None, bin_spec=False, options=None, verbose=False,
                        **kwargs):
     """Nelder-Mead minimization of the NEGFC χ²
-    (reference negfc_simplex.py:344-525)."""
+    (reference negfc_simplex.py:344-525).
+
+    NOTE intentional default deviation: the reference defaults to
+    imlib='skimage', interpolation='biquintic' (host interpolation
+    chosen there for CPU speed); vip_tpu defaults to its exact
+    device-resident FFT rotation. Pass the reference values to
+    reproduce its interpolated path bit-for-bit."""
     if verbose:
         print("\nNelder-Mead minimization is running...")
 
@@ -129,12 +135,16 @@ def firstguess(cube, angs, psfn, planets_xy_coord, ncomp=1, fwhm=4,
                svd_mode="lapack", scaling=None, fmerit="sum",
                imlib="vip-fft", interpolation="lanczos4", collapse="median",
                algo=pca_annulus, delta_rot=1, f_range=None,
-               transmission=None, radial_gradient=True, mu_sigma=True,
+               transmission=None, radial_gradient=False, mu_sigma=True,
                wedge=None, weights=None, force_rPA=False, ndet=None,
                bin_spec=False, algo_options={}, simplex=True,
                simplex_options=None, plot=False, verbose=True, save=False):
     """First guess of (r, theta, flux) per planet: flux grid + simplex
-    (reference negfc_simplex.py:526-885)."""
+    (reference negfc_simplex.py:526-885).
+
+    NOTE intentional default deviation: imlib/interpolation default to
+    the exact device FFT rotation instead of the reference's
+    'skimage'/'biquintic' host interpolation (see firstguess_simplex)."""
     if cube.ndim not in (3, 4):
         raise TypeError("Input cube is not 3D nor 4D")
 

@@ -292,7 +292,7 @@ def completeness_curve(cube, angle_list, psf, fwhm, algo, an_dist=None,
                        ini_contrast=None, starphot=1, pxscale=0.1, n_fc=20,
                        completeness=0.95, snr_approximation=True,
                        max_iter=50, nproc=1, algo_dict={}, verbose=True,
-                       plot=False, dpi=100, save_plot=None, object_name=None,
+                       plot=True, dpi=100, save_plot=None, object_name=None,
                        fix_y_lim=(), figsize=(8, 5), algo_class=None):
     """Completeness-based contrast curve (reference completeness.py:219-755).
 

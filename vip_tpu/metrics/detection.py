@@ -84,7 +84,7 @@ def _sigma_clipped_stats(data, sigma=5, maxiters=None):
 
 def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
               matched_filter=False, mask=True, snr_thresh=5, nproc=1,
-              plot=False, debug=False, full_output=False, verbose=True,
+              plot=True, debug=False, full_output=False, verbose=True,
               **kwargs):
     """Automatically find point-like sources (reference detection.py:26-385).
 

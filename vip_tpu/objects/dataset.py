@@ -56,7 +56,7 @@ class Frame:
 
     def detect_blobs(self, psf, bkg_sigma=1, method="lpeaks",
                      matched_filter=False, mask=True, snr_thresh=5,
-                     plot=False, debug=False, verbose=False,
+                     plot=True, debug=False, verbose=False,
                      save_plot=None, plot_title=None, angscale=False):
         """Detect point-like sources (reference dataset.py:106-138)."""
         self.detection_results = detection(
@@ -139,7 +139,7 @@ class Frame:
                    verbose=verbose)
 
     def stats(self, region="circle", radius=5, xy=None, annulus_inner_radius=0,
-              annulus_width=5, source_xy=None, verbose=True, plot=False):
+              annulus_width=5, source_xy=None, verbose=True, plot=True):
         """Region statistics + frame report (reference dataset.py:389-456)."""
         res_region = frame_basic_stats(self.data, region, radius, xy,
                                        annulus_inner_radius, annulus_width,
@@ -441,7 +441,7 @@ class Dataset(Saveable):
                  upsample_factor=100, alignment_iter=5, gamma=1,
                  min_spat_freq=0.5, max_spat_freq=3, recenter_median=False,
                  sigfactor=6, cropsize=101, hsize=0.4, step=0.01,
-                 mask_center=None, verbose=True, debug=False, plot=False):
+                 mask_center=None, verbose=True, debug=False, plot=True):
         """Recenter the cube in place (reference dataset.py:1226-1442)."""
         if method == "2dfit":
             if self.fwhm is None:
@@ -493,7 +493,7 @@ class Dataset(Saveable):
                          stat_region="annulus", inner_radius=10, width=10,
                          top_sigma=1.0, low_sigma=1.0, window=None,
                          roundlo=-0.2, roundhi=0.2, lambda_ref=0,
-                         plot=False, verbose=True):
+                         plot=True, verbose=True):
         """Identify and remove bad frames (reference
         dataset.py:1443-1564)."""
         if self.cube.ndim == 4:

@@ -23,8 +23,8 @@ class PPFrameDiff(PostProc, FRAME_DIFF_Params):
 
     @calculates("frame_final")
     def run(self, dataset: Optional[Dataset] = None,
-            nproc: Optional[int] = None,
-            full_output: Optional[bool] = None, **rot_options):
+            nproc: Optional[int] = 1,
+            full_output: Optional[bool] = True, **rot_options):
         """Run frame differencing (reference ppframediff.py:33-87)."""
         self.snr_map = None
         self._update_dataset(dataset)

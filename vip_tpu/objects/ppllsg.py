@@ -27,7 +27,7 @@ class PPLLSG(PostProc, LLSG_Params):
     @calculates("frame_final", "frame_l", "frame_s", "frame_g")
     def run(self, dataset: Optional[Dataset] = None,
             nproc: Optional[int] = None,
-            full_output: Optional[bool] = None, **rot_options):
+            full_output: Optional[bool] = True, **rot_options):
         """Run LLSG (reference ppllsg.py:40-93)."""
         self.snr_map = None
         self._update_dataset(dataset)

@@ -25,7 +25,7 @@ def _rolling_mean_centered(values, window):
 
 def cube_detect_badfr_pxstats(array, mode="annulus", in_radius=10, width=10,
                               top_sigma=1.0, low_sigma=1.0, window=None,
-                              method="mean", plot=False, verbose=True):
+                              method="mean", plot=True, verbose=True):
     """Bad frames from pixel statistics in an annulus or circle
     (reference badframes.py:23-139). Returns (good_idx, bad_idx)."""
     check_array(array, 3, msg="array")
@@ -75,7 +75,7 @@ def cube_detect_badfr_pxstats(array, mode="annulus", in_radius=10, width=10,
 
 
 def cube_detect_badfr_ellipticity(array, fwhm, crop_size=30, roundlo=-0.2,
-                                  roundhi=0.2, plot=False, verbose=True):
+                                  roundhi=0.2, plot=True, verbose=True):
     """Bad frames from the roundness of the central PSF, DAOFIND-style
     (reference badframes.py:142-248). Returns (good_idx, bad_idx).
 
@@ -160,7 +160,7 @@ def _daofind_roundness(frame, fwhm):
 def cube_detect_badfr_correlation(array, frame_ref, crop_size=30,
                                   dist="pearson", percentile=20,
                                   threshold=None, mode="full", inradius=None,
-                                  width=None, plot=False, verbose=True,
+                                  width=None, plot=True, verbose=True,
                                   full_output=False):
     """Bad frames from frame-to-reference distance thresholding
     (reference badframes.py:251-382). Returns (good_idx, bad_idx

@@ -647,7 +647,7 @@ def cube_fix_badpix_clump(array, bpm_mask=None, correct_only=False, cy=None,
                           cx=None, fwhm=4., sig=4., protect_mask=0,
                           excl_mask=None, half_res_y=False, min_thr=None,
                           max_nit=15, mad=True, bad_values=None,
-                          verbose=True, full_output=False, debug=False,
+                          verbose=True, full_output=False, debug=True,
                           nproc=1):
     """Iteratively identify and correct clumps of bad pixels
     (reference badpixremoval.py:836-1262)."""
@@ -714,8 +714,8 @@ def cube_fix_badpix_clump(array, bpm_mask=None, correct_only=False, cy=None,
 # IFS (SDI-residual) detection
 # ---------------------------------------------------------------------------
 def cube_fix_badpix_ifs(array, lbdas, fluxes=None, mask=None, cy=None,
-                        cx=None, clumps=True, sigma_clip=6, num_neig=5,
-                        size=5, protect_mask=0, mad=True,
+                        cx=None, clumps=True, sigma_clip=3, num_neig=5,
+                        size=5, protect_mask=0, mad=False,
                         fwhm=4, min_thr=None, max_nit=15, ignore_nan=True,
                         verbose=True, full_output=False, imlib="vip-fft",
                         interpolation="lanczos4"):

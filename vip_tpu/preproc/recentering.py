@@ -110,7 +110,7 @@ def cube_recenter_dft_upsampling(array, center_fr1=None, negative=False,
                                  mask=None, border_mode="reflect",
                                  log=False, collapse="median",
                                  full_output=False, verbose=True, nproc=None,
-                                 save_shifts=False, debug=False, plot=False):
+                                 save_shifts=False, debug=False, plot=True):
     """Register a cube against its first frame with upsampled
     cross-correlation ([GUI08]; reference recentering.py:1142-1410).
 
@@ -282,7 +282,7 @@ def frame_center_satspots(array, xy, subi_size=19, sigfactor=6, shift=False,
                        msgerr)
 
 
-def cube_recenter_satspots(array, xy, subi_size=19, sigfactor=6, plot=False,
+def cube_recenter_satspots(array, xy, subi_size=19, sigfactor=6, plot=True,
                            fit_type="moff", lbda=None, filter_freq=(0, 0),
                            border_mode="constant", imlib="vip-fft",
                            interpolation="lanczos4", debug=False,
@@ -431,7 +431,7 @@ def frame_center_radon(array, cropsize=None, hsize_ini=1., step_ini=0.1,
                        satspots_cfg=None, theta_0=0, delta_theta=5,
                        gauss_fit=True, hpf=True, filter_fwhm=8,
                        imlib="vip-fft", interpolation="lanczos4",
-                       full_output=False, verbose=True, plot=False,
+                       full_output=False, verbose=True, plot=True,
                        debug=False):
     """Find the star center behind a coronagraph via iterative Radon-cost
     grid search ([PUE15]; reference recentering.py:683-994)."""
@@ -661,7 +661,7 @@ def cube_recenter_2dfit(array, xy=None, fwhm=4, subi_size=5, model="gauss",
                         sigfactor=2, fix_neg=False, params_2g=None,
                         border_mode="reflect", save_shifts=False,
                         full_output=False, verbose=True, debug=False,
-                        plot=False):
+                        plot=True):
     """Recenter a cube with per-frame 2-d fits (gauss/moff/airy/2gauss)
     (reference recentering.py:1411-1659)."""
     if verbose:
@@ -826,7 +826,7 @@ def cube_recenter_via_speckles(cube_sci, cube_ref=None, alignment_iter=5,
                                ann_rad_search=False, ann_width=0.5,
                                collapse="median", imlib="vip-fft",
                                interpolation="lanczos4",
-                               border_mode="reflect", log=True, plot=False,
+                               border_mode="reflect", log=True, plot=True,
                                full_output=False, nproc=1, **collapse_args):
     """Recenter a cube with speckle-pattern cross-correlation
     (reference recentering.py:1751-2151)."""

@@ -303,7 +303,7 @@ def _chisquare_scal_2fp(modelParameters, cube, mask=None, fm="sum",
                            interpolation)
 
 
-def find_scal_vector(cube, lbdas, fluxes, mask=None, nfp=2, fm="sum",
+def find_scal_vector(cube, lbdas, fluxes, mask=None, nfp=2, fm='stddev',
                      simplex_options=None, debug=False, imlib="vip-fft",
                      interpolation="lanczos4", hpf=False, fwhm_max=5,
                      **kwargs):

@@ -265,7 +265,7 @@ class SVDecomposer:
         if self.verbose:
             timing(start_time)
 
-    def get_cevr(self, ncomp_list=None, plot=False, plot_save=False,
+    def get_cevr(self, ncomp_list=None, plot=True, plot_save=False,
                  plot_dpi=90, plot_truncation=None):
         """Cumulative explained-variance-ratio table (pandas DataFrame)."""
         from pandas import DataFrame

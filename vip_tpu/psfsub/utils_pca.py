@@ -64,7 +64,7 @@ def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
              cube_ref=None, mode="fullfr", annulus_width=20,
              svd_mode="lapack", scaling=None, mask_center_px=None,
              fmerit="mean", collapse="median", ifs_collapse_range="all",
-             verbose=True, full_output=False, debug=False, plot=False,
+             verbose=True, full_output=False, debug=False, plot=True,
              save_plot=None, start_time=None, scale_list=None,
              initial_4dshape=None, weights=None,
              exclude_negative_lobes=False, **rot_options):

@@ -40,7 +40,7 @@ def _ssim(a, b, win_size=7, data_range=None, sigma=1.5):
 
 
 def cube_distance(array, frame, mode="full", dist="sad", inradius=None,
-                  width=None, mask=None, plot=False):
+                  width=None, mask=None, plot=True):
     """Distance (or similarity) of every frame to a reference frame
     (reference distances.py:38-147)."""
     lista = []

@@ -10,7 +10,7 @@ __all__ = ["frame_histo_stats", "frame_average_radprofile"]
 
 
 def frame_average_radprofile(frame, sep=1, init_rad=None,
-                             subtr_profile=False, plot=False):
+                             subtr_profile=False, plot=True):
     """Average radial profile of a frame via integer-radius bincount
     (reference im_stats.py:18-87)."""
     import pandas as pd
@@ -44,7 +44,7 @@ def frame_average_radprofile(frame, sep=1, init_rad=None,
     return df
 
 
-def frame_histo_stats(image_array, plot=False):
+def frame_histo_stats(image_array, plot=True):
     """Basic frame statistics (mean, median, std, max, min)
     (reference im_stats.py:88-142)."""
     vector = image_array.ravel()

@@ -54,7 +54,7 @@ def _region_values(frame, region, radius, xy, inner_radius, size):
 
 
 def frame_basic_stats(arr, region="circle", radius=5, xy=None,
-                      inner_radius=0, size=5, plot=False,
+                      inner_radius=0, size=5, plot=True,
                       full_output=False):
     """Mean (+ std/median/max with full_output) in a circle or annulus
     (reference utils_stats.py:50-123)."""

@@ -243,7 +243,7 @@ def frame_filter_highpass(array, mode, median_size=5, kernel_size=5,
 
 
 def cube_filter_lowpass(array, mode="gauss", median_size=5, fwhm_size=5,
-                        conv_mode="convfft", kernel_sz=None, verbose=True,
+                        conv_mode='conv', kernel_sz=None, verbose=True,
                         psf=None, mask=None, iterate=True, half_res_y=False,
                         nproc=1, **kwargs):
     """Low-pass filter every frame of a cube (filters.py:550+); batched."""

@@ -170,7 +170,7 @@ def _prepare_subimage(array, crop, cent, cropsize, bpm):
 
 def fit_2dgaussian(array, crop=False, cent=None, cropsize=15, fwhmx=4,
                    fwhmy=4, theta=0, threshold=False, sigfactor=6, bpm=None,
-                   full_output=True, debug=False):
+                   full_output=True, debug=True):
     """Fit a 2D Gaussian (reference fit_2d.py:135-306)."""
     check_array(array, dim=2, msg="array")
     psf_subimage, bpm_subimage, suby, subx = _prepare_subimage(
@@ -226,7 +226,7 @@ def fit_2dgaussian(array, crop=False, cent=None, cropsize=15, fwhmx=4,
 
 def fit_2dmoffat(array, crop=False, cent=None, cropsize=15, fwhm=4,
                  threshold=False, sigfactor=6, bpm=None, full_output=True,
-                 debug=False):
+                 debug=True):
     """Fit a 2D Moffat (reference fit_2d.py:306-454)."""
     check_array(array, dim=2, msg="array")
     psf_subimage, bpm_subimage, suby, subx = _prepare_subimage(
@@ -273,7 +273,7 @@ def fit_2dmoffat(array, crop=False, cent=None, cropsize=15, fwhm=4,
 
 def fit_2dairydisk(array, crop=False, cent=None, cropsize=15, fwhm=4,
                    threshold=False, sigfactor=6, bpm=None, full_output=True,
-                   debug=False):
+                   debug=True):
     """Fit a 2D Airy disk (reference fit_2d.py:454-600)."""
     check_array(array, dim=2, msg="array")
     psf_subimage, bpm_subimage, suby, subx = _prepare_subimage(
@@ -318,8 +318,8 @@ def fit_2dairydisk(array, crop=False, cent=None, cropsize=15, fwhm=4,
 
 def fit_2d2gaussian(array, crop=False, cent=None, cropsize=15, fwhm_neg=4,
                     fwhm_pos=4, theta_neg=0, theta_pos=0, neg_amp=1,
-                    fix_neg=False, threshold=False, sigfactor=2, bpm=None,
-                    full_output=False, debug=False):
+                    fix_neg=True, threshold=False, sigfactor=2, bpm=None,
+                    full_output=False, debug=True):
     """Fit a sum of a positive and a negative 2D Gaussian (coronagraphic
     PSFs; reference fit_2d.py:600-835)."""
     check_array(array, dim=2, msg="array")
