@@ -209,3 +209,59 @@ def test_default_value_parity():
             if not same and key not in ALLOWED:
                 problems.append(f"{key}: ref={rd!r} ours={od!r}")
     assert not problems, f"default-value mismatches: {problems}"
+
+
+def test_params_dataclass_parity():
+    """Every field of a reference *_Params dataclass must exist on ours
+    with the same literal default — the `algo_params` routing contract."""
+    import dataclasses
+
+    problems = []
+    for mod, tree in _iter_modules():
+        for node in tree.body:
+            if not isinstance(node, ast.ClassDef) or "Params" not in node.name:
+                continue
+            ref_fields = {}
+            for t in node.body:
+                if isinstance(t, ast.AnnAssign) and isinstance(t.target,
+                                                               ast.Name):
+                    try:
+                        ref_fields[t.target.id] = (
+                            ast.literal_eval(t.value) if t.value is not None
+                            else None)
+                    except Exception:
+                        ref_fields[t.target.id] = Ellipsis  # non-literal
+            if not ref_fields:
+                continue
+            cls = None
+            for cand in ("vip_tpu." + mod, "vip_tpu." + mod.split(".")[0]):
+                try:
+                    m = importlib.import_module(cand)
+                    if hasattr(m, node.name):
+                        cls = getattr(m, node.name)
+                        break
+                except Exception:
+                    pass
+            if cls is None:
+                problems.append(f"{mod}.{node.name}: MISSING")
+                continue
+            try:
+                ours = {f.name: f.default for f in dataclasses.fields(cls)}
+            except TypeError:
+                ours = {}
+            for name, rd in ref_fields.items():
+                if name not in ours:
+                    problems.append(f"{mod}.{node.name}.{name}: missing")
+                elif rd is not Ellipsis \
+                        and ours[name] is not dataclasses.MISSING:
+                    od = ours[name]
+                    try:
+                        same = bool(od == rd)
+                    except Exception:
+                        same = False
+                    if not same and hasattr(od, "value"):
+                        same = od.value == rd
+                    if not same:
+                        problems.append(f"{mod}.{node.name}.{name}: "
+                                        f"ref={rd!r} ours={od!r}")
+    assert not problems, f"Params mismatches: {problems}"

@@ -115,3 +115,25 @@ def test_ipca_juillard23_recovers_companion():
     single = ipca(cubefc, angs, ncomp=3, mode="Juillard23", nit=2,
                   ncomp_start=1, verbose=False)
     assert np.allclose(single, frame)
+
+
+def test_inmf_mode_schedules(cube_angles):
+    """Incremental-npc schedules (reference inmf_fullfr.py:373-388):
+    'Pairet18' iterates npc=1..ncomp with thr pinned to 0; 'Pairet21' /
+    'Christiaens21' repeat each npc nit times."""
+    from vip_tpu.greedy import inmf
+
+    cube, angles = cube_angles
+    cube_pos = cube - cube.min() + 1.0
+    for mode, nexp in (("Pairet18", 3), ("Pairet21", 6),
+                       ("Christiaens21", 6)):
+        fr, it_cube, *_ = inmf(cube=cube_pos, angle_list=angles, ncomp=3,
+                               nit=2, mode=mode, max_iter=50,
+                               smooth_ker=None, full_output=True,
+                               verbose=False)
+        assert fr.shape == cube.shape[1:]
+        assert np.isfinite(fr).all()
+        assert it_cube.shape[0] <= nexp  # may stop early on convergence
+    with pytest.raises(ValueError):
+        inmf(cube=cube_pos, angle_list=angles, ncomp=3, mode="bogus",
+             verbose=False)

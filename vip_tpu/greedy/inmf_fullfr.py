@@ -24,13 +24,15 @@ __all__ = ["inmf", "INMF_Params"]
 class INMF_Params(NMF_Params):
     """Parameters of ``inmf`` (reference inmf_fullfr.py:19-41)."""
 
+    mode: str = None
     strategy: str = "ADI"
+    ncomp_step: int = 1
     nit: int = 1
     thr: Union[float, str] = 0.0
     thr_mode: str = "STIM"
     r_out: float = None
     r_max: float = None
-    smooth_ker: Union[float, List, np.ndarray] = None
+    smooth_ker: Union[float, List, np.ndarray] = 1.0
     rtol: float = 1e-2
     atol: float = 1e-2
     continue_without_smooth_after_conv: bool = False
@@ -76,12 +78,37 @@ def inmf(*all_args: List, **all_kwargs: dict):
             ncomp_list.append(algo_params.ncomp)
     elif isinstance(algo_params.ncomp, (tuple, list)):
         ncomp_list = list(algo_params.ncomp)
+        if len(ncomp_list) == 1:
+            if algo_params.strategy == "RADI":
+                ncomp_list.append(ncomp_list[0])
+        elif len(ncomp_list) != 2:
+            raise TypeError("If a tuple, ncomp must have 1 or 2 elements")
     else:
         raise TypeError("ncomp should be float, int, tuple or list")
 
     ncomp_tmp = ncomp_list[0]
     nframes = algo_params.cube.shape[0]
-    final_ncomp = [ncomp_tmp] * algo_params.nit
+    # incremental-npc schedules (reference inmf_fullfr.py:373-388); nit is
+    # pinned to the schedule length (the reference sets nit=ncomp for
+    # 'Pairet18', which over-runs the schedule when ncomp_step > 1)
+    if algo_params.mode is not None:
+        if algo_params.mode == "Pairet18":
+            final_ncomp = list(range(1, ncomp_tmp + 1,
+                                     algo_params.ncomp_step))
+            algo_params.nit = len(final_ncomp)
+            algo_params.thr = 0
+        elif algo_params.mode in ("Pairet21", "Christiaens21"):
+            final_ncomp = []
+            for npc in range(1, ncomp_tmp + 1, algo_params.ncomp_step):
+                final_ncomp.extend([npc] * algo_params.nit)
+            algo_params.nit = len(final_ncomp)
+            if algo_params.mode == "Pairet21":
+                algo_params.thr = 0
+        else:
+            raise ValueError("mode is not recognized: must be None, "
+                             "'Pairet18', 'Pairet21' or 'Christiaens21'")
+    else:
+        final_ncomp = [ncomp_tmp] * algo_params.nit
 
     cube_tmp = prepare_matrix(algo_params.cube, scaling=algo_params.scaling,
                               mask_center_px=mask_center_px, mode="fullfr",

@@ -19,7 +19,7 @@ __all__ = ["iroll", "IROLL_SUB_Params"]
 class IROLL_SUB_Params(ROLL_SUB_Params):
     """Parameters of ``iroll`` (reference irollsub.py:33-49)."""
 
-    nit: int = 10
+    nit: int = 1
     thr: Union[float, str] = 0.0
     thr_mode: str = "STIM"
     r_out: float = None
