@@ -107,22 +107,34 @@ def iterable(v):
 
 def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=False,
              **kwargs):
-    """Serial map over the product of ``iterable``-wrapped args.
+    """Map over the product of ``iterable``-wrapped args.
 
     Compatibility shim for reference ``pool_map`` (utils_conf.py:445-551).
-    The TPU build never forks: hot paths are vmapped on device, and the rare
-    remaining host loops run serially here. ``nproc`` is accepted and
-    ignored so that reference call signatures keep working.
+    The TPU build never forks: hot paths are vmapped on device. The rare
+    remaining host loops run here — serially for nproc=1, on a thread
+    pool for nproc>1 (workers are independent by the reference's
+    fork-pool contract, and numpy/scipy/jax release the GIL in their
+    compute kernels). nproc=None maps to half the cores, as upstream.
     """
     iterables = [a.it for a in args if isinstance(a, _Iterable)]
     if not iterables:
         return [fkt(*args)]
     length = len(iterables[0])
-    results = []
-    for i in range(length):
-        call_args = [a.it[i] if isinstance(a, _Iterable) else a for a in args]
-        results.append(fkt(*call_args))
-    return results
+
+    def _call(i):
+        return fkt(*[a.it[i] if isinstance(a, _Iterable) else a
+                     for a in args])
+
+    if nproc is None:
+        import multiprocessing
+
+        nproc = max(1, multiprocessing.cpu_count() // 2)
+    if nproc > 1 and length > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(int(nproc), length)) as ex:
+            return list(ex.map(_call, range(length)))
+    return [_call(i) for i in range(length)]
 
 
 def pool_imap(nproc, fkt, *args, **kwargs):
