@@ -37,14 +37,22 @@ FULL = os.environ.get("BENCH_FULL", "1") != "0"
 def _time(fn, reps=REPS):
     import jax.numpy as jnp
 
-    out = fn()
-    first = float(jnp.sum(out))  # force materialization (remote backend)
+    def once():
+        out = fn()
+        return float(jnp.sum(out))  # force materialization (remote backend)
+
+    try:
+        first = once()
+    except Exception:
+        # a failing device call can crash the remote TPU worker; it
+        # self-heals in ~1-2 min — wait and retry once before giving up
+        time.sleep(75)
+        first = once()
     assert np.isfinite(first)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        float(jnp.sum(out))
+        once()
         times.append(time.perf_counter() - t0)
     return min(times)
 

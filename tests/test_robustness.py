@@ -1,0 +1,74 @@
+"""Edge-input robustness: whatever the reference accepts, we must accept.
+
+Sweeps realistic awkward inputs — odd frame sizes, float32 and integer
+cubes, NaN pixels — through the flagship entry points and fails only if
+vip_tpu raises where the reference (run in-process via the oracle)
+succeeds. Guards the switching contract the parity suites can't: real
+archives hand you int16 detector counts and NaN-masked pixels.
+"""
+
+import numpy as np
+import pytest
+
+from ref_oracle import load_ref
+
+pytestmark = pytest.mark.slow
+
+CASES = [
+    (61, np.float32, True),   # odd size, NaN pixels
+    (64, np.int16, False),    # even size, integer counts
+]
+
+
+def _mkcube(n, sz, dtype, with_nan, rng):
+    c = rng.standard_normal((n, sz, sz)) * 5 + 50
+    if with_nan:
+        c[:, 2, 3] = np.nan
+        c[3, sz // 2 + 5, sz // 2 + 5] = np.nan
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        c = np.nan_to_num(c)
+    return c.astype(dtype)
+
+
+@pytest.mark.parametrize("sz,dtype,with_nan", CASES)
+def test_edge_inputs_match_reference_acceptance(sz, dtype, with_nan):
+    import vip_tpu
+    from vip_tpu import metrics, preproc, psfsub
+
+    ref_psfsub = load_ref("vip_hci.psfsub")
+    ref_preproc = load_ref("vip_hci.preproc")
+    ref_metrics = load_ref("vip_hci.metrics")
+
+    rng = np.random.default_rng(0)
+    n = 10
+    cube = _mkcube(n, sz, dtype, with_nan, rng)
+    ang = np.linspace(0, 40, n)
+
+    entries = [
+        (ref_psfsub, psfsub,
+         lambda m: m.median_sub(cube.copy(), ang, verbose=False)),
+        (ref_psfsub, psfsub,
+         lambda m: m.pca(cube.copy(), ang, ncomp=3, verbose=False)),
+        (ref_psfsub, psfsub,
+         lambda m: m.pca_annular(cube.copy(), ang, ncomp=2, asize=8,
+                                 radius_int=4, fwhm=4, verbose=False)),
+        (ref_preproc, preproc,
+         lambda m: m.cube_derotate(cube.copy(), ang)),
+        (ref_preproc, preproc,
+         lambda m: m.cube_shift(cube.copy(), 1.2, -0.4)),
+    ]
+    fr = np.asarray(cube, float).mean(axis=0)
+    entries.append((ref_metrics, metrics,
+                    lambda m: m.snrmap(fr.copy(), fwhm=4.0, verbose=False)))
+
+    problems = []
+    for ref_mod, our_mod, call in entries:
+        try:
+            call(ref_mod)
+        except Exception:
+            continue  # reference rejects it too: nothing to match
+        try:
+            call(our_mod)
+        except Exception as e:
+            problems.append(f"{type(e).__name__}: {e}")
+    assert not problems, problems
