@@ -463,10 +463,13 @@ def frame_center_radon(array, cropsize=None, hsize_ini=1., step_ini=0.1,
         cent, _ = frame_center(frame)
         frame = get_annulus_segments(frame, radint, cent - radint,
                                      mode="mask")[0]
-        costf = np.array([_radon_costf(frame, cent, radint, c,
-                                       satspots_cfg, theta_0, delta_theta,
-                                       imlib, interpolation)
-                          for c in coords])
+        # grid-point costs through the pool_map shim (threaded when
+        # nproc>1, mirroring the reference's pool at recentering.py:877)
+        from ..config.utils_conf import iterable, pool_map
+
+        costf = np.array(pool_map(
+            nproc, _radon_costf, frame, cent, radint, iterable(coords),
+            satspots_cfg, theta_0, delta_theta, imlib, interpolation))
         cost_bound = costf.reshape(listyx.shape[0], listyx.shape[0])
 
         if gauss_fit:
@@ -711,17 +714,20 @@ def cube_recenter_2dfit(array, xy=None, fwhm=4, subi_size=5, model="gauss",
     else:
         raise ValueError("model not recognized")
 
-    res = []
     if verbose:
         print("2d {}-fitting".format(model))
-    for i in range(n_frames):
-        if model == "2gauss":
-            args = [array, i, subi_size, pos_y, pos_x, debug, fwhm[i],
-                    fix_neg, params_2g, threshold, sigfactor]
-        else:
-            args = [array, i, subi_size, pos_y, pos_x, negative, debug,
-                    fwhm[i], threshold, sigfactor]
-        res.append(func(*args))
+    # per-frame host fits ride the pool_map shim (threaded when nproc>1,
+    # mirroring the reference's fork pool at recentering.py:1583-1591)
+    from ..config.utils_conf import iterable, pool_map
+
+    if model == "2gauss":
+        args = [array, iterable(range(n_frames)), subi_size, pos_y, pos_x,
+                debug, iterable(fwhm), fix_neg, params_2g, threshold,
+                sigfactor]
+    else:
+        args = [array, iterable(range(n_frames)), subi_size, pos_y, pos_x,
+                negative, debug, iterable(fwhm), threshold, sigfactor]
+    res = pool_map(nproc, func, *args)
 
     y = cy - np.array([res[i][0] for i in range(len(res))])
     x = cx - np.array([res[i][1] for i in range(len(res))])
