@@ -99,23 +99,24 @@ def speckle_noise_uncertainty(cube, p_true, angle_range, derot_angles, algo,
                                     algo=algo, weights=norm_weights,
                                     algo_options=algo_options)
 
-    residuals = np.array([
-        _estimate_speckle_one_angle(
-            ang, cube_pf, psfn, derot_angles, r_true, f_true, fwhm,
+    # per-angle simplex refits through the pool_map shim (threaded when
+    # nproc>1, mirroring the reference's fork pool:
+    # negfc_speckle_noise.py:244-263)
+    from ..config.utils_conf import iterable, pool_map
+
+    residuals = np.array(pool_map(
+        nproc, _estimate_speckle_one_angle, iterable(angle_range), cube_pf,
+        psfn, derot_angles, r_true, f_true, fwhm, aperture_radius, cube_ref,
+        fmerit, algo, algo_options, transmission, radial_gradient, mu_sigma,
+        weights, force_rPA, ndet, simplex_options, imlib, interpolation,
+        verbose=verbose))
+    if opp_ang:
+        residuals2 = np.array(pool_map(
+            nproc, _estimate_speckle_one_angle, iterable(angle_range),
+            cube_pf, psfn, -derot_angles, r_true, f_true, fwhm,
             aperture_radius, cube_ref, fmerit, algo, algo_options,
             transmission, radial_gradient, mu_sigma, weights, force_rPA,
-            ndet, simplex_options, imlib, interpolation, verbose=verbose)
-        for ang in angle_range
-    ])
-    if opp_ang:
-        residuals2 = np.array([
-            _estimate_speckle_one_angle(
-                ang, cube_pf, psfn, -derot_angles, r_true, f_true, fwhm,
-                aperture_radius, cube_ref, fmerit, algo, algo_options,
-                transmission, radial_gradient, mu_sigma, weights, force_rPA,
-                ndet, simplex_options, imlib, interpolation, verbose=verbose)
-            for ang in angle_range
-        ])
+            ndet, simplex_options, imlib, interpolation, verbose=verbose))
         residuals = np.concatenate((residuals, residuals2))
 
     p_simp_stack = [residuals[:, 0], residuals[:, 1]]
