@@ -45,8 +45,8 @@ def _time(fn, reps=REPS):
         first = once()
     except Exception:
         # a failing device call can crash the remote TPU worker; it
-        # self-heals in ~1-2 min — wait and retry once before giving up
-        time.sleep(75)
+        # self-heals in ~1-2 min — wait out the window and retry once
+        time.sleep(130)
         first = once()
     assert np.isfinite(first)
     times = []

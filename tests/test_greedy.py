@@ -134,6 +134,12 @@ def test_inmf_mode_schedules(cube_angles):
         assert fr.shape == cube.shape[1:]
         assert np.isfinite(fr).all()
         assert it_cube.shape[0] <= nexp  # may stop early on convergence
+    # any other non-None mode falls back to the plain incremental
+    # schedule (reference inmf_fullfr.py:373-388 does the same silently)
+    fr = inmf(cube=cube_pos, angle_list=angles, ncomp=3, nit=2,
+              mode="other", smooth_ker=None, max_iter=50, verbose=False)
+    assert np.isfinite(fr).all()
+    # >2-element ncomp tuples raise the reference's ValueError
     with pytest.raises(ValueError):
-        inmf(cube=cube_pos, angle_list=angles, ncomp=3, mode="bogus",
+        inmf(cube=cube_pos, angle_list=angles, ncomp=(1, 2, 3),
              verbose=False)

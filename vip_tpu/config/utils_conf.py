@@ -184,6 +184,16 @@ class Progressbar:
                         leave=leave, ascii=True, ncols=80, file=sys.stdout,
                         bar_format="{l_bar}{bar}| {n_fmt}/{total_fmt} "
                                    "[{elapsed}<{remaining}{postfix}]")
+        elif backend == "pyprind":
+            try:
+                from pyprind import ProgBar, prog_bar
+            except ImportError:
+                return NoProgressbar(iterable=iterable)
+            ProgBar._adjust_width = lambda self: None  # constant width
+            if iterable is None:
+                return ProgBar(total, title=desc, stream=1)
+            return prog_bar(iterable, title=desc, stream=1,
+                            iterations=total)
         elif backend == "hide":
             return NoProgressbar(iterable=iterable)
         raise NotImplementedError("unknown backend")

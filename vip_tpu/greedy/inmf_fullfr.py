@@ -82,7 +82,7 @@ def inmf(*all_args: List, **all_kwargs: dict):
             if algo_params.strategy == "RADI":
                 ncomp_list.append(ncomp_list[0])
         elif len(ncomp_list) != 2:
-            raise TypeError("If a tuple, ncomp must have 1 or 2 elements")
+            raise ValueError("Length of npc list cannot be larger than 2")
     else:
         raise TypeError("ncomp should be float, int, tuple or list")
 
@@ -105,8 +105,17 @@ def inmf(*all_args: List, **all_kwargs: dict):
             if algo_params.mode == "Pairet21":
                 algo_params.thr = 0
         else:
-            raise ValueError("mode is not recognized: must be None, "
-                             "'Pairet18', 'Pairet21' or 'Christiaens21'")
+            # any other non-None mode falls back to the plain incremental
+            # schedule, as the reference does (inmf_fullfr.py:373-388);
+            # pad with the last npc so a user-set nit can't over-run it
+            final_ncomp = list(range(1, ncomp_tmp + 1,
+                                     algo_params.ncomp_step))
+            if algo_params.nit > len(final_ncomp):
+                final_ncomp += [final_ncomp[-1]] * (algo_params.nit
+                                                    - len(final_ncomp))
+            else:
+                final_ncomp = final_ncomp[:max(1, algo_params.nit)]
+                algo_params.nit = len(final_ncomp)
     else:
         final_ncomp = [ncomp_tmp] * algo_params.nit
 

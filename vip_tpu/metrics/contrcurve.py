@@ -232,14 +232,16 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                theta=0, inner_rad=1, fc_rad_sep=3, wedge=(0, 360), fc_snr=100,
                noise_sep=1, full_output=False, verbose=True, nproc=1,
                imlib="vip-fft", interpolation="lanczos4", scaling=None,
-               algo_class=None, batch_patterns=False, pattern_mesh=None,
+               algo_class=None, batch_patterns=True, pattern_mesh=None,
                **algo_dict):
     """Algorithm throughput by injection-recovery on radial patterns
     (reference contrcurve.py:584-1096; 4D/IFS branch :950-1077).
 
-    ``batch_patterns=True`` opts into the one-vmapped-program fast path
-    for the native full-frame ``pca`` (all nbranch x fc_rad_sep injected
-    cubes reduced at once)."""
+    ``batch_patterns`` (default True) uses the one-vmapped-program fast
+    path for the native full-frame ``pca`` (all nbranch x fc_rad_sep
+    injected cubes reduced at once), falling back to the serial
+    per-pattern loop when the algo/params are not batchable; the two
+    paths agree to 1e-8 (tests/test_metrics_contrcurve.py)."""
     array = cube
     parangles = np.asarray(angle_list)
 
@@ -426,7 +428,7 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
                    interp_order=2, plot=True, dpi=100, debug=False,
                    verbose=True, full_output=False, save_plot=None,
                    object_name=None, frame_size=None, fix_y_lim=(),
-                   figsize=(8, 5), algo_class=None, batch_patterns=False,
+                   figsize=(8, 5), algo_class=None, batch_patterns=True,
                    pattern_mesh=None, **algo_dict):
     """Contrast curve at ``sigma`` confidence with the [MAW14] small-sample
     correction (reference contrcurve.py:29-580)."""

@@ -441,6 +441,19 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
         blk = cube[b * batch_size:min(n, (b + 1) * batch_size)]
         return np.asarray(blk, dtype=float)
 
+    def prefetched_blocks():
+        """Yield (index, block) while a host thread reads the next lazy
+        FITS block ahead of the device work."""
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            nxt = pool.submit(read_batch, 0)
+            for b in range(n_batches):
+                blk = nxt.result()
+                if b + 1 < n_batches:
+                    nxt = pool.submit(read_batch, b + 1)
+                yield b, blk
+
     # pass 1 — streaming mean + merge-and-truncate incremental SVD of the
     # centered data (equivalent subspace to IncrementalPCA for k << batch)
     # truncate to exactly k after each merge, like sklearn's
@@ -449,26 +462,18 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     # different residuals. The merge itself rides the device: the
     # row-space update needs only the small (q×q) Gram of the stacked
     # [basis; centered batch; mean-correction] matrix — one MXU matmul +
-    # small eigh per batch (S·Vh = Uᵀ·stack, no division) — while a host
-    # thread prefetches the next lazy-FITS block.
-    import concurrent.futures
-
+    # small eigh per batch (S·Vh = Uᵀ·stack, no division).
     k = int(ncomp)
     mean = jnp.zeros(npx)
     count = 0.0
     basis = jnp.zeros((k, npx))  # zero rows don't perturb the row space
 
-    with concurrent.futures.ThreadPoolExecutor(1) as pool:
-        nxt = pool.submit(read_batch, 0)
-        for b in range(n_batches):
-            blk = nxt.result()
-            if b + 1 < n_batches:
-                nxt = pool.submit(read_batch, b + 1)
-            blk = jnp.asarray(blk.reshape(-1, npx))
-            basis, mean, count = _incremental_merge_svd(
-                basis, blk, mean, jnp.asarray(count), keep=k)
-            if verbose:
-                print(f"Batch {b + 1}/{n_batches} processed")
+    for b, blk in prefetched_blocks():
+        blk = jnp.asarray(blk.reshape(-1, npx))
+        basis, mean, count = _incremental_merge_svd(
+            basis, blk, mean, jnp.asarray(count), keep=k)
+        if verbose:
+            print(f"Batch {b + 1}/{n_batches} processed")
 
     norms = jnp.linalg.norm(basis, axis=1, keepdims=True)
     V = basis / jnp.where(norms == 0, 1.0, norms)
@@ -487,38 +492,33 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                    and not rot_options
                    and str(collapse) in ("median", "mean", "sum"))
     medians = []
-    with concurrent.futures.ThreadPoolExecutor(1) as pool:
-        nxt = pool.submit(read_batch, 0)
-        for b in range(n_batches):
-            blk_h = nxt.result()
-            if b + 1 < n_batches:
-                nxt = pool.submit(read_batch, b + 1)
-            lo = b * batch_size
-            blk = jnp.asarray(blk_h.reshape(-1, npx)) - mean
-            resid = blk - (blk @ V.T) @ V
-            if return_residuals:
-                residuals_all[lo:lo + resid.shape[0]] = \
-                    np.asarray(resid).reshape(-1, y, x)
-                continue
-            if device_tail:
-                from ..ops.pipeline import derotate_collapse
+    for b, blk_h in prefetched_blocks():
+        lo = b * batch_size
+        blk = jnp.asarray(blk_h.reshape(-1, npx)) - mean
+        resid = blk - (blk @ V.T) @ V
+        if return_residuals:
+            residuals_all[lo:lo + resid.shape[0]] = \
+                np.asarray(resid).reshape(-1, y, x)
+            continue
+        if device_tail:
+            from ..ops.pipeline import derotate_collapse
 
-                # per-batch medians stay device-resident (async dispatch
-                # overlaps the next block's host read); chunk bounds the
-                # 4x-padded rotation canvases in HBM
-                medians.append(derotate_collapse(
-                    resid.reshape(-1, y, x),
-                    jnp.asarray(angle_list[lo:lo + resid.shape[0]],
-                                resid.dtype),
-                    collapse=str(collapse), chunk=50))
-            else:
-                resid_h = np.asarray(resid).reshape(-1, y, x)
-                resid_der = cube_derotate(
-                    resid_h, angle_list[lo:lo + resid_h.shape[0]],
-                    nproc=nproc, imlib=imlib, interpolation=interpolation,
-                    **rot_options)
-                medians.append(cube_collapse(resid_der, mode=collapse,
-                                             w=weights))
+            # per-batch medians stay device-resident (async dispatch
+            # overlaps the next block's host read); chunk bounds the
+            # 4x-padded rotation canvases in HBM
+            medians.append(derotate_collapse(
+                resid.reshape(-1, y, x),
+                jnp.asarray(angle_list[lo:lo + resid.shape[0]],
+                            resid.dtype),
+                collapse=str(collapse), chunk=50))
+        else:
+            resid_h = np.asarray(resid).reshape(-1, y, x)
+            resid_der = cube_derotate(
+                resid_h, angle_list[lo:lo + resid_h.shape[0]],
+                nproc=nproc, imlib=imlib, interpolation=interpolation,
+                **rot_options)
+            medians.append(cube_collapse(resid_der, mode=collapse,
+                                         w=weights))
 
     if return_residuals:
         return residuals_all
