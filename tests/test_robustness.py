@@ -72,3 +72,36 @@ def test_edge_inputs_match_reference_acceptance(sz, dtype, with_nan):
         except Exception as e:
             problems.append(f"{type(e).__name__}: {e}")
     assert not problems, problems
+
+
+def test_edge_inputs_4d_match_reference_acceptance():
+    """Same acceptance contract on the 4-D (IFS) entry points, with NaN
+    pixels and float32 channels."""
+    from vip_tpu import psfsub
+
+    ref_psfsub = load_ref("vip_hci.psfsub")
+    rng = np.random.default_rng(1)
+    z, n, sz = 3, 8, 41
+    cube = (rng.standard_normal((z, n, sz, sz)) * 5 + 50).astype(np.float32)
+    cube[:, :, 2, 3] = np.nan
+    ang = np.linspace(0, 40, n)
+    scal = np.array([1.2, 1.1, 1.0])
+
+    entries = [
+        lambda m: m.pca(cube.copy(), ang, scale_list=scal, ncomp=2,
+                        verbose=False),
+        lambda m: m.median_sub(cube.copy(), ang, scale_list=scal, fwhm=4,
+                               verbose=False),
+        lambda m: m.pca(cube.copy(), ang, ncomp=2, verbose=False),
+    ]
+    problems = []
+    for call in entries:
+        try:
+            call(ref_psfsub)
+        except Exception:
+            continue
+        try:
+            call(psfsub)
+        except Exception as e:
+            problems.append(f"{type(e).__name__}: {e}")
+    assert not problems, problems

@@ -182,6 +182,8 @@ def frame_rescaling(array, ref_xy=None, scale=1.0, imlib="vip-fft",
         raise ValueError("Image transformation library not recognized")
 
     if mask is not None:
+        # scale_fft hands back a read-only view of a device array
+        array_out = np.array(array_out)
         array_out[mask >= 0.5] = np.nan
 
     return array_out
@@ -469,6 +471,8 @@ def frame_px_resampling(array, scale, imlib="vip-fft",
         raise ValueError("Image transformation library not recognized")
 
     if mask is not None and mask.shape == array_resc.shape:
+        # scale_fft hands back a read-only view of a device array
+        array_resc = np.array(array_resc)
         array_resc[mask >= 0.5] = np.nan
 
     if verbose:
