@@ -1,0 +1,149 @@
+"""Oracle parity for the less-traveled public API ("dark surface").
+
+These functions had no direct test references; the NaN-rescale and
+cube_correct_nan bugs both hid there. Each case compares against the
+reference running in-process, bit-exact unless noted.
+"""
+
+import numpy as np
+import pytest
+
+from ref_oracle import load_ref
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(2)
+    fr = rng.standard_normal((45, 45)) + 10
+    cube = rng.standard_normal((8, 45, 45)) + 10
+    return fr, cube
+
+
+def test_cosmetics_parity(data):
+    from vip_tpu import preproc
+
+    rp = load_ref("vip_hci.preproc")
+    rcos = load_ref("vip_hci.preproc.cosmetics")
+    fr, cube = data
+
+    assert np.array_equal(preproc.frame_crop(fr, 21, verbose=False),
+                          rp.frame_crop(fr, 21, verbose=False))
+    assert np.array_equal(preproc.cube_crop_frames(cube, 21, verbose=False),
+                          rp.cube_crop_frames(cube, 21, verbose=False))
+    assert np.array_equal(preproc.frame_pad(fr, 1.5), rp.frame_pad(fr, 1.5))
+    o = preproc.cube_drop_frames(cube, 2, 6, np.linspace(0, 40, 8),
+                                 verbose=False)
+    r = rp.cube_drop_frames(cube, 2, 6, np.linspace(0, 40, 8), verbose=False)
+    assert np.array_equal(o[0], r[0]) and np.array_equal(o[1], r[1])
+    assert np.array_equal(preproc.frame_remove_stripes(fr.copy()),
+                          rcos.frame_remove_stripes(fr.copy()))
+
+
+def test_cube_correct_nan_parity(data):
+    """NaN correction must ride the same iterative median-of-good-
+    neighbours sigma filter as the reference (cosmetics.py:313-453)."""
+    from vip_tpu import preproc
+
+    rp = load_ref("vip_hci.preproc")
+    _, cube = data
+    nc = cube.copy()
+    nc[:, 3, 4] = np.nan
+    nc[2, 20, 20] = np.nan
+    nc[5, 0, 0] = np.nan          # corner: few neighbours
+    nc[:, 10:13, 10:13] = np.nan  # clump: needs iteration
+    o = preproc.cube_correct_nan(nc.copy(), verbose=False)
+    r = rp.cube_correct_nan(nc.copy(), verbose=False)
+    assert np.isfinite(o).all()
+    assert np.array_equal(np.asarray(o, float), np.asarray(r, float))
+
+
+def test_approx_stellar_position_parity(data):
+    from vip_tpu import preproc
+
+    rp = load_ref("vip_hci.preproc")
+    _, cube = data
+    # plant a star drifting across channels + one outlier channel
+    yy, xx = np.mgrid[:45, :45]
+    c = cube.copy()
+    for i in range(len(c)):
+        c[i] += 50 * np.exp(-((yy - 22 - i % 3) ** 2 + (xx - 21) ** 2) / 8.0)
+    c[4] = cube[4]  # no star: outlier channel
+    o = preproc.approx_stellar_position(c.copy(), 4.0, return_test=True)
+    r = rp.approx_stellar_position(c.copy(), 4.0, return_test=True)
+    assert np.array_equal(o[0], r[0])
+    assert np.array_equal(o[1], r[1])
+
+
+def test_peak_coordinates_parity(data):
+    from vip_tpu import metrics
+
+    rm = load_ref("vip_hci.metrics")
+    fr, cube = data
+    assert tuple(metrics.peak_coordinates(fr, 4.0)) == \
+        tuple(rm.peak_coordinates(fr, 4.0))
+    o = metrics.peak_coordinates(cube, 4.0)           # (zz, yy, xx)
+    r = rm.peak_coordinates(cube, 4.0)
+    assert tuple(o) == tuple(r) and len(o) == 3
+    o2, och = metrics.peak_coordinates(cube, 4.0, channels_peak=True)
+    r2, rch = rm.peak_coordinates(cube, 4.0, channels_peak=True)
+    assert tuple(o2) == tuple(r2)
+    assert np.array_equal(och, rch)
+
+
+def test_shapes_coords_parity(data):
+    from vip_tpu import var
+
+    rv = load_ref("vip_hci.var")
+    fr, _ = data
+    assert np.array_equal(var.get_square(fr, 11, 20, 22),
+                          rv.get_square(fr, 11, 20, 22))
+    for o, r in zip(var.get_ellipse(fr, 12, 6, 30.0),
+                    rv.get_ellipse(fr, 12, 6, 30.0)):
+        assert np.array_equal(o, r)
+    for o, r in zip(var.get_ell_annulus(fr, 10, 5, 30.0, 4.0),
+                    rv.get_ell_annulus(fr, 10, 5, 30.0, 4.0)):
+        assert np.array_equal(o, r)
+    for o, r in zip(var.get_annular_wedge(fr, 8, 4, wedge=(10, 80)),
+                    rv.get_annular_wedge(fr, 8, 4, wedge=(10, 80))):
+        assert np.array_equal(o, r)
+    assert np.array_equal(
+        var.create_ringed_spider_mask(fr.shape, 18, 4, 2, 30),
+        rv.create_ringed_spider_mask(fr.shape, 18, 4, 2, 30))
+    assert np.array_equal(var.dist_matrix(31), rv.dist_matrix(31))
+    assert var.cart_to_pol(30.0, 20.0) == rv.cart_to_pol(30.0, 20.0)
+    assert var.pol_to_cart(10.0, 45.0) == rv.pol_to_cart(10.0, 45.0)
+    assert var.pol_to_eq(10.0, 45.0) == rv.pol_to_eq(10.0, 45.0)
+
+
+def test_stats_parity(data):
+    from vip_tpu import stats
+
+    rs = load_ref("vip_hci.stats")
+    fr, cube = data
+    o = stats.frame_basic_stats(fr, plot=False)
+    r = rs.frame_basic_stats(fr, plot=False)
+    assert np.allclose(np.asarray(o, float), np.asarray(r, float))
+    o = stats.cube_basic_stats(cube, plot=False)
+    r = rs.cube_basic_stats(cube, plot=False)
+    for a, b in zip(np.atleast_1d(o), np.atleast_1d(r)):
+        assert np.allclose(np.asarray(a, float), np.asarray(b, float))
+    o = stats.descriptive_stats(fr.ravel(), verbose=False, plot=False)
+    r = rs.descriptive_stats(fr.ravel(), verbose=False, plot=False)
+    assert np.allclose(np.asarray(o, float), np.asarray(r, float))
+
+
+def test_px_resampling_parity(data):
+    """FFT zoom replicates the reference's float32-canvas quirk
+    (rescaling.py:1168), so parity is at the f32 floor."""
+    from vip_tpu import preproc
+
+    rp = load_ref("vip_hci.preproc")
+    fr, cube = data
+    o = preproc.frame_px_resampling(fr, 1.3, verbose=False)
+    r = rp.frame_px_resampling(fr, 1.3, verbose=False)
+    assert o.shape == r.shape
+    assert np.nanmax(np.abs(np.asarray(o, float) - r)) < 1e-5
+    o = preproc.cube_px_resampling(cube, 0.7, verbose=False)
+    r = rp.cube_px_resampling(cube, 0.7, verbose=False)
+    assert o.shape == r.shape
+    assert np.nanmax(np.abs(np.asarray(o, float) - r)) < 1e-4

@@ -322,9 +322,13 @@ def peak_coordinates(obj_tmp, fwhm, approx_peak=None, search_box=None,
                 ind_ch_max[zz] = (approx_peak[0] - sbox_y + ind_max_sbox[0],
                                   approx_peak[1] - sbox_x + ind_max_sbox[1])
         if approx_peak is None:
+            # full (zz, yy, xx) triple for cubes, as documented upstream
             ind_max = np.unravel_index(np.nanargmax(med_filt_tmp),
-                                       med_filt_tmp.shape)[1:]
+                                       med_filt_tmp.shape)
         else:
+            # NOTE the reference offsets indices 0/1 of the 3-D unravel
+            # here (detection.py:484-486), adding the channel index into
+            # y — we use the (y, x) components instead
             ind_max_tmp = np.unravel_index(np.nanargmax(sbox), sbox.shape)
             ind_max = (ind_max_tmp[1] + approx_peak[0] - sbox_y,
                        ind_max_tmp[2] + approx_peak[1] - sbox_x)

@@ -152,85 +152,101 @@ def cube_drop_frames(array, n, m, parallactic=None, verbose=True):
 
 
 def frame_remove_stripes(array):
-    """Remove unwanted horizontal stripes (cosmetics.py:302-312)."""
+    """Remove vertical stripe artifacts: subtract from each column the
+    mean of its first and last 50 rows (reference cosmetics.py:302-312,
+    which also mutates the input in place — we return a copy)."""
     array = np.asarray(array, dtype=float).copy()
-    n_rows = array.shape[0]
-    for i in range(n_rows):
-        array[i] -= np.median(np.concatenate([array[i, :20],
-                                              array[i, -20:]]))
+    lines = np.vstack((array[:50], array[-50:]))
+    array -= lines.mean(axis=0)[None, :]
     return array
 
 
 def cube_correct_nan(cube, neighbor_box=3, min_neighbors=3, verbose=False,
                      half_res_y=False, nproc=1):
-    """Correct NaN values by the median of adjacent pixels
-    (cosmetics.py:313-453)."""
-    from scipy.ndimage import generic_filter
-
+    """Correct NaN values by the iterative median-of-good-neighbours
+    sigma filter — the same math as the reference's numba kernel
+    (cosmetics.py:313-453 -> nan_corr_2d -> stats.sigma_filter)."""
     cube = np.asarray(cube, dtype=float).copy()
 
     def _fix_frame(frame):
-        out = frame.copy()
-        nan_mask = ~np.isfinite(out)
-        it = 0
-        while nan_mask.any() and it < 20:
-            med = generic_filter(np.nan_to_num(out), np.median,
-                                 size=neighbor_box, mode="mirror")
-            counts = generic_filter(np.isfinite(out).astype(float), np.sum,
-                                    size=neighbor_box, mode="mirror")
-            fixable = nan_mask & (counts >= min_neighbors)
-            if not fixable.any():
-                fixable = nan_mask
-            out[fixable] = med[fixable]
-            nan_mask = ~np.isfinite(out)
-            it += 1
-        return out
+        return nan_corr_2d(frame, neighbor_box, min_neighbors, half_res_y,
+                           verbose, full_output=False)
 
     if cube.ndim == 2:
         return _fix_frame(cube)
     elif cube.ndim == 3:
-        for i in range(cube.shape[0]):
-            cube[i] = _fix_frame(cube[i])
+        from ..config.utils_conf import iterable, pool_map
+
+        cube = np.array(pool_map(nproc, _fix_frame, iterable(cube)))
     elif cube.ndim == 4:
         for j in range(cube.shape[0]):
             for i in range(cube.shape[1]):
                 cube[j, i] = _fix_frame(cube[j, i])
     if verbose:
-        print("NaN values corrected")
+        print("All nan pixels are corrected.")
     return cube
 
 
 def approx_stellar_position(cube, fwhm, return_test=False, verbose=False):
-    """Approximate the star position per frame as the position of the
-    max of a median-filtered frame, with outlier replacement
-    (cosmetics.py:500-595)."""
-    from scipy.ndimage import median_filter
+    """Approximate the star position per channel: per-frame
+    median-filtered peak (``peak_coordinates``), 2.5-sigma-clipped
+    column statistics with +-3*stddev outlier gating, and replacement of
+    outliers by the nearest good channels (reference
+    cosmetics.py:500-595, bit-identical)."""
+    from ..metrics.detection import _sigma_clipped_stats, peak_coordinates
 
-    cube = np.asarray(cube)
-    n = cube.shape[0]
+    obj_tmp = np.asarray(cube)
+    n_z = obj_tmp.shape[0]
     if np.isscalar(fwhm):
-        fwhm = np.full(n, fwhm)
+        fwhm = np.full(n_z, fwhm)
 
-    star_approx_idx = np.zeros((n, 2))
-    test_result = np.zeros(n, dtype=bool)
+    star_tmp_idx = np.zeros([n_z, 2])
+    star_approx_idx = np.zeros([n_z, 2])
+    test_result = np.ones(n_z)
+    for zz in range(n_z):
+        star_tmp_idx[zz] = peak_coordinates(obj_tmp[zz], fwhm[zz])
 
-    for i in range(n):
-        filtered = median_filter(cube[i], int(np.ceil(fwhm[i])))
-        idx = np.unravel_index(np.argmax(filtered), filtered.shape)
-        star_approx_idx[i] = idx
+    _, med_y, stddev_y = _sigma_clipped_stats(star_tmp_idx[:, 0], sigma=2.5)
+    _, med_x, stddev_x = _sigma_clipped_stats(star_tmp_idx[:, 1], sigma=2.5)
+    lim_inf_y, lim_sup_y = med_y - 3 * stddev_y, med_y + 3 * stddev_y
+    lim_inf_x, lim_sup_x = med_x - 3 * stddev_x, med_x + 3 * stddev_x
 
-    med_y, med_x = np.median(star_approx_idx, axis=0)
-    std_y, std_x = np.std(star_approx_idx, axis=0)
-    for i in range(n):
-        dy = abs(star_approx_idx[i, 0] - med_y)
-        dx = abs(star_approx_idx[i, 1] - med_x)
-        good = dy < max(3 * std_y, fwhm[i]) and dx < max(3 * std_x, fwhm[i])
-        test_result[i] = good
-        if not good:
-            star_approx_idx[i] = (med_y, med_x)
+    if verbose:
+        print("median y of star - 3sigma = ", lim_inf_y)
+        print("median y of star + 3sigma = ", lim_sup_y)
+        print("median x of star - 3sigma = ", lim_inf_x)
+        print("median x of star + 3sigma = ", lim_sup_x)
+
+    for zz in range(n_z):
+        if (star_tmp_idx[zz, 0] < lim_inf_y
+                or star_tmp_idx[zz, 0] > lim_sup_y
+                or star_tmp_idx[zz, 1] < lim_inf_x
+                or star_tmp_idx[zz, 1] > lim_sup_x):
+            test_result[zz] = 0
+
+    # replace outliers by the median of the nearest good channels
+    for zz in range(n_z):
+        if test_result[zz] == 0:
+            ii = 1
+            inf_neigh = max(0, zz - ii)
+            sup_neigh = min(n_z - 1, zz + ii)
+            while test_result[inf_neigh] == 0 \
+                    and test_result[sup_neigh] == 0:
+                ii += 1
+                inf_neigh = max(0, zz - ii)
+                sup_neigh = min(n_z - 1, zz + ii)
+            if test_result[inf_neigh] == 1 and test_result[sup_neigh] == 1:
+                star_approx_idx[zz] = np.floor(
+                    (star_tmp_idx[sup_neigh] + star_tmp_idx[inf_neigh]) / 2)
+            elif test_result[inf_neigh] == 1:
+                star_approx_idx[zz] = star_tmp_idx[inf_neigh]
+            else:
+                star_approx_idx[zz] = star_tmp_idx[sup_neigh]
+        else:
+            star_approx_idx[zz] = star_tmp_idx[zz]
 
     if return_test:
-        return star_approx_idx, test_result
+        return star_approx_idx, test_result.astype(bool)
     return star_approx_idx
 
 
