@@ -147,3 +147,35 @@ def test_px_resampling_parity(data):
     r = rp.cube_px_resampling(cube, 0.7, verbose=False)
     assert o.shape == r.shape
     assert np.nanmax(np.abs(np.asarray(o, float) - r)) < 1e-4
+
+
+def test_subsample_and_highpass_parity(data):
+    from vip_tpu import preproc, var
+
+    rp = load_ref("vip_hci.preproc")
+    rv = load_ref("vip_hci.var")
+    fr, cube = data
+    assert np.array_equal(preproc.cube_subsample(cube, 3, verbose=False),
+                          rp.cube_subsample(cube, 3, verbose=False))
+    assert np.array_equal(preproc.cube_subsample_trimmean(cube, 2, 3),
+                          rp.cube_subsample_trimmean(cube, 2, 3))
+    o = var.cube_filter_highpass(cube, "laplacian", verbose=False)
+    r = rv.cube_filter_highpass(cube, "laplacian", verbose=False)
+    assert np.array_equal(np.asarray(o), np.asarray(r))
+    with pytest.raises(ValueError):
+        var.frame_filter_highpass(fr, "laplacian", kernel_size=4)
+
+
+def test_stim_and_report_parity(data):
+    from vip_tpu import metrics
+
+    rm = load_ref("vip_hci.metrics")
+    _, cube = data
+    ang = np.linspace(0, 40, 8)
+    assert np.allclose(metrics.inverse_stim_map(cube, ang),
+                       rm.inverse_stim_map(cube, ang), atol=1e-10)
+    fr_rep = np.asarray(cube, float).mean(axis=0)
+    for o, r in zip(metrics.frame_report(fr_rep, 4.0, verbose=False),
+                    rm.frame_report(fr_rep, 4.0, verbose=False)):
+        assert np.allclose(np.asarray(o, float), np.asarray(r, float),
+                           atol=1e-10)

@@ -118,9 +118,11 @@ def cube_subsample_trimmean(arr, n, m):
     y, x = arr.shape[1], arr.shape[2]
     arr2 = np.empty((num + 2, y, x))
     for i in range(num):
-        arr2[0] = cube_collapse(arr[: m - 1], mode="trimmean", n=n)
+        arr2[0] = cube_collapse(arr[:m], mode="trimmean", n=n)
         if i > 0:
-            arr2[i] = cube_collapse(arr[m * i:m * i + m - 1], mode="trimmean",
+            arr2[i] = cube_collapse(arr[m * i:m * i + m], mode="trimmean",
                                     n=n)
     arr2[num] = cube_collapse(arr[-res:], mode="trimmean", n=n)
+    print("Cube temporally subsampled by taking the trimmed mean of every "
+          f"{m} frames")
     return arr2[: num + 1]

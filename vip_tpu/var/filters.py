@@ -179,8 +179,13 @@ def frame_filter_highpass(array, mode, median_size=5, kernel_size=5,
     if mode == "laplacian":
         import cv2
 
-        return cv2.Laplacian(-array.astype(np.float32), cv2.CV_32F,
-                             ksize=kernel_size)
+        if kernel_size % 2 == 0 or kernel_size < 0:
+            raise ValueError("Kernel size must be an odd and positive "
+                             "value.")
+        # keep the input dtype: cv2 convolves in the source depth and only
+        # casts the OUTPUT to f32, so pre-casting changes the result at
+        # the f32-epsilon level vs the reference (filters.py:322)
+        return cv2.Laplacian(-array, cv2.CV_32F, ksize=kernel_size)
     elif mode == "laplacian-conv":
         kernel3 = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]])
         kernel5 = np.array([[-4, -1, 0, -1, -4],
