@@ -179,3 +179,40 @@ def test_stim_and_report_parity(data):
                     rm.frame_report(fr_rep, 4.0, verbose=False)):
         assert np.allclose(np.asarray(o, float), np.asarray(r, float),
                            atol=1e-10)
+
+
+def test_fm_invprob_helper_parity(data):
+    """NEGFC merit helpers and the ANDROMEDA radial-profile utility."""
+    import importlib
+
+    ofm = importlib.import_module("vip_tpu.fm.negfc_fmerit")
+    oa = importlib.import_module("vip_tpu.invprob.andromeda")
+    rfm = load_ref("vip_hci.fm.negfc_fmerit")
+    ra = load_ref("vip_hci.invprob.andromeda")
+    fr, cube = data
+    # 61x61 geometry so the NEGFC annulus fits
+    rng = np.random.default_rng(4)
+    cube61 = rng.standard_normal((8, 61, 61)) + 10
+    ang = np.linspace(0, 40, 8)
+
+    o = ofm.get_mu_and_sigma(cube61, ang, 1, 4, 1.5, 4.0, 12.0, 30.0)
+    r = rfm.get_mu_and_sigma(cube61, ang, 1, 4, 1.5, 4.0, 12.0, 30.0)
+    assert np.allclose(np.asarray(o, float), np.asarray(r, float))
+
+    o = ofm.get_values_optimize(cube61, ang, 2, 4.0, 2.0, 4.0, 12.0, 30.0)
+    r = rfm.get_values_optimize(cube61, ang, 2, 4.0, 2.0, 4.0, 12.0, 30.0)
+    assert np.allclose(np.asarray(o, float), np.asarray(r, float),
+                       atol=1e-12)
+
+    for o, r in zip(oa.couronne_img(cube61.mean(axis=0), 30.0),
+                    ra.couronne_img(cube61.mean(axis=0), 30.0)):
+        assert np.allclose(np.asarray(o, float), np.asarray(r, float))
+
+
+def test_mask_source_centers_parity(data):
+    from vip_tpu import metrics
+
+    rm = load_ref("vip_hci.metrics")
+    fr, _ = data
+    assert np.array_equal(metrics.mask_source_centers(fr, 4.0, [22], [25]),
+                          rm.mask_source_centers(fr, 4.0, [22], [25]))
