@@ -126,3 +126,29 @@ def test_dataset_save_load_list_attrs_and_shape(ds, tmp_path):
     assert (d2.n, d2.y, d2.x, d2.w) == (d.n, d.y, d.x, d.w)
     assert isinstance(d2.injections_yx, list)
     assert np.allclose(d2.cube, d.cube)
+
+
+def test_all_pp_classes_run(ds):
+    """Every PP algorithm object builds, runs on a small dataset and
+    registers a finite frame_final (the six classes not covered by the
+    dedicated tests above; reference objects/pp*.py)."""
+    from vip_tpu.objects import (AndroBuilder, FMMFBuilder,
+                                 FrameDiffBuilder, LLSGBuilder,
+                                 LOCIBuilder, NMFBuilder)
+
+    d = ds.copy()
+    d.inject_companions(60, rad_dists=10, verbose=False)
+    builders = [
+        (NMFBuilder, dict(ncomp=3, verbose=False)),
+        (LLSGBuilder, dict(rank=3, verbose=False)),
+        (LOCIBuilder, dict(verbose=False)),
+        (FrameDiffBuilder, dict(verbose=False)),
+        (AndroBuilder, dict(oversampling_fact=0.5, verbose=False)),
+        (FMMFBuilder, dict(min_r=6, max_r=14, verbose=False)),
+    ]
+    for builder, kw in builders:
+        obj = builder(dataset=d, **kw).build()
+        obj.run()
+        fr = np.asarray(obj.frame_final)
+        assert fr.shape == d.cube.shape[1:], builder.__name__
+        assert np.isfinite(fr).any(), builder.__name__
