@@ -216,3 +216,32 @@ def test_mask_source_centers_parity(data):
     fr, _ = data
     assert np.array_equal(metrics.mask_source_centers(fr, 4.0, [22], [25]),
                           rm.mask_source_centers(fr, 4.0, [22], [25]))
+
+
+def test_svdecomposer_parity(data):
+    """SVDecomposer CEVR tooling matches the reference end-to-end."""
+    from vip_tpu.psfsub import SVDecomposer
+
+    rps = load_ref("vip_hci.psfsub")
+    _, cube = data
+    o = SVDecomposer(cube, mode="fullfr", svd_mode="lapack",
+                     scaling="temp-standard", verbose=False)
+    r = rps.SVDecomposer(cube, mode="fullfr", svd_mode="lapack",
+                         scaling="temp-standard", verbose=False)
+    odf = o.get_cevr(plot=False)
+    rdf = r.get_cevr(plot=False)
+    assert np.allclose(np.asarray(o.cevr, float), np.asarray(r.cevr, float))
+    on = o.cevr_to_ncomp(0.9)
+    rn = r.cevr_to_ncomp(0.9)
+    assert on == rn
+    # annular mode
+    o2 = SVDecomposer(cube, mode="annular", inrad=5, outrad=18,
+                      svd_mode="lapack", scaling="temp-standard",
+                      verbose=False)
+    r2 = rps.SVDecomposer(cube, mode="annular", inrad=5, outrad=18,
+                          svd_mode="lapack", scaling="temp-standard",
+                          verbose=False)
+    o2.get_cevr(plot=False)
+    r2.get_cevr(plot=False)
+    assert np.allclose(np.asarray(o2.cevr, float),
+                       np.asarray(r2.cevr, float))
