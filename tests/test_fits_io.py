@@ -117,3 +117,18 @@ def test_lazy_hdu_slice_variants(tmp_path):
     assert np.array_equal(lazy[4:1:-1], cube[4:1:-1])
     assert np.array_equal(lazy[1:4:2], cube[1:4:2])
     assert lazy[3:3].shape == (0, 4, 4)
+
+
+def test_seeing_from_header_roundtrip(tmp_path):
+    """ESO DIMM seeing averages through our own writer/parser
+    (reference headers.py:125-154)."""
+    import numpy as np
+
+    from vip_tpu.fits import write_fits
+    from vip_tpu.fits.headers import seeing_from_header
+
+    p = str(tmp_path / "x.fits")
+    hdr = {"HIERARCH ESO TEL AMBI FWHM START": 0.8,
+           "HIERARCH ESO TEL AMBI FWHM END": 1.2}
+    write_fits(p, np.zeros((4, 4), np.float32), header=hdr, verbose=False)
+    assert seeing_from_header(p) == 1.0
