@@ -63,13 +63,42 @@ def _emit(metric, value, unit, vs_baseline):
           flush=True)
 
 
-def main():
+def _probe_devices(timeout_s=180):
+    """Resolve jax.devices() with a hard timeout: a dead remote tunnel
+    hangs device discovery forever, which would silently eat the whole
+    bench budget — fail fast and loud instead."""
+    import threading
+
     import jax
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            out["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    if "error" in out:
+        raise RuntimeError(f"device discovery failed: {out['error']!r}")
+    raise RuntimeError(
+        f"jax.devices() unresponsive after {timeout_s}s — the TPU tunnel "
+        "is down (it has outlasted the worker's 1-2 min self-heal); "
+        "re-run when the backend answers")
+
+
+def main():
     import jax.numpy as jnp
 
     from vip_tpu.ops.pipeline import derotate_collapse, pca_adi_pipeline
 
-    dev = jax.devices()[0]
+    dev = _probe_devices()[0]
+    import jax
     rng = np.random.default_rng(0)
     cube = rng.standard_normal((N_FRAMES, SIZE, SIZE)).astype(np.float32)
     angles = np.linspace(0.0, 80.0, N_FRAMES).astype(np.float32)
