@@ -167,21 +167,29 @@ def _install_stubs():
                 arr = np.outer(gy, gx)
                 self.array = arr / arr.sum()
 
-        def convolve(image, kernel, **kw):
+        def convolve(image, kernel, normalize_kernel=True, mask=None, **kw):
             from scipy.ndimage import convolve as sconv
 
             karr = kernel.array if hasattr(kernel, "array") else np.asarray(kernel)
             im = np.asarray(image, dtype=float)
+            if mask is not None:  # astropy: True = invalid, interpolated
+                im = np.where(np.asarray(mask, bool), np.nan, im)
             nanmask = ~np.isfinite(im)
             im0 = np.where(nanmask, 0.0, im)
+            if not normalize_kernel:
+                # astropy normalize_kernel=False + nan_treatment='fill':
+                # plain convolution over zero-filled NaNs (needed for the
+                # zero-sum laplacian kernels, whose coverage weight is 0)
+                return sconv(im0, karr, mode="constant")
             wt = sconv((~nanmask).astype(float), karr, mode="constant")
             num = sconv(im0, karr, mode="constant")
             with np.errstate(invalid="ignore", divide="ignore"):
                 out = num / wt
             return out
 
-        def convolve_fft(image, kernel, **kw):
-            return convolve(image, kernel)
+        def convolve_fft(image, kernel, normalize_kernel=True, **kw):
+            return convolve(image, kernel,
+                            normalize_kernel=normalize_kernel)
 
         def interpolate_replace_nans(image, kernel, **kw):
             im = np.asarray(image, dtype=float)

@@ -245,3 +245,43 @@ def test_svdecomposer_parity(data):
     r2.get_cevr(plot=False)
     assert np.allclose(np.asarray(o2.cevr, float),
                        np.asarray(r2.cevr, float))
+
+
+def test_filter_mode_matrix_parity(data):
+    """Every highpass/lowpass mode on even and odd frames, incl. the
+    zero-sum laplacian-conv kernels, the pixel-scaled Butterworth filter
+    and masked gauss; <=1e-12 vs the reference."""
+    from vip_tpu import var
+
+    rv = load_ref("vip_hci.var")
+    rng = np.random.default_rng(6)
+    frames = [rng.standard_normal((46, 46)) + 10,
+              rng.standard_normal((45, 45)) + 10]
+    yy, xx = np.mgrid[:13, :13]
+    psfn = np.exp(-((yy - 6) ** 2 + (xx - 6) ** 2) / (2 * (4 / 2.355) ** 2))
+    psfn = psfn / psfn.sum()
+
+    def close(o, r, tol=1e-12):
+        assert np.nanmax(np.abs(np.asarray(o, float)
+                                - np.asarray(r, float))) < tol
+
+    for f in frames:
+        for mode in ("laplacian", "laplacian-conv", "median-subt",
+                     "gauss-subt", "fourier-butter", "hann"):
+            close(var.frame_filter_highpass(f.copy(), mode),
+                  rv.frame_filter_highpass(f.copy(), mode))
+        for mode in ("median", "gauss"):
+            close(var.frame_filter_lowpass(f.copy(), mode),
+                  rv.frame_filter_lowpass(f.copy(), mode))
+        close(var.frame_filter_lowpass(f.copy(), "psf", psf=psfn),
+              rv.frame_filter_lowpass(f.copy(), "psf", psf=psfn))
+    f = frames[1]
+    for ks in (5, 7):
+        close(var.frame_filter_highpass(f.copy(), "laplacian-conv",
+                                        kernel_size=ks),
+              rv.frame_filter_highpass(f.copy(), "laplacian-conv",
+                                       kernel_size=ks))
+    mask = np.zeros_like(f, bool)
+    mask[10:14, 10:14] = True
+    close(var.frame_filter_highpass(f.copy(), "gauss-subt", mask=mask),
+          rv.frame_filter_highpass(f.copy(), "gauss-subt", mask=mask))

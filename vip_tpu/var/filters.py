@@ -160,8 +160,10 @@ def _butter2d_lp(size, cutoff, n=3):
     if not isinstance(n, int):
         raise ValueError("n must be an integer >= 1")
     rows, cols = size
-    x = np.linspace(-0.5, 0.5, cols)
-    y = np.linspace(-0.5, 0.5, rows)
+    # radius in PIXELS (the reference scales the normalized axes by the
+    # frame size, filters.py:282-283), so `cutoff` is in cycles/frame
+    x = np.linspace(-0.5, 0.5, cols) * cols
+    y = np.linspace(-0.5, 0.5, rows) * rows
     radius = np.sqrt((x**2)[np.newaxis] + (y**2)[:, np.newaxis])
     f = 1 / (1 + (radius / cutoff) ** (2 * n))
     return f
