@@ -81,6 +81,8 @@ t("nmf_annular", lambda: psfsub.nmf_annular(
     cube, ang, ncomp=2, fwhm=4, asize=8, radius_int=4, verbose=False))
 t("pca_grid", lambda: psfsub.pca_grid(cube, ang, fwhm=4,
                                       range_pcs=(1, 4, 1), verbose=False))
+t("pca_incremental", lambda: psfsub.pca_incremental(
+    cube, ang, batch=4, ncomp=2, verbose=False))
 t("pca_annulus", lambda: psfsub.pca_annulus(
     cube, ang, ncomp=2, annulus_width=10, r_guess=16))
 t("fmmf", lambda: invprob.fmmf(
