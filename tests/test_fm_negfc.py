@@ -246,3 +246,26 @@ def test_mcmc_negfc_sampling_device(negfc_data):
     assert abs(med[2] - f) / f < 0.5
     val_max, ci = confidence(burn, cfd=68, verbose=False)
     assert "r" in val_max
+
+
+def test_nested_negfc_sampling_recovers_truth(negfc_data):
+    """End-to-end nested sampling: recover the injected companion and
+    return the reference-shaped (3, 2) summary
+    (reference negfc_nested.py:54-341,342-459)."""
+    from vip_tpu.fm.negfc_nested import (nested_negfc_sampling,
+                                         nested_sampling_results)
+
+    cube, angles, psfn, truth, fwhm = negfc_data
+    r, th, f = truth
+    res = nested_negfc_sampling(np.array([r, th, f]), cube, angles, psfn,
+                                fwhm, annulus_width=4, aperture_radius=1,
+                                ncomp=3, npoints=50, dlogz=0.1,
+                                w=(3, 3, 0.5 * f), verbose=False)
+    assert res.samples.shape[1] == 3
+    assert res.samples.shape[0] == res.logvol.shape[0]
+    out = nested_sampling_results(res, burnin=0.3, plot=False,
+                                  verbose=False)
+    assert out.shape == (3, 2)
+    assert abs(out[0, 0] - r) < 2.0
+    assert abs(((out[1, 0] - th + 180) % 360) - 180) < 6.0
+    assert abs(out[2, 0] - f) / f < 0.5

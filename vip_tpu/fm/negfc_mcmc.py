@@ -375,6 +375,13 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
         if k == criterion:
             geom += 1
             lastcheck = k
+            if display:
+                if force_rPA:
+                    wp_labels = [f"f{j}" for j in range(dim)]
+                else:
+                    wp_labels = ["r", "theta"] + \
+                        [f"f{j}" for j in range(dim - 2)]
+                show_walk_plot(chain[:, :k + 1], labels=wp_labels)
             if (k + 1) >= itermin and konvergence == np.inf:
                 if conv_test == "gb":
                     thr0 = int(np.floor(burnin * k))
@@ -537,6 +544,7 @@ def confidence(isamples, cfd=68.27, bins=100, gaussian_fit=False,
     confidenceInterval = {}
     mu = np.zeros(n_params)
     sigma_fit = np.zeros(n_params)
+    hist_state = []  # per-param (n, bin_vertices, peak_idx, lo, hi)
 
     for j in range(n_params):
         n, bin_vertices = np.histogram(isamples[:, j], bins=bins,
@@ -567,10 +575,66 @@ def confidence(isamples, cfd=68.27, bins=100, gaussian_fit=False,
         confidenceInterval[labels[j]] = np.array(
             [bin_vertices[n_arg_min - 1], bin_vertices[n_arg_max + 1]]
         ) - val_max[labels[j]]
+        hist_state.append((n, bin_vertices, int(n_arg_sort[0]),
+                           bin_vertices[n_arg_min - 1],
+                           bin_vertices[n_arg_max + 1]))
 
         if gaussian_fit:
             mu[j] = np.mean(isamples[:, j])
             sigma_fit[j] = np.std(isamples[:, j])
+
+    # figure mirroring the reference's (negfc_mcmc.py:1360-1607): one
+    # histogram per parameter with the CI samples shaded and the mode
+    # marked; a second row with the normalized histogram + Gaussian fit
+    # when gaussian_fit is on
+    import matplotlib.pyplot as plt
+    from scipy.stats import norm as _norm
+
+    ncols = min(4, n_params)
+    hist_rows = max(int(np.ceil(n_params / 4)), 1)
+    nrows = 2 * hist_rows if gaussian_fit else hist_rows
+    fig, axs = plt.subplots(nrows, ncols, figsize=(12, 4 * nrows),
+                            squeeze=False)
+    if isinstance(ndig, int):
+        ndig = [ndig] * n_params
+    for j in range(n_params):
+        n, bin_vertices, peak_idx, lo, hi = hist_state[j]
+        ax0 = axs[j // 4][j % 4]
+        arg = (isamples[:, j] >= lo) & (isamples[:, j] <= hi)
+        ax0.hist(isamples[arg, j], bins=bin_vertices, facecolor="gray",
+                 edgecolor="darkgray", histtype="stepfilled", alpha=0.5)
+        ax0.vlines(val_max[labels[j]], 0, n[peak_idx], linestyles="dashed",
+                   color="red", label="estimate" if gt is not None else None)
+        if gt is not None:
+            ax0.vlines(gt[j], 0, n.max(), linestyles="dashed", color="blue",
+                       label="gt")
+            ax0.legend()
+        ax0.set_xlabel(labels[j])
+        if j == 0:
+            ax0.set_ylabel("Counts")
+        if title is not None:
+            fmt = f"{{:.{ndig[j]}f}}".format
+            lab = title if isinstance(title, str) else labels[j]
+            tit = (f"${{{fmt(val_max[labels[j]])}}}"
+                   f"_{{{fmt(confidenceInterval[labels[j]][0])}}}"
+                   f"^{{+{fmt(confidenceInterval[labels[j]][1])}}}$")
+            ax0.set_title(f"{lab}: {tit}", fontsize=10)
+        if gaussian_fit:
+            ax1 = axs[hist_rows + j // 4][j % 4]
+            _, bins_fit, _ = ax1.hist(isamples[:, j], bins, density=True,
+                                      weights=weights, facecolor="gray",
+                                      edgecolor="darkgray", histtype="step")
+            y = _norm.pdf(bins_fit, np.mean(isamples[:, j]),
+                          np.std(isamples[:, j]))
+            ax1.plot(bins_fit, y, "g-", linewidth=2, alpha=0.7)
+            ax1.vlines(np.mean(isamples[:, j]), 0, np.amax(y),
+                       linestyles="dashed", color="green")
+            ax1.set_xlabel(labels[j])
+            if j == 0:
+                ax1.set_ylabel("Counts")
+    plt.tight_layout(w_pad=0.1)
+    if save:
+        fig.savefig(output_dir + "confi_hist_flux_r_theta_gaussfit.pdf")
 
     if verbose:
         print("\n\nConfidence intervals:")
@@ -579,6 +643,30 @@ def confidence(isamples, cfd=68.27, bins=100, gaussian_fit=False,
             print(f"{lab}: {val_max[lab]} "
                   f"[{confidenceInterval[lab][0]},"
                   f"{confidenceInterval[lab][1]}]")
+        if gaussian_fit:
+            print("Gaussian fit results:")
+            for j, lab in enumerate(labels):
+                print(f"{lab}: {mu[j]} +-{sigma_fit[j]}")
+
+    if save:
+        with open(output_dir + output_file, "w") as f:
+            f.write("###########################\n")
+            f.write("####   INFERENCE TEST   ###\n")
+            f.write("###########################\n \n")
+            f.write("Results of the MCMC fit\n")
+            f.write("----------------------- \n \n")
+            f.write(">> Position and flux of the planet (highly "
+                    "probable):\n")
+            f.write(f"{cfd} % confidence interval\n \n")
+            for j, lab in enumerate(labels):
+                f.write(f"{lab}: \t\t\t{val_max[lab]:.3f} "
+                        f"\t-{-confidenceInterval[lab][0]:.3f} "
+                        f"\t+{confidenceInterval[lab][1]:.3f}\n")
+            if n_params > 1 and plsc is not None and "r" in labels:
+                f.write(f" Platescale = {plsc * 1000} mas\n")
+                f.write(f"r (mas): \t\t{val_max['r'] * plsc * 1000:.2f} "
+                        f"\t\t-{-confidenceInterval['r'][0] * plsc * 1000:.2f} "
+                        f"\t\t+{confidenceInterval['r'][1] * plsc * 1000:.2f}\n")
 
     if gaussian_fit:
         return mu, sigma_fit

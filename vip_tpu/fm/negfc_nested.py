@@ -12,7 +12,8 @@ import numpy as np
 from ..config import sep as SEP, time_ini, timing
 from ..psfsub.utils_pca import pca_annulus
 from .negfc_fmerit import get_mu_and_sigma
-from .negfc_mcmc import confidence, lnlike
+from .negfc_mcmc import (confidence, lnlike, show_corner_plot,
+                         show_walk_plot)
 
 __all__ = ["nested_negfc_sampling", "nested_sampling_results",
            "NestedResult"]
@@ -21,7 +22,8 @@ __all__ = ["nested_negfc_sampling", "nested_sampling_results",
 class NestedResult:
     """Minimal nestle-compatible result container."""
 
-    def __init__(self, samples, logl, logwt, logz, logzerr, niter):
+    def __init__(self, samples, logl, logwt, logz, logzerr, niter,
+                 logvol=None):
         self.samples = samples
         self.logl = logl
         self.logwt = logwt
@@ -29,6 +31,9 @@ class NestedResult:
         self.logzerr = logzerr
         self.niter = niter
         self.weights = np.exp(logwt - logz)
+        if logvol is None:
+            logvol = np.zeros_like(logwt)
+        self.logvol = logvol
 
     def summary(self):
         return (f"niter: {self.niter}\nlogz: {self.logz:.3f} +/- "
@@ -63,7 +68,7 @@ def _nested_sample(loglike, prior_transform, ndim, npoints=100, dlogz=0.1,
     vs = np.array([prior_transform(u) for u in us])
     logls = np.array([loglike(v) for v in vs])
 
-    saved_v, saved_logl, saved_logwt = [], [], []
+    saved_v, saved_logl, saved_logwt, saved_logvol = [], [], [], []
     h = 0.0
     logz = -1e300
     logvol = np.log(1.0 - np.exp(-1.0 / npoints))
@@ -81,6 +86,7 @@ def _nested_sample(loglike, prior_transform, ndim, npoints=100, dlogz=0.1,
         saved_v.append(np.array(vs[worst]))
         saved_logl.append(logls[worst])
         saved_logwt.append(logwt)
+        saved_logvol.append(logvol)
 
         # replace worst point: sample within the likelihood contour
         logl_star = logls[worst]
@@ -116,13 +122,15 @@ def _nested_sample(loglike, prior_transform, ndim, npoints=100, dlogz=0.1,
         saved_v.append(np.array(vs[i]))
         saved_logl.append(logls[i])
         saved_logwt.append(logvol_live + logls[i])
+        saved_logvol.append(logvol_live)
         logz = np.logaddexp(logz, logvol_live + logls[i])
 
     samples = np.array(saved_v)
     logl = np.array(saved_logl)
     logwt = np.array(saved_logwt)
     logzerr = np.sqrt(abs(h) / npoints) if np.isfinite(h) else 0.0
-    return NestedResult(samples, logl, logwt, logz, logzerr, it + 1)
+    return NestedResult(samples, logl, logwt, logz, logzerr, it + 1,
+                        logvol=np.array(saved_logvol))
 
 
 def nested_negfc_sampling(init, cube, angs, psfn, fwhm, mu_sigma=True,
@@ -193,28 +201,108 @@ def nested_negfc_sampling(init, cube, angs, psfn, fwhm, mu_sigma=True,
     return res
 
 
+def _weighted_mean_and_cov(x, weights):
+    """Weighted sample mean and unbiased weighted covariance (the math of
+    nestle.mean_and_cov, which the reference delegates to)."""
+    mean = np.average(x, weights=weights, axis=0)
+    dx = x - mean
+    wsum = np.sum(weights)
+    w2sum = np.sum(weights ** 2)
+    cov = (wsum / (wsum ** 2 - w2sum)) * np.einsum("i,ij,ik->jk", weights,
+                                                   dx, dx)
+    return mean, cov
+
+
 def nested_sampling_results(ns_object, burnin=0.4, bins=None, cfd=68.27,
                             save=False, output_dir="/", plot=False,
                             verbose=True):
-    """Confidence intervals from a nested-sampling result
+    """Best-fit parameters and 1-sigma uncertainties from a nested-sampling
+    result: weighted mean +- sqrt(covariance diagonal), shape (3, 2)
     (reference negfc_nested.py:342-459)."""
     res = ns_object
     nsamples = res.samples.shape[0]
-    indburnin = int(np.floor(burnin * (nsamples - 1)))
+    indburnin = int(np.percentile(np.arange(nsamples), burnin * 100))
 
     if verbose:
         print(res.summary())
-    samples = res.samples[indburnin:]
-    weights = res.weights[indburnin:]
-    weights = weights / weights.sum()
+        print("\nNatural log of prior volume and Weight corresponding to "
+              "each sample")
+    if save or plot:
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(12, 4))
+        for k, (vec, ylab) in enumerate(((res.logvol, "logvol"),
+                                         (res.weights, "weights"))):
+            plt.subplot(1, 2, k + 1)
+            plt.plot(vec, ".", alpha=0.5, color="gray")
+            plt.xlabel("samples")
+            plt.ylabel(ylab)
+            plt.vlines(indburnin, np.min(vec), np.max(vec),
+                       linestyles="dotted")
+        if save:
+            plt.savefig(output_dir + "Nested_results.pdf")
+        if plot:
+            plt.show()
+
+        if verbose:
+            print("\nWalk plots before the burnin")
+        show_walk_plot(np.expand_dims(res.samples, axis=0))
+        if burnin > 0:
+            if verbose:
+                print("\nWalk plots after the burnin")
+            show_walk_plot(np.expand_dims(res.samples[indburnin:], axis=0))
+        if save:
+            plt.savefig(output_dir + "Nested_walk_plots.pdf")
+        if plot:
+            plt.show()
+
+    mean, cov = _weighted_mean_and_cov(res.samples[indburnin:],
+                                       res.weights[indburnin:])
+    if verbose:
+        print("\nWeighted mean +- sqrt(covariance)")
+        print(f"Radius = {mean[0]:.3f} +/- {np.sqrt(cov[0, 0]):.3f}")
+        print(f"Theta = {mean[1]:.3f} +/- {np.sqrt(cov[1, 1]):.3f}")
+        print(f"Flux = {mean[2]:.3f} +/- {np.sqrt(cov[2, 2]):.3f}")
+
+    if save:
+        with open(output_dir + "Nested_sampling.txt", "w") as f:
+            f.write("#################################\n")
+            f.write("####   CONFIDENCE INTERVALS   ###\n")
+            f.write("#################################\n \n")
+            f.write("Results of the NESTED SAMPLING fit\n")
+            f.write("----------------------------------\n \n")
+            f.write("\nWeighted mean +- sqrt(covariance)\n")
+            f.write(f"Radius = {mean[0]:.3f} +/- "
+                    f"{np.sqrt(cov[0, 0]):.3f}\n")
+            f.write(f"Theta = {mean[1]:.3f} +/- "
+                    f"{np.sqrt(cov[1, 1]):.3f}\n")
+            f.write(f"Flux = {mean[2]:.3f} +/- {np.sqrt(cov[2, 2]):.3f}\n")
 
     if bins is None:
-        bins = int(np.sqrt(len(samples)))
-    val_max, conf = confidence(samples, cfd=cfd, bins=bins,
-                               weights=weights, gaussian_fit=False,
-                               verbose=verbose, save=save,
-                               output_dir=output_dir)
-    final_res = np.zeros((3, 3))
-    for j, lab in enumerate(["r", "theta", "f"]):
-        final_res[j] = (val_max[lab], conf[lab][0], conf[lab][1])
+        bins = int(np.sqrt(res.samples[indburnin:].shape[0]))
+        if verbose:
+            print("\nHist bins =", bins)
+
+    if save or plot:
+        show_corner_plot(res.samples[indburnin:][None], burnin=0)
+        if save:
+            import matplotlib.pyplot as plt
+
+            plt.savefig(output_dir + "Nested_corner.pdf")
+
+    if verbose:
+        print("\nConfidence intervals")
+    if save or plot:
+        _ = confidence(res.samples[indburnin:], cfd=cfd, bins=bins,
+                       weights=res.weights[indburnin:], gaussian_fit=True,
+                       verbose=verbose, save=False)
+        if save:
+            import matplotlib.pyplot as plt
+
+            plt.savefig(output_dir
+                        + "Nested_confi_hist_flux_r_theta_gaussfit.pdf")
+
+    final_res = np.array([[mean[0], np.sqrt(cov[0, 0])],
+                          [mean[1], np.sqrt(cov[1, 1])],
+                          [mean[2], np.sqrt(cov[2, 2])]])
     return final_res

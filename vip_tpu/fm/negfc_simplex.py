@@ -72,10 +72,29 @@ def firstguess_from_coord(planet, center, cube, angs, psfn, fwhm,
     else:
         f_range = np.geomspace(1e-1, 1e4, 30)
 
+    def _plot_chi2r(chi2r_arr, label=None):
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 4))
+        plt.title(r"$\chi^2_{r}$ vs flux")
+        plt.xlim(f_range[0], f_range[:chi2r_arr.shape[0]].max())
+        plt.ylim(chi2r_arr.min() * 0.9, chi2r_arr.max() * 1.1)
+        plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
+                 color="gray", marker=".", markerfacecolor="r",
+                 markeredgecolor="r", label=label)
+        plt.xlabel("flux")
+        plt.ylabel(r"$\chi^2_r$")
+        plt.grid("on")
+        if save:
+            plt.savefig("chi2rVSflux.pdf")
+        plt.show()
+
     if cube.ndim == 3 or bin_spec:
         chi2r = np.array(_grid_search_f(r0, theta0, None, f_range))
         f0 = f_range[chi2r.argmin()]
         res = (r0, theta0, f0)
+        if plot:
+            _plot_chi2r(chi2r)
     else:
         f0 = []
         chi2r = []
@@ -83,6 +102,8 @@ def firstguess_from_coord(planet, center, cube, angs, psfn, fwhm,
             chi2r_ch = np.array(_grid_search_f(r0, theta0, ch, f_range))
             f0.append(f_range[chi2r_ch.argmin()])
             chi2r.append(chi2r_ch)
+            if plot:
+                _plot_chi2r(chi2r_ch, label=f"channel {ch}")
         res = tuple([r0, theta0] + f0)
 
     if full_output:

@@ -163,6 +163,10 @@ def speckle_noise_uncertainty(cube, p_true, angle_range, derot_angles, algo,
                                   gaussian_fit=True, verbose=verbose,
                                   save=False, output_dir="", labels=labels,
                                   force=True)
+    if plot:
+        import matplotlib.pyplot as plt
+
+        plt.show()
     if full_output:
         return sp_unc, mean_dev, p_simplex, offset, chi2, nit, success
     return sp_unc

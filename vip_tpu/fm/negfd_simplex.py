@@ -66,10 +66,29 @@ def firstguess_fd_from_coord(disk_xy, disk_theta, disk_scal, cube, angs,
                                                        chi2r[j]))
         return chi2r
 
+    def _plot_chi2r(chi2r_arr, label=None):
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 4))
+        plt.title(r"$\chi^2_{r}$ vs flux")
+        plt.xlim(f_range[0], f_range[:chi2r_arr.shape[0]].max())
+        plt.ylim(chi2r_arr.min() * 0.95, chi2r_arr.max() * 1.05)
+        plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
+                 color="gray", marker=".", markerfacecolor="r",
+                 markeredgecolor="r", label=label)
+        plt.xlabel("flux")
+        plt.ylabel(r"$\chi^2_r$")
+        plt.grid("on")
+        if save:
+            plt.savefig("chi2rVSflux.pdf")
+        plt.show()
+
     if cube.ndim == 3 or "scale_list" in algo_options.keys():
         chi2r = np.array(_grid_search_f(None, cube, disk_img))
         f0 = f_range[chi2r.argmin()]
         res = (x0, y0, theta0, scal0, f0)
+        if plot:
+            _plot_chi2r(chi2r)
     else:
         f0 = []
         chi2r = []
@@ -83,6 +102,8 @@ def firstguess_fd_from_coord(disk_xy, disk_theta, disk_scal, cube, angs,
             if verbose:
                 print("... optimal grid flux: {:.3f} (chi2r = {:.1f})"
                       .format(f0[i], np.amin(chi2r_tmp)))
+            if plot:
+                _plot_chi2r(chi2r_tmp, label=f"channel {i}")
         res = tuple([x0, y0, theta0, scal0] + f0)
 
     if full_output:

@@ -38,6 +38,10 @@ def fitaffine(x, y, debug=False):
     a_ls = (sxx * sy - sx * sxy) / delta
     b_ls = (ndata * sxy - sx * sy) / delta
 
+    if debug:
+        print("FITAFFINE: ***next dataset***")
+        print(f"FITAFFINE: first guess LS: {a_ls} + {b_ls} x")
+
     chisq = np.sum((y - (a_ls + b_ls * x))**2)
     sigb = np.sqrt(chisq / delta)
 
@@ -47,6 +51,8 @@ def fitaffine(x, y, debug=False):
     f1, a = rofunc(x=x, y=y, b=b1)
 
     if sigb > 0 and f1 != 0:
+        if debug:
+            print("FITAFFINE: entering iteration loop")
         if f1 > 0:
             b2 = b1 + 3 * sigb
         else:
@@ -68,6 +74,9 @@ def fitaffine(x, y, debug=False):
             else:
                 f2 = f
                 b2 = b
+    if debug:
+        print("FITAFFINE: *end of iterative loop*")
+        print(f"FITAFFINE: equation of the robust fit: {a} + {b} x")
     return b, a
 
 

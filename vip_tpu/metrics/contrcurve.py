@@ -79,6 +79,13 @@ def noise_per_annulus(array, separation, fwhm, init_rad=None, wedge=(0, 360),
     if verbose:
         print(f"{n_annuli} annuli")
 
+    if debug:
+        import matplotlib.pyplot as plt
+
+        _, dbg_ax = plt.subplots(figsize=(6, 6))
+        dbg_ax.imshow(array, origin="lower", interpolation="nearest",
+                      alpha=0.5, cmap="gray")
+
     arr_dev = jnp.asarray(np.asarray(array, float))
     for i in range(n_annuli):
         y = centery + init_rad + separation * i
@@ -91,6 +98,13 @@ def noise_per_annulus(array, separation, fwhm, init_rad=None, wedge=(0, 360),
         noise.append(np.std(fluxes))
         res_level.append(np.mean(fluxes))
         vector_radd.append(rad)
+        if debug:
+            import matplotlib.pyplot as plt
+
+            for yj, xj in zip(yy, xx):
+                dbg_ax.add_patch(plt.Circle((xj, yj), radius=fwhm / 2,
+                                            color="r", fill=False,
+                                            alpha=0.8))
         if verbose:
             print(f"Radius(px) = {rad}, Noise = {noise[-1]:.3f} ")
 
@@ -599,7 +613,34 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
         cont_curve_samp_corr[np.where(cont_curve_samp_corr < 0)] = 1
         cont_curve_samp_corr[np.where(cont_curve_samp_corr > 1)] = 1
 
-    if plot:
+    if debug:
+        import matplotlib.pyplot as plt
+
+        # throughput: computed samples vs interpolation
+        plt.figure(figsize=figsize, dpi=dpi)
+        plt.plot(np.asarray(vector_radd) * pxscale, thruput_mean, ".",
+                 label="computed", alpha=0.6)
+        plt.plot(rad_samp_arcsec, thruput_interp, ",-",
+                 label="interpolated", lw=2, alpha=0.5)
+        plt.grid("on", which="both", alpha=0.2, linestyle="solid")
+        plt.xlabel("Angular separation [arcsec]")
+        plt.ylabel("Throughput")
+        plt.legend(loc="best")
+        plt.xlim(0, np.max(rad_samp_arcsec))
+        # noise: raw vs smoothed
+        plt.figure(figsize=figsize, dpi=dpi)
+        plt.plot(rad_samp_arcsec, noise_samp, ".", label="computed",
+                 alpha=0.6)
+        if smooth:
+            plt.plot(rad_samp_arcsec, noise_samp_sm, ",-",
+                     label="noise smoothed", lw=2, alpha=0.5)
+        plt.grid("on", alpha=0.2, linestyle="solid")
+        plt.xlabel("Angular separation [arcsec]")
+        plt.ylabel("Noise")
+        plt.legend(loc="best")
+        plt.xlim(0, np.max(rad_samp_arcsec))
+
+    if plot or debug:
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=figsize, dpi=dpi)
@@ -614,6 +655,26 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
         plt.legend()
         if save_plot is not None:
             plt.savefig(save_plot, dpi=dpi)
+
+    if debug:
+        import matplotlib.pyplot as plt
+
+        # delta-magnitude view of the same sensitivity curves
+        plt.figure(figsize=figsize, dpi=dpi)
+        with np.errstate(divide="ignore"):
+            plt.plot(rad_samp_arcsec, -2.5 * np.log10(cont_curve_samp),
+                     ".-", alpha=0.4, color="green",
+                     label="Sensitivity (Gaussian)")
+            if student:
+                plt.plot(rad_samp_arcsec,
+                         -2.5 * np.log10(cont_curve_samp_corr), ".-",
+                         alpha=0.4, color="blue",
+                         label="Sensitivity (Student-t correction)")
+        plt.legend(fancybox=True, fontsize="medium")
+        plt.xlabel("Angular separation [arcsec]")
+        plt.ylabel("Delta magnitude")
+        plt.gca().invert_yaxis()
+        plt.grid("on", which="both", alpha=0.2, linestyle="solid")
 
     if student:
         datafr = pd.DataFrame({

@@ -255,6 +255,10 @@ def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
         for x, y in zip(xx_final, yy_final):
             plt.gca().add_patch(plt.Circle((x, y), radius=fwhm, color="r",
                                            fill=False))
+        if kwargs.get("plot_title") is not None:
+            plt.title(kwargs["plot_title"])
+        if kwargs.get("save_plot") is not None:
+            plt.savefig(kwargs["save_plot"], dpi=100, bbox_inches="tight")
         plt.show()
 
     if full_output:

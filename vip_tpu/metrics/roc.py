@@ -289,6 +289,29 @@ def compute_binary_map(frame, thresholds, injections, fwhm, npix=1,
         list_binmaps.append(binmap)
         list_fps.append(fps)
 
+    if plot:
+        import matplotlib.pyplot as plt
+
+        nmaps = len(list_binmaps)
+        fig, axes = plt.subplots(1, max(nmaps, 1),
+                                 figsize=(3 * max(nmaps, 1), 3),
+                                 squeeze=False)
+        fig.suptitle("Final binary maps")
+        for k, bmap in enumerate(list_binmaps):
+            ax = axes[0, k]
+            ax.imshow(bmap, origin="lower", cmap="binary",
+                      interpolation="nearest")
+            ax.set_title(f"thr={thresholds[k]:.1f} "
+                         f"({list_detections[k]} det, {list_fps[k]} fps)",
+                         fontsize=8)
+            for inj in injections:
+                if len(inj) > 0:
+                    ax.add_patch(plt.Circle((inj[0], inj[1]), radius=fwhm,
+                                            color="deepskyblue", fill=False,
+                                            alpha=0.8))
+            ax.set_axis_off()
+        plt.show()
+
     return list_detections, list_fps, list_binmaps
 
 

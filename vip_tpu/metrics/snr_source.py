@@ -114,6 +114,22 @@ def snr(array, source_xy, fwhm, full_output=False, array2=None,
         print(f"Std-dev of background apertures integrated fluxes = "
               f"{backgr_apertures_std:.3f}")
 
+    if plot:
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(6, 6))
+        ax.imshow(array, origin="lower", interpolation="nearest", alpha=0.5,
+                  cmap="gray")
+        for yi, xi in zip(yy, xx):
+            ax.add_patch(plt.Circle((xi, yi), radius=rad, color="r",
+                                    fill=False, alpha=0.8))
+            ax.add_patch(plt.Circle((xi, yi), radius=0.8, color="r",
+                                    fill=True, alpha=0.5))
+        ax.add_patch(plt.Circle((sourcex, sourcey), radius=0.7, color="b",
+                                fill=True, alpha=0.5))
+        ax.grid(False)
+        plt.show()
+
     if full_output:
         return sourcey, sourcex, f_source, fluxes, snr_vale
     return snr_vale

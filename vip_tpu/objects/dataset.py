@@ -63,7 +63,8 @@ class Frame:
             self.data, psf=psf, bkg_sigma=bkg_sigma, mode=method,
             matched_filter=matched_filter, mask=mask,
             snr_thresh=snr_thresh, plot=plot, debug=debug,
-            full_output=True, verbose=verbose)
+            full_output=True, verbose=verbose, save_plot=save_plot,
+            plot_title=plot_title)
 
     def filter(self, method, mode, median_size=5, kernel_size=5,
                fwhm_size=5, btw_cutoff=0.2, btw_order=2, hann_cutoff=5,

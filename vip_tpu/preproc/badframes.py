@@ -50,6 +50,8 @@ def cube_detect_badfr_pxstats(array, mode="annulus", in_radius=10, width=10,
         window = n // 3
     mean_smooth = _rolling_mean_centered(mean_values, window)
     sigma = np.std(mean_values)
+    top_boundary = mean_smooth + top_sigma * sigma
+    bot_boundary = mean_smooth - low_sigma * sigma
     bad_index_list = []
     good_index_list = []
     for i in range(n):
@@ -59,12 +61,26 @@ def cube_detect_badfr_pxstats(array, mode="annulus", in_radius=10, width=10,
                 mode="val")[0].mean()
         else:
             i_mean_value = mean_values[i]
-        top_boundary = mean_smooth[i] + top_sigma * sigma
-        bot_boundary = mean_smooth[i] - low_sigma * sigma
-        if i_mean_value > top_boundary or i_mean_value < bot_boundary:
+        if i_mean_value > top_boundary[i] or i_mean_value < bot_boundary[i]:
             bad_index_list.append(i)
         else:
             good_index_list.append(i)
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(8, 4))
+        plt.plot(mean_values, "o", alpha=0.6)
+        plt.plot(mean_smooth, label="smoothed mean fluctuation", lw=2,
+                 ls="-", alpha=0.5)
+        plt.plot(top_boundary, label="upper threshold", lw=1.4, ls="-",
+                 color="#9467bd", alpha=0.8)
+        plt.plot(bot_boundary, label="lower threshold", lw=1.4, ls="-",
+                 color="#9467bd", alpha=0.8)
+        plt.legend(fancybox=True, framealpha=0.5, loc="best")
+        plt.grid("on", alpha=0.2)
+        plt.ylabel("Mean value in " + mode)
+        plt.xlabel("Frame number")
 
     if verbose:
         bad = len(bad_index_list)
@@ -90,12 +106,34 @@ def cube_detect_badfr_ellipticity(array, fwhm, crop_size=30, roundlo=-0.2,
     array = cube_crop_frames(array, crop_size, verbose=False)
     n = array.shape[0]
     goodfr, badfr = [], []
+    roundness1, roundness2 = np.empty(n), np.empty(n)
     for i in range(n):
         roun1, roun2 = _daofind_roundness(array[i], fwhm)
+        roundness1[i], roundness2[i] = roun1, roun2
         if roundhi > roun1 > roundlo and roundhi > roun2 > roundlo:
             goodfr.append(i)
         else:
             badfr.append(i)
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(8, 4))
+        x = np.arange(n)
+        marker = "," if n > 5000 else "o"
+        for vec, col, lab in ((roundness1, "#1f77b4", "roundness1"),
+                              (roundness2, "#9467bd", "roundness2")):
+            ax.plot(x, vec, "-", alpha=0.6, color=col, label=lab)
+            ax.plot(x, vec, marker=marker, ls="", alpha=0.4, color=col)
+        ax.hlines(roundlo, xmin=-1, xmax=n + 1, lw=2, colors="#ff7f0e",
+                  linestyles="dashed", label="roundlo", alpha=0.6)
+        ax.hlines(roundhi, xmin=-1, xmax=n + 1, lw=2, colors="#ff7f0e",
+                  linestyles="dashdot", label="roundhi", alpha=0.6)
+        ax.set_xlabel("Frame number")
+        ax.set_ylabel("Roundness")
+        ax.set_xlim(-1, n + 1)
+        ax.legend(fancybox=True, framealpha=0.5, loc="best")
+        ax.grid("on", alpha=0.2)
 
     good_index_list = np.array(goodfr)
     bad_index_list = np.array(badfr)
@@ -192,6 +230,35 @@ def cube_detect_badfr_correlation(array, frame_ref, crop_size=30,
 
     bad_index_list = indbad[0]
     good_index_list = indgood[0]
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        ylabels = {"sad": "SAD - Manhattan distance",
+                   "euclidean": "Euclidean distance",
+                   "pearson": "Pearson correlation coefficient",
+                   "spearman": "Spearman correlation coefficient",
+                   "mse": "Mean squared error",
+                   "ssim": "Structural Similarity Index"}
+        _, ax = plt.subplots(figsize=(8, 4))
+        x = np.arange(n)
+        marker = "," if n > 5000 else "o"
+        ax.plot(x, distances, "-", alpha=0.6, color="#1f77b4")
+        ax.plot(x, distances, marker=marker, ls="", alpha=0.4,
+                color="#1f77b4")
+        if isinstance(frame_ref, int):
+            ax.vlines(frame_ref, ymin=np.nanmin(distances),
+                      ymax=np.nanmax(distances), colors="green",
+                      linestyles="dashed", lw=2, alpha=0.6,
+                      label=f"Reference frame {frame_ref}")
+        ax.hlines(threshold, xmin=-1, xmax=n + 1, lw=2, colors="#ff7f0e",
+                  linestyles="dashed", label="Threshold", alpha=0.6)
+        ax.set_xlabel("Frame number")
+        ax.set_ylabel(ylabels.get(dist, dist))
+        ax.set_xlim(-1, n + 1)
+        ax.legend(fancybox=True, framealpha=0.5, loc="best")
+        ax.grid("on", alpha=0.2)
+
     if verbose:
         bad = len(bad_index_list)
         print("Done detecting bad frames from cube: {} out of {} "

@@ -301,6 +301,12 @@ def reject_outliers(data, test_value, m=5., stddev=None, debug=False):
         stddev = np.std(data)
     med = np.median(data)
     mdev = np.median(np.abs(data.ravel() - med))
+    if debug:
+        print("data = ", data)
+        print("median(data)= ", med)
+        print("mdev = ", mdev)
+        print("stddev(box) = ", np.std(data))
+        print("stddev(frame) = ", stddev)
     if max(np.max(data), np.abs(test_value - med)) > stddev:
         test = np.abs((test_value - med) / mdev) if mdev > 0 else np.inf
         return 0 if test < m else 1

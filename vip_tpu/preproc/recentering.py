@@ -104,6 +104,32 @@ def cube_shift(cube, shift_y, shift_x, imlib="vip-fft",
     ])
 
 
+def _plot_shifts(shift_x, shift_y, extra=None):
+    """The two diagnostic figures every cube_recenter_* draws when
+    plot=True (reference recentering.py:649-666,1359-1375,1624-1648,
+    2113-2129): per-frame shift curves + shift histograms."""
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(8, 4))
+    plt.plot(shift_x, "o-", label="Shifts in x", alpha=0.5)
+    plt.plot(shift_y, "o-", label="Shifts in y", alpha=0.5)
+    plt.legend(loc="best")
+    plt.grid("on", alpha=0.2)
+    plt.ylabel("Pixels")
+    plt.xlabel("Frame number")
+
+    plt.figure(figsize=(8, 4))
+    b = max(1, int(np.sqrt(len(shift_x))))
+    plt.hist(shift_x, bins=b, alpha=0.5, label="Histogram shifts X")
+    plt.hist(shift_y, bins=b, alpha=0.5, label="Histogram shifts Y")
+    if extra is not None:
+        for vec, lab in extra:
+            plt.hist(vec, bins=b, alpha=0.5, label=f"Histogram {lab}")
+    plt.legend(loc="best")
+    plt.ylabel("Bin counts")
+    plt.xlabel("Pixels")
+
+
 def cube_recenter_dft_upsampling(array, center_fr1=None, negative=False,
                                  fwhm=4, subi_size=None, upsample_factor=100,
                                  imlib="vip-fft", interpolation="lanczos4",
@@ -190,6 +216,8 @@ def cube_recenter_dft_upsampling(array, center_fr1=None, negative=False,
     if verbose:
         print("Median shifts: dy={:.3f}, dx={:.3f}".format(np.median(y),
                                                            np.median(x)))
+    if plot:
+        _plot_shifts(x, y)
     if save_shifts:
         np.savetxt("recent_dft_shifts.txt", np.transpose([y, x]), fmt="%f")
     if full_output:
@@ -332,6 +360,8 @@ def cube_recenter_satspots(array, xy, subi_size=19, sigfactor=6, plot=True,
                                                   np.median(shift_y)))
         print("STDDEV X,Y: {:.3f}, {:.3f}".format(np.std(shift_x),
                                                   np.std(shift_y)))
+    if plot:
+        _plot_shifts(shift_x, shift_y)
     array_rec = np.array(array_rec)
     if full_output:
         return array_rec, shift_y, shift_x, sat_y, sat_x
@@ -471,6 +501,16 @@ def frame_center_radon(array, cropsize=None, hsize_ini=1., step_ini=0.1,
             nproc, _radon_costf, frame, cent, radint, iterable(coords),
             satspots_cfg, theta_0, delta_theta, imlib, interpolation))
         cost_bound = costf.reshape(listyx.shape[0], listyx.shape[0])
+
+        if plot:
+            import matplotlib.pyplot as plt
+
+            plt.contour(cost_bound, cmap="CMRmap", origin="lower")
+            plt.imshow(cost_bound, cmap="CMRmap", origin="lower",
+                       interpolation="nearest")
+            plt.colorbar()
+            plt.grid("off")
+            plt.show()
 
         if gauss_fit:
             fit_res = fit_2dgaussian(cost_bound - np.amin(cost_bound),
@@ -758,6 +798,12 @@ def cube_recenter_2dfit(array, xy=None, fwhm=4, subi_size=5, model="gauss",
                                    border_mode=border_mode)
     if verbose:
         timing(start_time)
+    if plot:
+        extra = None
+        if model == "2gauss" and not fix_neg:
+            extra = [(cx - x_neg, "shifts X (neg gaussian)"),
+                     (cy - y_neg, "shifts Y (neg gaussian)")]
+        _plot_shifts(x, y, extra=extra)
     if save_shifts:
         np.savetxt("recent_gauss_shifts.txt", np.transpose([y, x]),
                    fmt="%f")
@@ -992,6 +1038,8 @@ def cube_recenter_via_speckles(cube_sci, cube_ref=None, alignment_iter=5,
     cube_reg_sci = cube_shift(cube_sci, cum_y_shifts_sci, cum_x_shifts_sci,
                               imlib=imlib, interpolation=interpolation,
                               border_mode=border_mode)
+    if plot:
+        _plot_shifts(cum_x_shifts_sci, cum_y_shifts_sci)
     if ref_star:
         cum_y_shifts_ref = cum_y_shifts[(n + 1):]
         cum_x_shifts_ref = cum_x_shifts[(n + 1):]

@@ -125,12 +125,26 @@ def _pairwise_ann(cube, ann, n_annuli, fwhm, angles, delta_rot, metric,
     else:
         mat_dists_ann = mat_dists_ann_full
 
+    if debug:
+        print(f"Done calculating the {metric} distance for annulus "
+              f"{ann + 1}")
+
     threshold = np.percentile(mat_dists_ann[mat_dists_ann != 0],
                               dist_threshold)
     mat_dists_ann[mat_dists_ann > threshold] = np.nan
     mat_dists_ann[mat_dists_ann == 0] = np.nan
     if not mat_dists_ann[~np.isnan(mat_dists_ann)].size > 0:
         raise RuntimeError("No pairs left. Decrease thresholds")
+
+    if debug:
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(5, 5))
+        plt.imshow(mat_dists_ann, origin="lower",
+                   interpolation="nearest")
+        plt.colorbar()
+        plt.title(f"Thresholded distance matrix, annulus {ann + 1}")
+        plt.show()
 
     if n_similar is not None:
         if n_similar < 3:

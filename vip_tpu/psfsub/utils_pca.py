@@ -284,6 +284,29 @@ def pca_grid(cube, angle_list, fwhm=None, range_pcs=None, source_xy=None,
             print("Number of steps", len(pclist))
             print(f"Optimal number of PCs = {opt_npc}, for "
                   f"S/N={snrlist[argmax]:.3f}")
+        if plot:
+            import matplotlib.pyplot as plt
+            from matplotlib.ticker import MaxNLocator
+
+            plt.figure(figsize=(8, 6))
+            for k, (vec, ylab, col) in enumerate(
+                    ((snrlist, "S/N", "C0"),
+                     (fluxlist, "Flux in FWHM ap. [ADUs]", "C1"))):
+                ax = plt.subplot(2, 1, k + 1)
+                ax.plot(pclist, vec, "-", alpha=0.5, color=col)
+                ax.plot(pclist, vec, "o", alpha=0.5, color=col)
+                ax.set_xlim(min(pclist), max(pclist))
+                ax.set_ylim(min(vec), max(vec) + 1)
+                ax.set_ylabel(ylab)
+                ax.minorticks_on()
+                ax.grid("on", "major", linestyle="solid", alpha=0.4)
+                ax.xaxis.set_major_locator(MaxNLocator(integer=True))
+                if k == 0:
+                    ax.set_title(f"Optimal # PCs: {opt_npc}")
+                else:
+                    ax.set_xlabel("Principal components")
+            if save_plot is not None:
+                plt.savefig(save_plot, dpi=100, bbox_inches="tight")
         finalfr = cubeout[argmax]
         return cubeout, finalfr, df, opt_npc
 

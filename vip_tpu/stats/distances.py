@@ -97,7 +97,36 @@ def cube_distance(array, frame, mode="full", dist="sad", inradius=None,
                                - frame_ref.min()))
         else:
             raise ValueError("Distance not recognized")
-    return np.array(lista)
+    lista = np.array(lista)
+    if plot:
+        import matplotlib.pyplot as plt
+
+        ylabels = {"sad": "SAD - Manhattan distance",
+                   "euclidean": "Euclidean distance",
+                   "pearson": "Pearson correlation coefficient",
+                   "spearman": "Spearman rank correlation coefficient",
+                   "mse": "Mean squared error",
+                   "ssim": "Structural Similarity Index"}
+        _, ax = plt.subplots(figsize=(8, 4))
+        if isinstance(frame, int):
+            ax.vlines(frame, ymin=np.nanmin(lista), ymax=np.nanmax(lista),
+                      colors="green", linestyles="dashed", lw=2, alpha=0.8,
+                      label=f"Frame {frame}")
+        ax.hlines(np.median(lista), xmin=-1, xmax=n + 1, colors="purple",
+                  alpha=0.3, linestyles="dashed",
+                  label=f"Median value : {np.median(lista):.3f}")
+        ax.hlines(np.mean(lista), xmin=-1, xmax=n + 1, colors="green",
+                  alpha=0.3, linestyles="dashed",
+                  label=f"Mean value : {np.mean(lista):.3f}")
+        ax.plot(np.arange(n), lista, "-", alpha=0.6)
+        ax.plot(np.arange(n), lista, "o", alpha=0.4)
+        ax.set_xlabel("Frame number")
+        ax.set_ylabel(ylabels.get(dist, dist))
+        ax.set_xlim(-1, n + 1)
+        ax.minorticks_on()
+        ax.legend(fancybox=True, framealpha=0.5, fontsize=12, loc="best")
+        ax.grid(which="major", alpha=0.2)
+    return lista
 
 
 def spectral_correlation(array, ann_width=2, r_in=1, r_out=None, pl_xy=None,

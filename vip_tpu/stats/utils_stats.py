@@ -53,6 +53,34 @@ def _region_values(frame, region, radius, xy, inner_radius, size):
     raise ValueError("Region not recognized")
 
 
+def _plot_region_histogram(frame, vals, region, radius, xy, inner_radius,
+                           size):
+    """Frame-with-region-overlay + histogram figure shared by
+    frame/cube_basic_stats (reference utils_stats.py:96-116,182-203)."""
+    import matplotlib.pyplot as plt
+
+    if region == "circle":
+        x, y = xy if xy is not None else (None, None)
+        overlay = get_circle(frame, radius, cy=y, cx=x)
+    else:
+        overlay = get_annulus_segments(frame, inner_radius, size,
+                                       mode="mask")[0].astype(float)
+    overlay = np.where(overlay == 0, np.nan, overlay)
+    plt.figure("Image crop (first slice)", figsize=(10, 4))
+    ax1 = plt.subplot(1, 2, 1)
+    ax1.imshow(frame, origin="lower", interpolation="nearest", cmap="gray")
+    ax1.imshow(overlay, origin="lower", interpolation="nearest",
+               cmap="viridis")
+    ax1.set_title("Frame region")
+    ax2 = plt.subplot(1, 2, 2)
+    ax2.hist(np.asarray(vals).ravel(),
+             bins=max(1, int(np.sqrt(np.size(vals)))),
+             alpha=0.5, histtype="stepfilled")
+    ax2.set_title("Histogram")
+    ax2.tick_params(axis="x", labelsize=8)
+    plt.show()
+
+
 def frame_basic_stats(arr, region="circle", radius=5, xy=None,
                       inner_radius=0, size=5, plot=True,
                       full_output=False):
@@ -64,6 +92,9 @@ def frame_basic_stats(arr, region="circle", radius=5, xy=None,
     mean = vals.mean()
     std_dev = vals.std()
     median = np.median(vals)
+    if plot:
+        _plot_region_histogram(arr, vals, region, radius, xy, inner_radius,
+                               size)
     if full_output:
         return mean, std_dev, median, maxi
     return mean
@@ -87,6 +118,29 @@ def cube_basic_stats(arr, region="circle", radius=5, xy=None,
         mean[i] = vals.mean()
         std_dev[i] = vals.std()
         median[i] = np.median(vals)
+    if plot:
+        import matplotlib.pyplot as plt
+
+        vals0 = _region_values(arr[0], region, radius, xy, inner_radius,
+                               size)
+        _plot_region_histogram(arr[0], vals0, region, radius, xy,
+                               inner_radius, size)
+        fig = plt.figure("Stats in annulus", figsize=(10, 6))
+        fig.subplots_adjust(hspace=0.15)
+        series = [(mean, f"Mean value in {region}"),
+                  (std_dev, f"Px std dev in {region}"),
+                  (maxi, f"Max value in {region}")]
+        ax0 = None
+        for k, (vec, lab) in enumerate(series):
+            ax = plt.subplot(3, 1, k + 1, sharex=ax0)
+            ax0 = ax0 or ax
+            ax.plot(vec, ".-", label=lab, lw=0.8, alpha=0.6)
+            ax.legend(loc=1, fancybox=True).get_frame().set_alpha(0.5)
+            ax.grid(True, alpha=0.2)
+            if k < 2:
+                plt.setp(ax.get_xticklabels(), visible=False)
+        ax.set_xlabel("Frame number")
+        plt.show()
     if full_output:
         return mean, std_dev, median, maxi
     return mean

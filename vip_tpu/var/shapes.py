@@ -405,6 +405,14 @@ def mask_roi(array, source_xy, exc_radius=4, ann_width=4, inc_radius=8,
     r2[yr1, xr1] = 0
     r4[yr1, xr1] = 0
     mask = (r2 + r3 + r4) != 0
+    if plot:
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(5, 5), dpi=100)
+        ax.imshow(mask, origin="lower", interpolation="nearest",
+                  cmap="viridis")
+        ax.plot(xc, yc, "r+", ms=10)
+        plt.show()
     if mode == "bool":
         return mask
     elif mode == "val":
