@@ -86,27 +86,43 @@ def noise_per_annulus(array, separation, fwhm, init_rad=None, wedge=(0, 360),
         dbg_ax.imshow(array, origin="lower", interpolation="nearest",
                       alpha=0.5, cmap="gray")
 
-    arr_dev = jnp.asarray(np.asarray(array, float))
+    # gather every annulus' aperture centers first so the exact-aperture
+    # photometry crosses the host<->device link ONCE (the per-annulus
+    # route pays the ~30 ms dispatch round-trip n_annuli times through
+    # the remote tunnel)
+    ys_all, xs_all, counts = [], [], []
     for i in range(n_annuli):
         y = centery + init_rad + separation * i
         rad = dist(centery, centerx, y, centerx)
         yy, xx = find_coords(rad, fwhm, init_angle, fin_angle)
-        yy = yy + centery
-        xx = xx + centerx
+        ys_all.append(yy + centery)
+        xs_all.append(xx + centerx)
+        counts.append(yy.shape[0])
+        vector_radd.append(rad)
 
-        fluxes = np.asarray(_aperture_flux_device(arr_dev, yy, xx, fwhm / 2))
+    if n_annuli <= 0:
+        return np.array(noise), np.array(res_level), np.array(vector_radd)
+
+    arr_dev = jnp.asarray(np.asarray(array, float))
+    fluxes_all = np.asarray(_aperture_flux_device(
+        arr_dev, np.concatenate(ys_all), np.concatenate(xs_all), fwhm / 2))
+
+    pos = 0
+    for i in range(n_annuli):
+        fluxes = fluxes_all[pos:pos + counts[i]]
+        pos += counts[i]
         noise.append(np.std(fluxes))
         res_level.append(np.mean(fluxes))
-        vector_radd.append(rad)
         if debug:
             import matplotlib.pyplot as plt
 
-            for yj, xj in zip(yy, xx):
+            for yj, xj in zip(ys_all[i], xs_all[i]):
                 dbg_ax.add_patch(plt.Circle((xj, yj), radius=fwhm / 2,
                                             color="r", fill=False,
                                             alpha=0.8))
         if verbose:
-            print(f"Radius(px) = {rad}, Noise = {noise[-1]:.3f} ")
+            print(f"Radius(px) = {vector_radd[i]}, "
+                  f"Noise = {noise[-1]:.3f} ")
 
     return np.array(noise), np.array(res_level), np.array(vector_radd)
 
