@@ -403,12 +403,19 @@ def _install_stubs():
             return _ellipse_in_shape(shape, center, (radius, radius))
 
         def ellipse(r, c, r_radius, c_radius, shape=None, rotation=0.0):
+            # skimage.draw.ellipse semantics: strict <1 membership with the
+            # (row, col) rotation transform of skimage/draw/draw.py
             if shape is None:
                 size = int(np.ceil(max(r + r_radius, c + c_radius) + 1))
                 shape = (size, size)
-            if rotation:
-                raise NotImplementedError
-            return _ellipse_in_shape(shape, (r, c), (r_radius, c_radius))
+            rotation = rotation % np.pi
+            sin_a, cos_a = np.sin(rotation), np.cos(rotation)
+            rr, cc = np.mgrid[:shape[0], :shape[1]]
+            dr = rr - r
+            dc = cc - c
+            distances = ((dr * cos_a + dc * sin_a) / r_radius) ** 2 \
+                + ((dr * sin_a - dc * cos_a) / c_radius) ** 2
+            return np.nonzero(distances < 1)
 
         def polygon(r, c, shape=None):
             from matplotlib.path import Path

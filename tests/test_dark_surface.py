@@ -285,3 +285,155 @@ def test_filter_mode_matrix_parity(data):
     mask[10:14, 10:14] = True
     close(var.frame_filter_highpass(f.copy(), "gauss-subt", mask=mask),
           rv.frame_filter_highpass(f.copy(), "gauss-subt", mask=mask))
+
+
+def test_confidence_parity(data):
+    """Exact CI parity incl. the n_arg_max convention and the (buggy,
+    replicated) force=True raise (reference negfc_mcmc.py:1610-1691)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from vip_tpu.fm.negfc_mcmc import confidence
+
+    ref_mcmc = load_ref("vip_hci.fm.negfc_mcmc")
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        samp = rng.normal(size=(400, 3)) * [1.0, 5.0, 10.0] \
+            + [20.0, 45.0, 100.0]
+        a_val, a_ci = confidence(samp, bins=30, verbose=False)
+        b_val, b_ci = ref_mcmc.confidence(samp, bins=30, verbose=False)
+        for lab in ("r", "theta", "f"):
+            assert abs(a_val[lab] - b_val[lab]) < 1e-10
+            assert np.allclose(a_ci[lab], b_ci[lab])
+        mu_a, sig_a = confidence(samp, bins=30, gaussian_fit=True,
+                                 verbose=False)
+        mu_b, sig_b = ref_mcmc.confidence(samp, bins=30, gaussian_fit=True,
+                                          verbose=False)
+        assert np.allclose(mu_a, mu_b) and np.allclose(sig_a, sig_b)
+        plt.close("all")
+
+    # single-bin percentile + force=True raises (as the reference does)
+    degenerate = np.full((50, 1), 7.0) + 1e-12 * rng.standard_normal((50, 1))
+    degenerate[0] = 100.0  # one outlier -> cfd reached in one bin
+    with pytest.raises(ValueError):
+        confidence(degenerate, bins=10, labels=["f"], verbose=False,
+                   force=True)
+    plt.close("all")
+
+
+def test_more_untested_symbols_parity(data):
+    """Exact parity probes for symbols previously only covered indirectly:
+    mask_ellipse (stub ellipse now implements skimage rotation), hessian,
+    get_pca_coeffs, nan_corr_2d, reshape_matrix, thresholding, rofunc,
+    idl_where, chain_zero_truncated, collapse_psf_cube, iuwt_recomposition."""
+    fr, cube = data
+    rng = np.random.default_rng(6)
+
+    rs = load_ref("vip_hci.var.shapes")
+    from vip_tpu.var.shapes import mask_ellipse, reshape_matrix
+
+    for (a, b, th) in [(5, 9, 30.0), (7, 3, 0.0), (4, 11, 117.0)]:
+        for mode in ("in", "out"):
+            assert np.array_equal(
+                mask_ellipse(fr, a, b, th, mode=mode),
+                rs.mask_ellipse(fr, a, b, th, mode=mode))
+    m = rng.standard_normal((8, 45 * 45))
+    assert np.array_equal(reshape_matrix(m, 45, 45),
+                          rs.reshape_matrix(m, 45, 45))
+
+    rm = load_ref("vip_hci.fm.negfc_fmerit")
+    from vip_tpu.fm.negfc_fmerit import hessian
+
+    assert np.array_equal(np.asarray(hessian(fr)),
+                          np.asarray(rm.hessian(fr)))
+
+    rmc = load_ref("vip_hci.fm.negfc_mcmc")
+    from vip_tpu.fm.negfc_mcmc import chain_zero_truncated
+
+    ch = rng.standard_normal((4, 20, 3))
+    ch[:, 15:] = 0
+    assert np.array_equal(chain_zero_truncated(ch),
+                          rmc.chain_zero_truncated(ch))
+
+    rp = load_ref("vip_hci.psfsub.pca_fullfr")
+    from vip_tpu.psfsub.pca_fullfr import get_pca_coeffs
+    from vip_tpu.psfsub.svd import svd_wrapper
+    from vip_tpu.var.shapes import prepare_matrix
+
+    mat = prepare_matrix(cube, scaling=None, verbose=False)
+    pcs = np.asarray(svd_wrapper(mat, "lapack", 3, False))
+    assert np.array_equal(get_pca_coeffs(cube, pcs, 3, verbose=False),
+                          rp.get_pca_coeffs(cube, pcs, 3, verbose=False))
+
+    rl = load_ref("vip_hci.psfsub.llsg")
+    from vip_tpu.psfsub.llsg import thresholding
+
+    for mode in ("soft", "hard", "nng", "greater", "less"):
+        assert np.array_equal(thresholding(fr, 1.0, mode),
+                              rl.thresholding(fr, 1.0, mode))
+
+    ra = load_ref("vip_hci.invprob.utils_andro")
+    from vip_tpu.invprob.utils_andro import idl_where, rofunc
+
+    assert np.array_equal(np.asarray(idl_where(fr > 5)),
+                          np.asarray(ra.idl_where(fr > 5)))
+    x, y = np.arange(20.0), 2 * np.arange(20.0) + rng.standard_normal(20)
+    assert np.allclose(np.asarray(rofunc(x, y, 2.0)),
+                       np.asarray(ra.rofunc(x, y, 2.0)))
+
+    rcos = load_ref("vip_hci.preproc.cosmetics")
+    from vip_tpu.preproc.cosmetics import nan_corr_2d
+
+    frn = fr.copy()
+    frn[3, 4] = np.nan
+    frn[20, 25] = np.nan
+    o = nan_corr_2d(frn.copy(), 3, 3, False, False)
+    t = rcos.nan_corr_2d(frn.copy(), 3, 3, False, False)
+    assert np.array_equal(np.asarray(o[0]), np.asarray(t[0]))
+
+    rf = load_ref("vip_hci.fm.fakecomp")
+    from vip_tpu.fm.fakecomp import collapse_psf_cube
+
+    psfcube = np.abs(rng.standard_normal((8, 15, 15))) + 1
+    assert np.allclose(collapse_psf_cube(psfcube, 9, verbose=False),
+                       rf.collapse_psf_cube(psfcube, 9, verbose=False),
+                       atol=1e-7)
+
+    riu = load_ref("vip_hci.var.iuwt")
+    from vip_tpu.var.iuwt import iuwt_decomposition, iuwt_recomposition
+
+    dec = np.asarray(iuwt_decomposition(fr, 3))
+    assert np.allclose(iuwt_recomposition(dec, 0),
+                       riu.iuwt_recomposition(dec, 0), atol=1e-9)
+
+
+def test_qu_to_quphi_intent():
+    """The reference QU_to_QUphi is upstream-broken (passes
+    north_convention to cart_to_pol, which only accepts astro_convention —
+    TypeError on every call; reference coords.py:316,103). Assert our
+    vectorized version implements the documented intent."""
+    from vip_tpu.var.coords import QU_to_QUphi, frame_center
+
+    rng = np.random.default_rng(7)
+    Q, U = rng.standard_normal((2, 21, 21))
+    Qphi, Uphi = QU_to_QUphi(Q, U, delta_x=0.3, delta_y=-0.2, scale_r2=True)
+    # pixel-wise intent (the reference loop with the kwarg bug fixed)
+    cy, cx = frame_center(Q)
+    jj, ii = 13, 5
+    x = ii - cx - 0.3
+    y = jj - cy + 0.2
+    rho = np.hypot(y, x)
+    phi = np.arctan2(y, x)
+    assert np.isclose(Qphi[jj, ii],
+                      (Q[jj, ii] * np.cos(2 * phi)
+                       + U[jj, ii] * np.sin(2 * phi)) * rho ** 2)
+    assert np.isclose(Uphi[jj, ii],
+                      (-Q[jj, ii] * np.sin(2 * phi)
+                       + U[jj, ii] * np.cos(2 * phi)) * rho ** 2)
+    # north convention rotates phi by -90 deg
+    Qn, _ = QU_to_QUphi(Q, U, north_convention=True)
+    phin = np.arctan2(jj - cy, ii - cx) - np.deg2rad(90)
+    assert np.isclose(Qn[jj, ii], Q[jj, ii] * np.cos(2 * phin)
+                      + U[jj, ii] * np.sin(2 * phin))

@@ -563,8 +563,18 @@ def confidence(isamples, cfd=68.27, bins=100, gaussian_fit=False,
                 if verbose:
                     print(f"percentage for {labels[j]}: {pourcentage}%")
                 break
+        if k == 0:
+            msg = ("WARNING: Percentile reached in a single bin. This may "
+                   "be due to outliers or a small sample. Uncertainties "
+                   "will be unreliable. Try one of these: increase bins, "
+                   "or trim outliers, or decrease cfd.")
+            # NOTE: the reference raises when force=True (negfc_mcmc.py:
+            # 1660-1669), inverted vs its own docstring — replicated as-is
+            if force:
+                raise ValueError(msg)
+            print(msg)
         n_arg_min = int(n_arg_sort[:k + 1].min())
-        n_arg_max = int(n_arg_sort[:k + 1].max() + 1)
+        n_arg_max = int(n_arg_sort[:k + 1].max())
         if n_arg_min == 0:
             n_arg_min += 1
         if n_arg_max == bins:

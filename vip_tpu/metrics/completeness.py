@@ -316,7 +316,8 @@ def completeness_curve(cube, angle_list, psf, fwhm, algo, an_dist=None,
         ini_cc = contrast_curve(cube, angle_list, psf, fwhm_med, pxscale,
                                 starphot, algo, sigma=3, nbranch=1, theta=0,
                                 inner_rad=1, wedge=(0, 360), fc_snr=100,
-                                plot=False, **algo_dict)
+                                plot=False, algo_class=algo_class,
+                                **algo_dict)
         ini_rads = np.array(ini_cc["distance"])
         ini_cc = np.array(ini_cc["sensitivity_student"])
         if np.amax(an_dist) > np.amax(ini_rads):
@@ -370,6 +371,12 @@ def completeness_curve(cube, angle_list, psf, fwhm, algo, an_dist=None,
         plt.xlabel("Angular separation [arcsec]")
         plt.ylabel(str(int(completeness * 100)) + "% completeness contrast")
         plt.grid("on", which="both", alpha=0.2, linestyle="solid")
+        if object_name is not None:
+            ncomp = algo_dict.get("ncomp")
+            pca_type = "ADI" if algo_dict.get("cube_ref") is None else "RDI"
+            plt.title(f"{pca_type} {object_name} {ncomp}pc", fontsize=14)
+        if len(fix_y_lim) == 2:
+            ax1.set_ylim(min(fix_y_lim), max(fix_y_lim))
         ax1.set_yscale("log")
         ax1.set_xlim(0, 1.1 * np.max(an_dist_arcsec))
         if save_plot is not None:

@@ -260,8 +260,7 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
 
 def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                theta=0, inner_rad=1, fc_rad_sep=3, wedge=(0, 360), fc_snr=100,
-               noise_sep=1, full_output=False, verbose=True, nproc=1,
-               imlib="vip-fft", interpolation="lanczos4", scaling=None,
+               noise_sep=1, full_output=False, verbose=True,
                algo_class=None, batch_patterns=True, pattern_mesh=None,
                **algo_dict):
     """Algorithm throughput by injection-recovery on radial patterns
@@ -274,6 +273,12 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
     paths agree to 1e-8 (tests/test_metrics_contrcurve.py)."""
     array = cube
     parangles = np.asarray(angle_list)
+    # injection settings ride inside algo_dict exactly as in the reference
+    # (contrcurve.py:683-687): shared between the injector and the algo
+    nproc = algo_dict.get("nproc", 1)
+    imlib = algo_dict.get("imlib", "vip-fft")
+    interpolation = algo_dict.get("interpolation", "lanczos4")
+    scaling = algo_dict.get("scaling", None)
 
     if array.ndim not in (3, 4):
         raise TypeError("The input array is not a 3d or 4d cube")
@@ -669,6 +674,13 @@ def contrast_curve(cube, angle_list, psf_template, fwhm, pxscale, starphot,
         plt.xlabel("Angular separation [arcsec]")
         plt.ylabel(f"{sigma} sigma contrast")
         plt.legend()
+        if object_name is not None and frame_size is not None:
+            ncomp = algo_dict.get("ncomp")
+            pca_type = "ADI" if algo_dict.get("cube_ref") is None else "RDI"
+            plt.title(f"{pca_type} {object_name} {ncomp}pc {frame_size} "
+                      f"+ {inner_rad}", fontsize=14)
+        if len(fix_y_lim) == 2:
+            plt.ylim(min(fix_y_lim), max(fix_y_lim))
         if save_plot is not None:
             plt.savefig(save_plot, dpi=dpi)
 

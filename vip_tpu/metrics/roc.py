@@ -176,7 +176,12 @@ class EvalRoc:
         if i is None:
             i = self.n_injections // 2
         for m in self.methods:
-            fig, axes = plt.subplots(1, 3, figsize=(12, 4), dpi=dpi)
+            if plot_type in (1, "horiz"):
+                fig, axes = plt.subplots(1, 3, figsize=(12, 4), dpi=dpi)
+            elif plot_type in (2, "vert"):
+                fig, axes = plt.subplots(3, 1, figsize=(4, 12), dpi=dpi)
+            else:
+                raise ValueError("`plot_type` not recognized")
             vmax_val = np.nanmax(m["frames"][i]) if vmax == "max" else vmax
             axes[0].imshow(m["frames"][i], origin="lower", vmin=vmin,
                            vmax=vmax_val)
@@ -187,6 +192,10 @@ class EvalRoc:
                 axes[2].imshow(m["bmaps"][i][thr], origin="lower",
                                cmap="binary")
             axes[2].set_title(f"binary map (thr #{thr})")
+            for ax in axes:
+                if not axis:
+                    ax.set_axis_off()
+                ax.grid(grid)
             plt.show()
 
     def plot_roc_curves(self, dpi=100, figsize=(5, 5), xmin=None, xmax=None,

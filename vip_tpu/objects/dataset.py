@@ -370,6 +370,13 @@ class Dataset(Saveable):
         """Copy the Dataset (reference dataset.py:1036-1072)."""
         import copy as copy_mod
         if deep:
+            if check_mem:
+                from ..config.mem import check_enough_memory
+
+                if not check_enough_memory(self.get_nbytes(), 1.5,
+                                           verbose=False):
+                    raise RuntimeError("copy would require more memory "
+                                       "than available.")
             return copy_mod.deepcopy(self)
         return copy_mod.copy(self)
 

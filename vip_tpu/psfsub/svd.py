@@ -300,6 +300,18 @@ class SVDecomposer:
             ax1.legend(loc="best", frameon=False)
             ax1.set_ylabel("Explained variance ratio (EVR)")
             ax1.set_xlabel("Principal components")
+            if plot_truncation is not None:
+                # second panel zoomed on the first `plot_truncation` PCs
+                # (reference svd.py:282-291)
+                ax2 = fig.add_axes([0.98, 0.12, 0.35, 0.76])
+                ax2.step(range(plot_truncation),
+                         self.explained_variance_ratio[:plot_truncation],
+                         where="mid")
+                ax2.plot(self.cevr[:plot_truncation], ".-")
+                ax2.set_xlabel("Principal components")
+                ax2.grid(linestyle="solid", alpha=0.2)
+                ax2.set_xlim(-2, plot_truncation + 2)
+                ax2.set_ylim(0, 1)
             if plot_save:
                 plt.savefig("figure.pdf", dpi=300, bbox_inches="tight")
 

@@ -157,6 +157,12 @@ def QU_to_QUphi(Q, U, delta_x=0, delta_y=0, scale_r2=False,
     """Compute azimuthal-Stokes Qphi/Uphi images from Q and U.
 
     Vectorized (the reference loops per pixel: coords.py:282-328).
+
+    NOTE: the reference implementation is upstream-broken — it passes
+    ``north_convention`` to ``cart_to_pol`` (coords.py:316), which only
+    accepts ``astro_convention`` (coords.py:103), so every call raises
+    TypeError. This version implements the documented intent
+    (phi measured from North when ``north_convention``).
     """
     Q = np.asarray(Q)
     U = np.asarray(U)

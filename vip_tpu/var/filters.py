@@ -136,6 +136,8 @@ def frame_filter_lowpass(array, mode="gauss", median_size=5, fwhm_size=5,
             work = work.astype(float)
             work[mask.astype(bool)] = np.nan
         filtered = np.asarray(convolve_with_mask(work, kernel))
+        if iterate and np.any(np.isnan(filtered)):
+            filtered = _interp_remaining_nan(filtered, kernel)
         return filtered
     elif mode == "psf":
         if psf is None:
@@ -148,8 +150,21 @@ def frame_filter_lowpass(array, mode="gauss", median_size=5, fwhm_size=5,
         if mask is not None:
             work = work.astype(float)
             work[mask.astype(bool)] = np.nan
-        return np.asarray(convolve_with_mask(work, psf))
+        filtered = np.asarray(convolve_with_mask(work, psf))
+        if iterate and np.any(np.isnan(filtered)):
+            filtered = _interp_remaining_nan(filtered, psf)
+        return filtered
     raise TypeError("Low-pass filter mode not recognized")
+
+
+def _interp_remaining_nan(filtered, kernel):
+    """Fill NaNs that survive the masked convolution (a fully-NaN
+    neighbourhood larger than the kernel support) the way the reference's
+    ``iterate=True`` branch does via astropy interpolate_replace_nans
+    (reference filters.py:499-545): replace only the NaN pixels with the
+    kernel interpolation of the valid filtered values."""
+    conv = np.asarray(convolve_with_mask(filtered, kernel))
+    return np.where(np.isnan(filtered), conv, filtered)
 
 
 def _butter2d_lp(size, cutoff, n=3):
