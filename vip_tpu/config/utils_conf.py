@@ -132,9 +132,15 @@ def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=Fals
     if nproc > 1 and length > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        if verbose and msg is not None:
+            # reference prints this before mapping (utils_conf.py:66-67)
+            print(f"{msg} with {nproc} processes")
         with ThreadPoolExecutor(min(int(nproc), length)) as ex:
             return list(ex.map(_call, range(length)))
-    return [_call(i) for i in range(length)]
+    idx = range(length)
+    if progressbar_single:
+        idx = Progressbar(idx, desc=msg, verbose=verbose, total=length)
+    return [_call(i) for i in idx]
 
 
 def pool_imap(nproc, fkt, *args, **kwargs):
