@@ -412,19 +412,6 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
             fluxes.append(flux)
         return cube_fc, fc_map, fcy, fcx
 
-    def measure(frame_fc, fc_map, fcy, fcx):
-        """Annulus-wise throughput of one processed pattern."""
-        if cube.ndim == 4:
-            injected_flux = np.mean(
-                [aperture_flux(fc_map[ch], fcy, fcx, fwhm[ch])
-                 for ch in range(array.shape[0])], axis=0)
-        else:
-            injected_flux = aperture_flux(fc_map, fcy, fcx, fwhm_med)
-        recovered_flux = aperture_flux(np.asarray(frame_fc) - frame_nofc,
-                                       fcy, fcx, fwhm_med)
-        ratio = recovered_flux / injected_flux
-        return np.where(ratio < 0, 0, ratio)
-
     patterns = [(br, irad) for br in range(nbranch)
                 for irad in range(fc_rad_sep)]
     built = []
@@ -439,11 +426,31 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
         [b[0] for b in built], algo, argl, parangles, fwhm_med, algo_dict,
         batch_patterns, verbose, start_time, pattern_mesh=pattern_mesh)
 
+    # annulus-wise throughput of every pattern; photometry of ALL
+    # patterns batches into a constant number of device dispatches
+    # (reference does 2 per pattern, contrcurve.py:1030-1068)
+    from ..ops.apertures import aperture_flux_images
+
+    fcys = [b[2] for b in built]
+    fcxs = [b[3] for b in built]
+    recovered = aperture_flux_images(
+        [np.asarray(frames_fc[k]) - frame_nofc for k in
+         range(len(patterns))], fcys, fcxs, fwhm_med / 2)
+    if cube.ndim == 4:
+        inj_per_ch = [aperture_flux_images([b[1][ch] for b in built],
+                                           fcys, fcxs, fwhm[ch] / 2)
+                      for ch in range(array.shape[0])]
+        injected = [np.mean([inj_per_ch[ch][k]
+                             for ch in range(array.shape[0])], axis=0)
+                    for k in range(len(patterns))]
+    else:
+        injected = aperture_flux_images([b[1] for b in built], fcys, fcxs,
+                                        fwhm_med / 2)
+
     for k, (br, irad) in enumerate(patterns):
-        _, fc_map, fcy, fcx = built[k]
-        thruput_arr[br, irad::fc_rad_sep] = measure(frames_fc[k], fc_map,
-                                                    fcy, fcx)
-        fc_map_all[br * fc_rad_sep + irad] = fc_map
+        ratio = recovered[k] / injected[k]
+        thruput_arr[br, irad::fc_rad_sep] = np.where(ratio < 0, 0, ratio)
+        fc_map_all[br * fc_rad_sep + irad] = built[k][1]
         frame_fc_all[br * fc_rad_sep + irad] = frames_fc[k]
 
     if verbose:

@@ -90,6 +90,36 @@ def _aperture_flux_core(image, ys, xs, r, window):
 _aperture_flux_jit = jax.jit(_aperture_flux_core,
                              static_argnames=("window",))
 
+_aperture_flux_images_jit = jax.jit(
+    jax.vmap(_aperture_flux_core, in_axes=(0, 0, 0, None, None)),
+    static_argnames=("window",))
+
+
+def aperture_flux_images(images, ys, xs, r, window=None):
+    """Exact-aperture fluxes on a STACK of images in one dispatch.
+
+    images: (p, ny, nx); ys, xs: length-p sequences of per-image aperture
+    centers (possibly ragged). Returns a list of p (k_i,) arrays. One
+    device round-trip replaces p (or 2p) separate :func:`aperture_flux`
+    calls — e.g. the per-pattern photometry of ``throughput``
+    (reference contrcurve.py:1030-1068) at ~30 ms per dispatch through a
+    remote tunnel.
+    """
+    if window is None:
+        window = int(2 * float(r) + 4)
+    counts = [len(np.atleast_1d(y)) for y in ys]
+    kmax = max(64, 1 << max(0, (max(counts) - 1)).bit_length())
+    p = len(counts)
+    ys_p = np.zeros((p, kmax))
+    xs_p = np.zeros((p, kmax))
+    for i in range(p):
+        ys_p[i, :counts[i]] = np.asarray(ys[i], dtype=float).reshape(-1)
+        xs_p[i, :counts[i]] = np.asarray(xs[i], dtype=float).reshape(-1)
+    out = np.asarray(_aperture_flux_images_jit(
+        jnp.asarray(np.asarray(images, dtype=float)), ys_p, xs_p, r,
+        window))
+    return [out[i, :counts[i]] for i in range(p)]
+
 
 def aperture_flux(image, ys, xs, r, window=None):
     """Exact-aperture fluxes of ``image`` at arbitrary centers (vmapped).
