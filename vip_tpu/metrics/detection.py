@@ -16,7 +16,7 @@ from ..var.fit_2d import (GAUSSIAN_FWHM_TO_SIGMA, GAUSSIAN_SIGMA_TO_FWHM,
                           fit_2dgaussian, gaussian_2d)
 from ..var.filters import frame_filter_lowpass
 from ..var.shapes import get_square, mask_circle
-from .snr_source import frame_report, snr, snrmap
+from .snr_source import frame_report, snr, snr_multi, snrmap
 
 __all__ = ["detection", "peak_coordinates", "mask_source_centers",
            "mask_sources"]
@@ -222,13 +222,15 @@ def detection(array, fwhm=4, psf=None, mode="lpeaks", bkg_sigma=5,
 
     yy_final, xx_final, snr_final, snr_list = [], [], [], []
     yy_out, xx_out = [], []
+    # vet all candidates with ONE batched photometry dispatch
+    snr_values, _ = snr_multi(array, xx, yy, fwhm)
     for i in range(yy.shape[0]):
         y, x = yy[i], xx[i]
         if verbose:
             print("")
             print(sep)
             print(f"X,Y = ({x:.1f},{y:.1f})")
-        snr_value = snr(array, (x, y), fwhm, False, verbose=False)
+        snr_value = float(snr_values[i])
         snr_list.append(snr_value)
         if snr_value >= snr_thresh:
             if verbose:
