@@ -83,8 +83,24 @@ def _probe_devices(timeout_s=120, budget_s=None):
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=timeout_s, check=True, capture_output=True)
-            import jax
-            return jax.devices()
+            # The tunnel can flap between the subprocess probe and the
+            # in-process init, so bound the in-process call too. A hung
+            # thread keeps holding the backend-init lock, so on timeout
+            # the only safe recovery is a hard exit (the driver retries).
+            import concurrent.futures
+
+            def _init():
+                import jax
+                return jax.devices()
+
+            with concurrent.futures.ThreadPoolExecutor(1) as ex:
+                try:
+                    return ex.submit(_init).result(timeout=timeout_s + 60)
+                except concurrent.futures.TimeoutError:
+                    print("# in-process backend init hung after the probe "
+                          "succeeded — tunnel flapping; aborting",
+                          file=sys.stderr, flush=True)
+                    os._exit(3)
         except subprocess.TimeoutExpired:
             last_err = f"probe subprocess unresponsive after {timeout_s}s"
         except subprocess.CalledProcessError as e:

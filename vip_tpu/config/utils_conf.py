@@ -105,7 +105,7 @@ def iterable(v):
     return _Iterable(v)
 
 
-def pool_map(nproc, fkt, *args, msg=None, verbose=False, progressbar_single=False,
+def pool_map(nproc, fkt, *args, msg=None, verbose=True, progressbar_single=False,
              **kwargs):
     """Map over the product of ``iterable``-wrapped args.
 

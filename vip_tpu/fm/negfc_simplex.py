@@ -72,19 +72,28 @@ def firstguess_from_coord(planet, center, cube, angs, psfn, fwhm,
     else:
         f_range = np.geomspace(1e-1, 1e4, 30)
 
-    def _plot_chi2r(chi2r_arr, label=None):
+    def _plot_chi2r(curves):
+        """One figure overlaying all channel curves, with a legend when
+        labeled (reference negfc_simplex.py:300-334 draws exactly one
+        figure and one saved pdf for the multi-channel case)."""
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=(8, 4))
         plt.title(r"$\chi^2_{r}$ vs flux")
-        plt.xlim(f_range[0], f_range[:chi2r_arr.shape[0]].max())
-        plt.ylim(chi2r_arr.min() * 0.9, chi2r_arr.max() * 1.1)
-        plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
-                 color="gray", marker=".", markerfacecolor="r",
-                 markeredgecolor="r", label=label)
+        lo = min(c.min() for _, c in curves)
+        hi = max(c.max() for _, c in curves)
+        plt.xlim(f_range[0],
+                 max(f_range[:c.shape[0]].max() for _, c in curves))
+        plt.ylim(lo * 0.9, hi * 1.1)
+        for label, chi2r_arr in curves:
+            plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
+                     marker=".", markerfacecolor="r", markeredgecolor="r",
+                     color="gray" if label is None else None, label=label)
         plt.xlabel("flux")
         plt.ylabel(r"$\chi^2_r$")
         plt.grid("on")
+        if any(label is not None for label, _ in curves):
+            plt.legend()
         if save:
             plt.savefig("chi2rVSflux.pdf")
         plt.show()
@@ -94,7 +103,7 @@ def firstguess_from_coord(planet, center, cube, angs, psfn, fwhm,
         f0 = f_range[chi2r.argmin()]
         res = (r0, theta0, f0)
         if plot:
-            _plot_chi2r(chi2r)
+            _plot_chi2r([(None, chi2r)])
     else:
         f0 = []
         chi2r = []
@@ -102,8 +111,8 @@ def firstguess_from_coord(planet, center, cube, angs, psfn, fwhm,
             chi2r_ch = np.array(_grid_search_f(r0, theta0, ch, f_range))
             f0.append(f_range[chi2r_ch.argmin()])
             chi2r.append(chi2r_ch)
-            if plot:
-                _plot_chi2r(chi2r_ch, label=f"channel {ch}")
+        if plot:
+            _plot_chi2r([(f"ch. {ch}", c) for ch, c in enumerate(chi2r)])
         res = tuple([r0, theta0] + f0)
 
     if full_output:

@@ -66,19 +66,28 @@ def firstguess_fd_from_coord(disk_xy, disk_theta, disk_scal, cube, angs,
                                                        chi2r[j]))
         return chi2r
 
-    def _plot_chi2r(chi2r_arr, label=None):
+    def _plot_chi2r(curves):
+        """One overlaid figure for all channels with a legend when
+        labeled (one figure/one saved pdf, like the reference's
+        multi-channel branch in negfc_simplex.py:300-334)."""
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=(8, 4))
         plt.title(r"$\chi^2_{r}$ vs flux")
-        plt.xlim(f_range[0], f_range[:chi2r_arr.shape[0]].max())
-        plt.ylim(chi2r_arr.min() * 0.95, chi2r_arr.max() * 1.05)
-        plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
-                 color="gray", marker=".", markerfacecolor="r",
-                 markeredgecolor="r", label=label)
+        lo = min(c.min() for _, c in curves)
+        hi = max(c.max() for _, c in curves)
+        plt.xlim(f_range[0],
+                 max(f_range[:c.shape[0]].max() for _, c in curves))
+        plt.ylim(lo * 0.95, hi * 1.05)
+        for label, chi2r_arr in curves:
+            plt.plot(f_range[:chi2r_arr.shape[0]], chi2r_arr, linestyle="-",
+                     marker=".", markerfacecolor="r", markeredgecolor="r",
+                     color="gray" if label is None else None, label=label)
         plt.xlabel("flux")
         plt.ylabel(r"$\chi^2_r$")
         plt.grid("on")
+        if any(label is not None for label, _ in curves):
+            plt.legend()
         if save:
             plt.savefig("chi2rVSflux.pdf")
         plt.show()
@@ -88,7 +97,7 @@ def firstguess_fd_from_coord(disk_xy, disk_theta, disk_scal, cube, angs,
         f0 = f_range[chi2r.argmin()]
         res = (x0, y0, theta0, scal0, f0)
         if plot:
-            _plot_chi2r(chi2r)
+            _plot_chi2r([(None, chi2r)])
     else:
         f0 = []
         chi2r = []
@@ -102,8 +111,9 @@ def firstguess_fd_from_coord(disk_xy, disk_theta, disk_scal, cube, angs,
             if verbose:
                 print("... optimal grid flux: {:.3f} (chi2r = {:.1f})"
                       .format(f0[i], np.amin(chi2r_tmp)))
-            if plot:
-                _plot_chi2r(chi2r_tmp, label=f"channel {i}")
+        if plot:
+            _plot_chi2r([(f"ch. {i}", np.asarray(c))
+                         for i, c in enumerate(chi2r)])
         res = tuple([x0, y0, theta0, scal0] + f0)
 
     if full_output:

@@ -292,7 +292,12 @@ class SVDecomposer:
             import matplotlib.pyplot as plt
 
             fig = plt.figure(figsize=vip_figsize, dpi=plot_dpi)
-            ax1 = fig.add_subplot(111)
+            # 2/3 + 1/3 grid like the reference (svd.py:269,283) so the
+            # zoom panel stays inside the canvas
+            if plot_truncation is not None:
+                ax1 = plt.subplot2grid((1, 3), (0, 0), colspan=2, fig=fig)
+            else:
+                ax1 = fig.add_subplot(111)
             ax1.step(range(self.explained_variance_ratio.shape[0]),
                      self.explained_variance_ratio, where="mid",
                      label="Individual EVR")
@@ -303,7 +308,7 @@ class SVDecomposer:
             if plot_truncation is not None:
                 # second panel zoomed on the first `plot_truncation` PCs
                 # (reference svd.py:282-291)
-                ax2 = fig.add_axes([0.98, 0.12, 0.35, 0.76])
+                ax2 = plt.subplot2grid((1, 3), (0, 2), colspan=1, fig=fig)
                 ax2.step(range(plot_truncation),
                          self.explained_variance_ratio[:plot_truncation],
                          where="mid")
