@@ -410,6 +410,23 @@ def _incremental_merge_svd(basis, blk, mean, count, keep):
     return new_basis, new_mean, new_count
 
 
+@functools.lru_cache(maxsize=None)
+def _merge_svd_jit(keep):
+    """Jitted merge step: one dispatch per batch instead of ~10 eager
+    ops each paying the device-link round-trip."""
+    return jax.jit(functools.partial(_incremental_merge_svd, keep=keep))
+
+
+@jax.jit
+def _project_subtract_blk(blk, mean, V):
+    """Pass-2 projection of pca_incremental as one dispatch (kept
+    separate from the jitted derotate_collapse rather than fused under
+    one outer jit: re-lowering the chunked Pallas shear program inside
+    a wrapper tripled compile time for zero steady-state gain)."""
+    M = blk - mean
+    return M - (M @ V.T) @ V
+
+
 def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                     verbose=True, full_output=False, start_time=None,
                     weights=None, nproc=1, imlib="vip-fft",
@@ -460,9 +477,14 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
         print(f"Cube: {n} frames; batch size = {batch_size} frames "
               f"({n_batches} batches)")
 
+    # float32 unless x64 parity mode is on: the f64 detour would double
+    # both the host copy and the host->device stream for nothing (the
+    # device math runs f32 anyway when x64 is off)
+    work_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+
     def read_batch(b):
         blk = cube[b * batch_size:min(n, (b + 1) * batch_size)]
-        return np.asarray(blk, dtype=float)
+        return np.asarray(blk, dtype=work_dtype)
 
     def prefetched_blocks():
         """Yield (index, block) while a host thread reads the next lazy
@@ -487,14 +509,32 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     # [basis; centered batch; mean-correction] matrix — one MXU matmul +
     # small eigh per batch (S·Vh = Uᵀ·stack, no division).
     k = int(ncomp)
-    mean = jnp.zeros(npx)
-    count = 0.0
-    basis = jnp.zeros((k, npx))  # zero rows don't perturb the row space
+    wdt = jnp.asarray(np.zeros(0, work_dtype)).dtype
+    mean = jnp.zeros(npx, wdt)
+    count = jnp.zeros((), wdt)
+    basis = jnp.zeros((k, npx), wdt)  # zero rows don't perturb the row space
 
+    # HBM block cache: when the whole cube fits comfortably on device
+    # (<= 1/4 of free HBM — pass 2's padded rotation canvases need the
+    # rest), keep pass-1 blocks resident so pass 2 skips the second
+    # host->device stream. HBM is the cache tier between host storage
+    # and the MXU; on remote-attached devices the link, not the FFT
+    # work, bounds this streaming workload.
+    try:
+        from ..config.mem import get_available_hbm
+
+        hbm_budget = 0.25 * get_available_hbm()
+    except Exception:
+        hbm_budget = 0.0
+    cache_on_device = n * npx * np.dtype(work_dtype).itemsize <= hbm_budget
+    dev_blocks = []
+
+    merge = _merge_svd_jit(k)
     for b, blk in prefetched_blocks():
-        blk = jnp.asarray(blk.reshape(-1, npx))
-        basis, mean, count = _incremental_merge_svd(
-            basis, blk, mean, jnp.asarray(count), keep=k)
+        blk_d = jnp.asarray(blk.reshape(-1, npx))
+        if cache_on_device:
+            dev_blocks.append(blk_d)
+        basis, mean, count = merge(basis, blk_d, mean, count)
         if verbose:
             print(f"Batch {b + 1}/{n_batches} processed")
 
@@ -515,26 +555,38 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                    and not rot_options
                    and str(collapse) in ("median", "mean", "sum"))
     medians = []
-    for b, blk_h in prefetched_blocks():
+
+    def pass2_blocks():
+        if cache_on_device:
+            for b, blk_d in enumerate(dev_blocks):
+                yield b, blk_d
+        else:
+            for b, blk_h in prefetched_blocks():
+                yield b, jnp.asarray(blk_h.reshape(-1, npx))
+
+    for b, blk in pass2_blocks():
         lo = b * batch_size
-        blk = jnp.asarray(blk_h.reshape(-1, npx)) - mean
-        resid = blk - (blk @ V.T) @ V
+        m_b = blk.shape[0]
         if return_residuals:
-            residuals_all[lo:lo + resid.shape[0]] = \
-                np.asarray(resid).reshape(-1, y, x)
+            centered = blk - mean
+            resid = centered - (centered @ V.T) @ V
+            residuals_all[lo:lo + m_b] = np.asarray(resid).reshape(-1, y, x)
             continue
         if device_tail:
             from ..ops.pipeline import derotate_collapse
 
-            # per-batch medians stay device-resident (async dispatch
-            # overlaps the next block's host read); chunk bounds the
-            # 4x-padded rotation canvases in HBM
+            # two jitted dispatches per batch; per-batch medians stay
+            # device-resident (async dispatch overlaps the next block's
+            # host read) and chunk bounds the 4x-padded rotation
+            # canvases in HBM
+            resid = _project_subtract_blk(blk, mean, V)
             medians.append(derotate_collapse(
                 resid.reshape(-1, y, x),
-                jnp.asarray(angle_list[lo:lo + resid.shape[0]],
-                            resid.dtype),
+                jnp.asarray(angle_list[lo:lo + m_b], blk.dtype),
                 collapse=str(collapse), chunk=50))
         else:
+            centered = blk - mean
+            resid = centered - (centered @ V.T) @ V
             resid_h = np.asarray(resid).reshape(-1, y, x)
             resid_der = cube_derotate(
                 resid_h, angle_list[lo:lo + resid_h.shape[0]],
