@@ -271,6 +271,63 @@ def main():
         _emit(f"throughput_batched_speedup_{n_tc}x{sz_tc}x{sz_tc}",
               t_serial / t_batched, "x_vs_serial", t_serial / t_batched)
 
+    # --- batched completeness_curve (VERDICT r2 #2): every azimuthal
+    # injection at a radius reduces in ONE vmapped PCA program
+    # (metrics.completeness._run_batch_device) vs the reference's serial
+    # per-injection shape (reference completeness.py:52-218). Gated like
+    # BENCH_THROUGHPUT: the serial leg's ~n_fc sequential algo runs per
+    # probed level pay the tunnel latency and blow the driver's bench
+    # budget; run BENCH_COMPLETENESS=1 to record.
+    run_cc = FULL and os.environ.get("BENCH_COMPLETENESS", "0") == "1"
+    if run_cc:
+        from scipy.ndimage import gaussian_filter
+
+        from vip_tpu.fm.fakecomp import normalize_psf
+        from vip_tpu.metrics import completeness as _cmod
+        from vip_tpu.metrics.completeness import completeness_curve
+        from vip_tpu.psfsub import pca as _pca
+
+        # ADI cube with a stellar halo + static speckles (a pure-noise
+        # cube has no detectable-contrast floor for the probe to bracket)
+        n_cc, sz_cc, nfc = 40, 100, 8
+        yy, xx = np.mgrid[:sz_cc, :sz_cc]
+        r2 = (yy - sz_cc // 2) ** 2 + (xx - sz_cc // 2) ** 2
+        halo = 100.0 * np.exp(-r2 / (2 * (6 * 4.0) ** 2))
+        speck = gaussian_filter(rng.standard_normal((sz_cc, sz_cc)), 2.0) * 5
+        cube_cc = np.stack([
+            halo + speck
+            + gaussian_filter(rng.standard_normal((sz_cc, sz_cc)), 1.5) * .5
+            for _ in range(n_cc)])
+        ang_cc = np.linspace(0.0, 60.0, n_cc)
+        yy, xx = np.mgrid[:19, :19]
+        psf_cc = normalize_psf(
+            np.exp(-((yy - 9.0) ** 2 + (xx - 9.0) ** 2)
+                   / (2 * (4 / 2.355) ** 2)), fwhm=4.0, verbose=False)
+        an_cc = [16]
+        ini_cc = [0.01]  # near the converged level -> few bracket probes
+
+        def cc_run(batched):
+            orig = _cmod._run_batch_device
+            if not batched:
+                _cmod._run_batch_device = lambda *a, **k: None
+            try:
+                return completeness_curve(
+                    cube_cc, ang_cc, psf_cc, 4.0, _pca, an_dist=an_cc,
+                    ini_contrast=ini_cc, starphot=100, n_fc=nfc,
+                    completeness=0.75, algo_dict={"ncomp": 5},
+                    verbose=False, plot=False)
+            finally:
+                _cmod._run_batch_device = orig
+
+        t0 = time.perf_counter(); cc_run(True)
+        t_b = time.perf_counter() - t0                # incl. compile
+        t0 = time.perf_counter(); cc_run(True)
+        t_b = min(t_b, time.perf_counter() - t0)
+        t0 = time.perf_counter(); cc_run(False)
+        t_s = time.perf_counter() - t0
+        _emit(f"completeness_curve_batched_speedup_{n_cc}x{sz_cc}x{sz_cc}"
+              f"_nfc{nfc}", t_s / t_b, "x_vs_serial", t_s / t_b)
+
     # --- headline: PCA-ADI in the benchmarked speed mode (LAST line) ---
     t_head = _time(pca_run(ROT_MODE))
     _emit(f"pca_adi_fullfr_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}_{ROT_MODE}",

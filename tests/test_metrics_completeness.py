@@ -119,3 +119,24 @@ def test_completeness_map_monotone(data):
     assert np.allclose(lv, [0.2, 0.4, 0.6, 0.8])
     assert (mat > 0).all()
     assert (np.diff(mat[0]) >= 0).all()
+
+
+def test_estimate_snr_fc_exact_branch_parity(data):
+    """The non-approximated margin branch (one snr_multi device dispatch
+    replacing the reference's per-pixel snr() loop) must match the
+    reference worker (reference completeness.py:117-164)."""
+    cube, angs, psfn = data
+    ref = load_ref("vip_hci.metrics.completeness")
+    frame = median_sub(cube, angs, verbose=False)
+    sm_empty = snrmap(np.array(frame), 4.0, approximated=True, plot=False,
+                      verbose=False)
+    for b in (0, 3, 7):
+        ours = _estimate_snr_fc(10, b, 0.5, 10, cube, psfn, angs, 4.0,
+                                median_sub, {"verbose": False}, sm_empty,
+                                starphot=100, approximated=False)
+        theirs = ref._estimate_snr_fc(10, b, 0.5, 10, cube, psfn, angs, 4.0,
+                                      _ref_medsub(), {"verbose": False},
+                                      sm_empty, starphot=100,
+                                      approximated=False)
+        assert ours[1] == theirs[1]
+        assert np.isclose(ours[0], theirs[0], rtol=1e-5, atol=1e-6), b

@@ -14,7 +14,7 @@ from ..config.utils_conf import pool_map, iterable
 from ..fm.fakecomp import cube_inject_companions, normalize_psf
 from ..fm.utils_negfc import find_nearest
 from ..metrics.contrcurve import contrast_curve
-from ..metrics.snr_source import snrmap, snr, _snrmap_approx
+from ..metrics.snr_source import snrmap, snr_multi, _snrmap_approx
 from ..preproc.cosmetics import cube_crop_frames
 from ..var.coords import frame_center
 from ..var.shapes import get_annulus_segments
@@ -123,10 +123,11 @@ def _margin_from_frame(frame_fin, a, b, n_fc, fwhm_med, snrmap_empty,
         snr_new[yy, xx] = _snrmap_approx(frame_fin, yy, xx, fwhm_med, cy, cx,
                                          *frame_fin.shape)
     else:
-        for (y0, x0) in zip(yy, xx):
-            snr_new[y0, x0] = snr(frame_fin, (x0, y0), fwhm_med, plot=False,
-                                  exclude_negative_lobes=True,
-                                  full_output=True, verbose=False)[-1]
+        # all test positions through ONE device aperture-photometry
+        # dispatch (same Mawet+14 statistics as the reference's
+        # per-pixel snr() loop, completeness.py:117-164)
+        snr_new[yy, xx] = snr_multi(frame_fin, xx, yy, fwhm_med,
+                                    exclude_negative_lobes=True)[0]
 
     # overlay the injected-region SNR onto the empty map
     snr_new = np.nan_to_num(snr_new)
