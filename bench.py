@@ -266,6 +266,7 @@ def main():
         t_batched = time.perf_counter() - t0          # incl. compile
         t0 = time.perf_counter(); tp_run(True)
         t_batched = min(t_batched, time.perf_counter() - t0)
+        tp_run(False)                 # warm the serial leg's jit shapes
         t0 = time.perf_counter(); tp_run(False)
         t_serial = time.perf_counter() - t0
         _emit(f"throughput_batched_speedup_{n_tc}x{sz_tc}x{sz_tc}",
@@ -323,6 +324,7 @@ def main():
         t_b = time.perf_counter() - t0                # incl. compile
         t0 = time.perf_counter(); cc_run(True)
         t_b = min(t_b, time.perf_counter() - t0)
+        cc_run(False)                 # warm the serial leg's jit shapes
         t0 = time.perf_counter(); cc_run(False)
         t_s = time.perf_counter() - t0
         _emit(f"completeness_curve_batched_speedup_{n_cc}x{sz_cc}x{sz_cc}"

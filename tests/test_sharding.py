@@ -179,39 +179,54 @@ def test_sharded_pattern_frames_matches_single_device():
         assert np.allclose(got[i], ref, atol=1e-5), i
 
 
-def test_sharded_pca_sdi_single_matches_single_device():
-    """Channel-sharded ADI+mSDI single PCA == the same math unsharded."""
-    from vip_tpu.psfsub.sharded import (_zoom_bilinear,
-                                        sharded_pca_sdi_single)
-    from vip_tpu.preproc.derotation import rotate_fft_pipeline
+def test_scale_fft_matrix_matches_scale_fft():
+    """The dense exact-zoom operator == scale_fft on random frames,
+    across up/down scales, including the rank-1 Nyquist correction and
+    the reference's float32-embed quirk (rescaling.py:1168)."""
+    from vip_tpu.preproc.rescaling import (apply_scale_matrix, scale_fft,
+                                           scale_fft_matrix)
+
+    rng = np.random.default_rng(11)
+    for dim in (32, 40):
+        f = rng.standard_normal((dim, dim))
+        f32 = f.astype(np.float32).astype(np.float64)
+        for s in (1.05, 1.3, 2.0, 1 / 1.3, 0.5):
+            ref = np.asarray(scale_fft(f, s, ori_dim=True))
+            got = apply_scale_matrix(f32, *scale_fft_matrix(dim, s))
+            assert np.max(np.abs(ref - got)) < 1e-10, (dim, s)
+
+
+@pytest.mark.parametrize("crop_ifs", [True, False])
+def test_sharded_pca_sdi_single_matches_public_pca(crop_ifs):
+    """CROSS-PATH parity (VERDICT r3 #1): the channel-sharded single-pass
+    mSDI PCA must reproduce the public single-chip
+    pca(adimsdi='single', imlib2='vip-fft') — same exact scale_fft
+    numerics, not a self-consistent approximation."""
+    from jax.sharding import Mesh
+    from scipy.ndimage import gaussian_filter
+
+    from vip_tpu.psfsub import pca
+    from vip_tpu.psfsub.sharded import sharded_pca_sdi_single
 
     rng = np.random.default_rng(6)
-    z, n, sz = 4, 8, 32
-    cube = rng.standard_normal((z, n, sz, sz))
+    z, n, sz = 4, 8, 40
+    lbdas = np.linspace(1.0, 1.3, z)
+    scal = lbdas[-1] / lbdas
+    speck = gaussian_filter(rng.standard_normal((sz, sz)), 2.0) * 5
+    cube = np.empty((z, n, sz, sz))
+    from vip_tpu.preproc.rescaling import frame_rescaling
+
+    for ch in range(z):
+        sp = frame_rescaling(speck.copy(), scale=1 / scal[ch])
+        for fr in range(n):
+            cube[ch, fr] = sp + gaussian_filter(
+                rng.standard_normal((sz, sz)), 1.0) * 0.3
     angles = np.linspace(0, 40, n)
-    scal = np.linspace(1.0, 1.3, z)
-    ncomp = 3
 
-    from jax.sharding import Mesh
+    single = pca(cube.copy(), angles, scale_list=scal, ncomp=3,
+                 adimsdi="single", crop_ifs=crop_ifs, verbose=False)
     mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("channels",))
-    got = sharded_pca_sdi_single(cube, angles, scal, ncomp=ncomp, mesh=mesh)
-
-    # single-device replica of the same program
-    resc = jnp.stack([
-        jax.vmap(lambda f, s=s: _zoom_bilinear(f, jnp.asarray(s)))(
-            jnp.asarray(cube[ch]))
-        for ch, s in enumerate(scal)])
-    M = resc.reshape(z * n, sz * sz)
-    e, EV = jnp.linalg.eigh(M @ M.T)
-    V = (EV.T @ M)[::-1]
-    V = (V / jnp.sqrt(jnp.abs(e))[::-1, None])[:ncomp]
-    resid = (M - (M @ V.T) @ V).reshape(z, n, sz, sz)
-    desc = jnp.stack([
-        jax.vmap(lambda f, s=s: _zoom_bilinear(f, jnp.asarray(1.0 / s)))(
-            resid[ch])
-        for ch, s in enumerate(scal)])
-    cube_adi = jnp.mean(desc, axis=0)
-    der = jax.vmap(rotate_fft_pipeline)(cube_adi,
-                                        -jnp.asarray(angles))
-    ref = np.asarray(jnp.mean(der, axis=0))
-    assert np.allclose(got, ref, atol=1e-8)
+    multi = sharded_pca_sdi_single(cube, angles, scal, ncomp=3, mesh=mesh,
+                                   crop_ifs=crop_ifs)
+    assert single.shape == multi.shape
+    assert np.max(np.abs(single - multi)) < 1e-5

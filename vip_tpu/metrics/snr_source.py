@@ -158,6 +158,8 @@ def snr_multi(array, xs, ys, fwhm, exclude_negative_lobes=False,
         all_yy.append(yy)
         all_xx.append(xx)
         counts.append(len(yy))
+    if not all_yy:
+        return np.empty(0), np.empty(0)
     fluxes_all = np.asarray(aperture_flux(
         jnp.asarray(array), np.concatenate(all_yy), np.concatenate(all_xx),
         rad))

@@ -98,6 +98,73 @@ def scale_fft(array, scale, ori_dim=False):
     return array_resc
 
 
+def scale_fft_matrix(dim, scale, dtype=np.float64):
+    """Exact ``scale_fft(·, scale, ori_dim=True)`` as a (dim, dim) operator.
+
+    ``scale_fft`` (reference rescaling.py:1114-1217) is a linear operator
+    on the (even, square) input frame: zero-embed at offset KD -> DFT ->
+    centered spectrum pad/crop to ``dim_pp = dim + 2*KF`` -> inverse DFT
+    -> crop or re-embed at offset KF. The 2-D DFT separates, so per axis
+    the chain is one (dim, dim) complex matrix D[m, v] =
+    (1/dim_pp) * sum_k e^{2πik(m+KF)/dim_pp} e^{-2πik(v+KD)/dim_p} over
+    the centered ``dmin = min(dim_p, dim_pp)`` frequencies. That range is
+    asymmetric (it keeps -dmin/2 but not +dmin/2), so D = R0 + i*g*hᵀ
+    with a REAL R0 and a rank-1 imaginary Nyquist term, and the real 2-D
+    result the reference returns is exactly
+
+        real(D f Dᵀ) = R0 @ f @ R0.T - (h @ f @ h) * outer(g, g).
+
+    Returns ``(R0, g, h)``. This gives every IFS channel a UNIFORM-shape
+    exact zoom (two MXU matmuls + a rank-1 correction), which is what the
+    sharded SDI path needs — the per-channel KD/KF integer paddings
+    otherwise force one compiled program per channel.
+    """
+    if dim % 2:
+        raise ValueError("scale_fft_matrix requires an even dim")
+    if scale == 1:
+        z = np.zeros(dim, dtype=dtype)
+        return np.eye(dim, dtype=dtype), z, z
+    # identical KD/KF integer optimization as scale_fft above
+    kd_array = np.arange(dim / 2 + 1, dtype=int)
+    yy = dim / 2 * (scale - 1) + kd_array.astype(float) * scale
+    kf_array = np.round(yy).astype(int)
+    imin = int(np.nanargmin(np.abs(yy - kf_array)))
+    kd = int(kd_array[imin])
+    kf = int(kf_array[imin])
+    dim_p = dim + 2 * kd
+    dim_pp = dim + 2 * kf
+    dmin = min(dim_p, dim_pp)
+    k = np.arange(-(dmin // 2), dmin // 2, dtype=np.float64)
+    m = np.arange(dim, dtype=np.float64)
+    u = m + kf                       # output sample index in the dim_pp grid
+    E_out = np.exp(2j * np.pi * np.outer(u, k) / dim_pp)       # (dim, dmin)
+    E_in = np.exp(-2j * np.pi * np.outer(k, m + kd) / dim_p)   # (dmin, dim)
+    R0 = np.real(E_out @ E_in) / dim_pp
+    # rank-1 imaginary part from the unpaired Nyquist frequency -dmin/2:
+    # one of the two factors is an exact (-1)^integer alternation
+    k0 = -(dmin // 2)
+    a = np.exp(2j * np.pi * k0 * u / dim_pp)           # output-side factor
+    b = np.exp(-2j * np.pi * k0 * (m + kd) / dim_p)    # input-side factor
+    if dmin == dim_p:   # scale > 1: b = (-1)^(v+kd) exactly real
+        g = np.imag(a) / dim_pp
+        h = np.where((m.astype(int) + kd) % 2 == 0, 1.0, -1.0)
+    else:               # scale < 1: a = (-1)^(m+kf) exactly real
+        g = np.where((m.astype(int) + kf) % 2 == 0, 1.0, -1.0) / dim_pp
+        h = np.imag(b)
+    invalid = (u < 0) | (u >= dim_pp)   # out-of-range rows of the re-embed
+    R0[invalid] = 0.0
+    g = np.where(invalid, 0.0, g)
+    return (np.ascontiguousarray(R0, dtype=dtype), g.astype(dtype),
+            h.astype(dtype))
+
+
+def apply_scale_matrix(frame, R0, g, h):
+    """Apply a :func:`scale_fft_matrix` operator to a square frame (works
+    with numpy or jax arrays): ``R0 f R0ᵀ - (hᵀ f h) g gᵀ``."""
+    corr = h @ frame @ h
+    return R0 @ frame @ R0.T - corr * g[:, None] * g[None, :]
+
+
 def frame_rescaling(array, ref_xy=None, scale=1.0, imlib="vip-fft",
                     interpolation="lanczos4", scale_y=None, scale_x=None):
     """Rescale a frame wrt a reference point, keeping its dimensions

@@ -259,53 +259,55 @@ def make_sharded_median_adi(mesh, axis="frames", collapse="median"):
     return jax.jit(sharded)
 
 
-def _zoom_bilinear(frame, scale):
-    """Spatial zoom about the frame center as two resample matmuls.
-
-    The (N, N) bilinear interpolation matrix is built from the traced
-    ``scale`` scalar, so every channel shares one compiled program — the
-    uniform-shape property the sharded SDI path needs (the exact
-    integer-padded scale_fft has per-scale shapes). This is the MXU
-    analogue of the reference's interpolation imlibs for
-    cube_rescaling_wavelengths (reference rescaling.py:324-477).
-    """
-    N = frame.shape[0]
-    c = (N - 1) / 2.0
-    u = jnp.arange(N, dtype=frame.dtype)
-    src = (u - c) / scale + c
-    d = jnp.abs(src[:, None] - u[None, :])
-    W = jnp.maximum(0.0, 1.0 - d)
-    W = W / jnp.maximum(W.sum(axis=1, keepdims=True), 1e-30)
-    return W @ frame @ W.T
+def _apply_resample(frame, R, g, h):
+    """Apply one per-channel exact-zoom operator (see
+    ``preproc.rescaling.scale_fft_matrix``): two MXU matmuls plus the
+    rank-1 Nyquist correction. R (o, i), g (o,), h (i,), frame (i, i)."""
+    corr = h @ frame @ h
+    return R @ frame @ R.T - corr * g[:, None] * g[None, :]
 
 
-def make_sharded_pca_sdi_single(mesh, ncomp, axis="channels"):
-    """Sharded ADI+mSDI single-step PCA (P4 of SURVEY §2.c).
+def make_sharded_pca_sdi_single(mesh, ncomp, axis="channels",
+                                collapse="median", collapse_ifs="mean"):
+    """Sharded ADI+mSDI single-step PCA (P4 of SURVEY §2.c), numerically
+    EXACT vs the single-chip ``pca(adimsdi='single', imlib2='vip-fft')``.
 
-    The wavelength axis of the 4-D cube is laid over the mesh: each
-    device rescales its channels to a common lambda locally (batched
-    matmul zoom), the joint (z·n, p) PCA library's Gram is assembled
-    with one all_gather over ICI, projection/subtraction and the inverse
-    rescale stay local, the channel collapse is a psum, and the ADI
-    derotation stage reshards the frame axis over the same devices
-    (dynamic_slice by axis index) before the final psum-mean collapse —
-    the multi-chip rebuild of the reference's single-PCA mSDI mode
+    The wavelength axis of the 4-D cube is laid over the mesh. Each
+    device rescales its channels to the common lambda locally with the
+    channel's precomputed exact scale_fft operator (uniform (o, i) shape
+    for every channel — reference rescaling.py:1114-1217's per-channel
+    KD/KF integer paddings are folded into dense resample matrices by
+    ``scale_fft_matrix``, so one compiled SPMD program serves all
+    channels). The joint (z·n, p) PCA library's Gram is assembled with
+    one all_gather over ICI, projection/subtraction and the inverse
+    rescale stay local, the channel collapse is a psum (mean) or an
+    all_to_all reshard (median), and the ADI derotation stage reshards
+    the frame axis over the same devices before the final collapse — the
+    multi-chip rebuild of the reference's single-PCA mSDI mode
     (reference pca_fullfr.py:1038-1242).
 
-    Returns fn(cube4d, angles, scal_list) -> (y, x) frame; cube4d is
-    consumed sharded along channels, angles/scal broadcast. Requires
-    z % n_dev == 0 and n % n_dev == 0.
+    Returns fn(cube4d, angles, A, gA, hA, B, gB, hB) -> (y_out, y_out)
+    frame; cube4d is consumed sharded along channels (at the reflect-
+    padded size), the per-channel forward operators A (z, p_pca, p_pad)
+    and inverse operators B (z, y_out, p_pca) sharded likewise, angles
+    broadcast. Requires z % n_dev == 0 and n % n_dev == 0.
     """
     n_dev = len(mesh.devices.ravel())
+    if collapse not in ("mean", "median"):
+        raise ValueError("sharded collapse supports 'mean' and 'median'")
+    if collapse_ifs not in ("mean", "median"):
+        raise ValueError("sharded collapse_ifs supports 'mean' and 'median'")
 
-    def step(cube_loc, angles, scal_loc):
-        z_loc, n, y, x = cube_loc.shape
+    def step(cube_loc, angles, A_loc, gA_loc, hA_loc, B_loc, gB_loc, hB_loc):
+        z_loc, n, _, _ = cube_loc.shape
         z = z_loc * n_dev
 
-        # local channel rescale to the common wavelength
-        resc = jax.vmap(lambda ch, s: jax.vmap(
-            lambda f: _zoom_bilinear(f, s))(ch))(cube_loc, scal_loc)
-        M_loc = resc.reshape(z_loc * n, y * x)
+        # local channel rescale to the common wavelength (exact zoom)
+        resc = jax.vmap(lambda ch, R, g, h: jax.vmap(
+            lambda f: _apply_resample(f, R, g, h))(ch))(
+                cube_loc, A_loc, gA_loc, hA_loc)
+        y_pca = resc.shape[-1]
+        M_loc = resc.reshape(z_loc * n, y_pca * y_pca)
 
         # distributed Gram of the joint (z*n, p) library
         M_full = jax.lax.all_gather(M_loc, axis, tiled=True)
@@ -320,35 +322,125 @@ def make_sharded_pca_sdi_single(mesh, ncomp, axis="channels"):
         S = jnp.sqrt(jnp.abs(e))[::-1]
         V = (V / S[:, None])[:ncomp]
 
-        # local projection + inverse rescale; channel collapse via psum
-        resid = (M_loc - (M_loc @ V.T) @ V).reshape(z_loc, n, y, x)
-        desc = jax.vmap(lambda ch, s: jax.vmap(
-            lambda f: _zoom_bilinear(f, 1.0 / s))(ch))(resid, scal_loc)
-        cube_adi = jax.lax.psum(jnp.sum(desc, axis=0), axis) / z
+        # local projection + exact inverse rescale + crop to y_out
+        resid = (M_loc - (M_loc @ V.T) @ V).reshape(z_loc, n, y_pca, y_pca)
+        desc = jax.vmap(lambda ch, R, g, h: jax.vmap(
+            lambda f: _apply_resample(f, R, g, h))(ch))(
+                resid, B_loc, gB_loc, hB_loc)
 
-        # ADI stage: reshard the frame axis over the same mesh axis
+        # channel (IFS) collapse + frame-axis reshard for the ADI stage
         n_loc = n // n_dev
-        fr_loc = jax.lax.dynamic_slice_in_dim(cube_adi, idx * n_loc, n_loc)
+        if collapse_ifs == "median":
+            # (z_loc, n, y, x) -> (z, n_loc, y, x): the all_to_all hands
+            # every device ALL channels of its own frame slab
+            full = jax.lax.all_to_all(desc, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)
+            fr_loc = jnp.median(full, axis=0)              # (n_loc, y, x)
+        else:
+            cube_adi = jax.lax.psum(jnp.sum(desc, axis=0), axis) / z
+            fr_loc = jax.lax.dynamic_slice_in_dim(cube_adi, idx * n_loc,
+                                                  n_loc)
         ang_loc = jax.lax.dynamic_slice_in_dim(angles, idx * n_loc, n_loc)
         der = rotate_fft_pruned_batch(fr_loc, -ang_loc)
+        if collapse == "median":
+            return _sharded_median(der, axis)
         return jax.lax.psum(jnp.sum(der, axis=0), axis) / n
 
     sharded = shard_map(step, mesh=mesh,
-                        in_specs=(P(axis), P(), P(axis)), out_specs=P(),
-                        check_vma=False)
+                        in_specs=(P(axis), P(), P(axis), P(axis), P(axis),
+                                  P(axis), P(axis), P(axis)),
+                        out_specs=P(), check_vma=False)
     return jax.jit(sharded)
 
 
-def sharded_pca_sdi_single(cube, angles, scal_list, ncomp=2, mesh=None):
-    """Convenience wrapper: shard the channel axis, run, return numpy."""
+def _compose_crop(R, g, y0, size):
+    """Row-crop an exact-zoom operator: out rows [y0:y0+size]."""
+    return R[y0:y0 + size], g[y0:y0 + size]
+
+
+def _channel_resample_ops(dim, scale, crop=None):
+    """Exact-zoom operator for one channel at frame size ``dim``
+    (odd dims go through frame_rescaling's embed-to-even trick,
+    reference rescaling.py:1170-1180), optionally composed with a
+    centered row-crop to ``crop`` (reference cosmetics.py:38-111 /
+    shapes.py:255-354 conventions via ``get_square``)."""
+    from ..preproc.rescaling import scale_fft_matrix
+    from ..var.shapes import get_square
+
+    if dim % 2:
+        R, g, h = scale_fft_matrix(dim + 1, float(scale))
+        # odd frame embedded at [1:, 1:] of an even zero frame, output
+        # cropped back: per-axis operator drops row/col 0
+        R, g, h = R[1:, 1:], g[1:], h[1:]
+    else:
+        R, g, h = scale_fft_matrix(dim, float(scale))
+    if crop is not None and crop < dim:
+        _, y0, _ = get_square(np.zeros((dim, dim)), crop, (dim - 1) / 2.,
+                              (dim - 1) / 2., position=True, verbose=False)
+        # get_square may bump size by 1 on parity mismatch
+        size = crop + 1 if (dim % 2) != (crop % 2) else crop
+        R, g = _compose_crop(R, g, y0, size)
+    return R, g, h
+
+
+def sharded_pca_sdi_single(cube, angles, scal_list, ncomp=2, mesh=None,
+                           collapse="median", collapse_ifs="mean",
+                           crop_ifs=True):
+    """Multi-chip ``pca(adimsdi='single')``: host geometry prep (reflect
+    pad + per-channel exact resample operators), then the sharded step.
+
+    Mirrors _adimsdi_singlepca (reference pca_fullfr.py:1038-1242):
+    reflect-pad to ceil(max_scale * y), forward exact zoom per channel
+    (optionally cropped back to y when ``crop_ifs``), one joint PCA over
+    all z*n frames, inverse zoom + crop to y, IFS collapse, derotation,
+    final collapse.
+    """
     if mesh is None:
         mesh = frame_mesh(axis_name="channels")
     n_dev = len(mesh.devices.ravel())
-    z, n = cube.shape[:2]
+    cube = np.asarray(cube, float)
+    z, n, y_in, x_in = cube.shape
+    if y_in != x_in:
+        raise ValueError("sharded SDI requires square frames")
     if z % n_dev or n % n_dev:
         raise ValueError(f"z ({z}) and n ({n}) must divide evenly over "
                          f"{n_dev} devices")
-    fn = make_sharded_pca_sdi_single(mesh, ncomp, axis=mesh.axis_names[0])
-    cube_sh = shard_cube(np.asarray(cube, float), mesh)
-    return np.asarray(fn(cube_sh, jnp.asarray(np.asarray(angles, float)),
-                         jnp.asarray(np.asarray(scal_list, float))))
+    scal = np.asarray(scal_list, float)
+
+    # reflect pad (reference rescaling.py:324-477 forward branch)
+    max_sc = float(np.max(scal))
+    if max_sc > 1:
+        new_y = int(np.ceil(max_sc * y_in))
+        if (new_y - y_in) % 2 != 0:
+            new_y += 1
+        p = (new_y - y_in) // 2
+        big = np.pad(cube, ((0, 0), (0, 0), (p, p), (p, p)), "reflect")
+    else:
+        big = cube
+    y_pad = big.shape[-1]
+
+    # scale_fft embeds values through float32 (reference
+    # rescaling.py:1168 dtype quirk); replicate for bit-parity
+    big = big.astype(np.float32).astype(np.float64)
+
+    fwd = [_channel_resample_ops(y_pad, s,
+                                 crop=y_in if crop_ifs else None)
+           for s in scal]
+    y_pca = fwd[0][0].shape[0]
+    inv = [_channel_resample_ops(y_pca, 1.0 / s,
+                                 crop=y_in if y_pca > y_in else None)
+           for s in scal]
+
+    A = np.stack([f[0] for f in fwd])
+    gA = np.stack([f[1] for f in fwd])
+    hA = np.stack([f[2] for f in fwd])
+    B = np.stack([iv[0] for iv in inv])
+    gB = np.stack([iv[1] for iv in inv])
+    hB = np.stack([iv[2] for iv in inv])
+
+    fn = make_sharded_pca_sdi_single(mesh, ncomp, axis=mesh.axis_names[0],
+                                     collapse=collapse,
+                                     collapse_ifs=collapse_ifs)
+    sh = functools.partial(shard_cube, mesh=mesh)
+    return np.asarray(fn(sh(big), jnp.asarray(np.asarray(angles, float)),
+                         sh(A), sh(gA), sh(hA), sh(B), sh(gB), sh(hB)))
