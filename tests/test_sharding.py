@@ -157,6 +157,40 @@ def test_sharded_mcmc_lnprob_matches_single_device():
     assert np.allclose(a, b, atol=1e-8)
 
 
+def test_mcmc_walker_mesh_public_api_matches_single_device():
+    """VERDICT r3 #2: the PUBLIC sampler with walker_mesh= must produce
+    the same chain as the single-device run for the same rng_seed."""
+    from jax.sharding import Mesh
+
+    from conftest import make_adi_cube
+    from vip_tpu.fm.fakecomp import cube_inject_companions, normalize_psf
+    from vip_tpu.fm.negfc_mcmc import mcmc_negfc_sampling
+
+    cube, angs = make_adi_cube(n=12, size=48)
+    yy, xx = np.mgrid[:13, :13]
+    psf = np.exp(-((yy - 6) ** 2 + (xx - 6) ** 2) / (2 * (4 / 2.355) ** 2))
+    psfn = normalize_psf(psf, fwhm=4.0, verbose=False)
+    cubefc = cube_inject_companions(cube, psfn, angs, flevel=30, plsc=0.1,
+                                    rad_dists=12, theta=30, n_branches=1,
+                                    verbose=False)
+    kwargs = dict(ncomp=3, annulus_width=4, aperture_radius=2, fwhm=4.0,
+                  nwalkers=16, niteration_limit=6, niteration_min=6,
+                  conv_test="ac", verbosity=0, rng_seed=7)
+    single = mcmc_negfc_sampling(cubefc, angs, psfn, (12.0, 30.0, 30.0),
+                                 **kwargs)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("walkers",))
+    multi = mcmc_negfc_sampling(cubefc, angs, psfn, (12.0, 30.0, 30.0),
+                                walker_mesh=mesh, **kwargs)
+    assert single.shape == multi.shape
+    assert np.max(np.abs(single - multi)) < 1e-8
+
+    # host-fallback configurations must refuse the mesh loudly
+    with pytest.raises(ValueError, match="walker_mesh"):
+        mcmc_negfc_sampling(cubefc, angs, psfn, (12.0, 30.0, 30.0),
+                            radial_gradient=True, walker_mesh=mesh,
+                            **kwargs)
+
+
 def test_sharded_pattern_frames_matches_single_device():
     """Pattern-axis-sharded contrast reductions == per-cube pipeline."""
     from jax.sharding import Mesh

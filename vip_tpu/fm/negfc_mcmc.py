@@ -151,9 +151,16 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
                         ac_c=50, ac_count_thr=3, nproc=1,
                         output_dir="results/", output_file=None,
                         display=False, verbosity=0, save=False,
-                        rng_seed=0):
+                        rng_seed=0, walker_mesh=None):
     """Affine-invariant MCMC of (r, θ, f) with the NEGFC technique
     (reference negfc_mcmc.py:504-1121).
+
+    ``walker_mesh``: optional ``jax.sharding.Mesh`` — the walker axis of
+    every likelihood batch is sharded over its devices (ICI-parallel
+    rebuild of the reference's fork pool, negfc_mcmc.py:950-963). Both
+    ``nwalkers`` and ``nwalkers // 2`` (the stretch-move half-ensembles)
+    must divide evenly over the mesh. Requires the on-device likelihood
+    fast path (default ``algo=pca_annulus``).
 
     Returns the chain (nwalkers, nsteps, ndim), zero-truncated.
     """
@@ -274,10 +281,10 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
             dev_mu, dev_sig2 = mu_sigma[0], mu_sigma[1] ** 2
         else:
             dev_mu, dev_sig2 = float(mu_sigma), 0.0
-        lnprob_batched = make_batched_lnprob(
-            cube, angs, psfn, _opt_overrides["ncomp"], annulus_width,
-            initial_state[0], initial_state[1], aperture_radius, fwhm,
-            dev_mu, dev_sig2, bounds,
+        _lnp_args = (cube, angs, psfn, _opt_overrides["ncomp"],
+                     annulus_width, initial_state[0], initial_state[1],
+                     aperture_radius, fwhm, dev_mu, dev_sig2, bounds)
+        _lnp_kwargs = dict(
             svd_method=MODE_TO_METHOD.get(_opt_overrides["svd_mode"],
                                           "lapack"),
             collapse=_opt_overrides["collapse"], sigma=sigma,
@@ -286,6 +293,26 @@ def mcmc_negfc_sampling(cube, angs, psfn, initial_state, algo=pca_annulus,
             scaling=_opt_overrides["scaling"],
             collapse_ifs=_opt_overrides["collapse_ifs"],
             mu_sigma_is_tuple=isinstance(mu_sigma, tuple), fmerit=fmerit)
+        if walker_mesh is not None:
+            from .sharded import make_sharded_batched_lnprob
+
+            n_dev = len(np.ravel(walker_mesh.devices))
+            if nwalkers % n_dev or (nwalkers // 2) % n_dev:
+                raise ValueError(
+                    f"nwalkers ({nwalkers}) and nwalkers//2 must divide "
+                    f"evenly over the {n_dev} walker_mesh devices")
+            if verbosity > 0:
+                print(f"Sharding walker batches over {n_dev} devices")
+            lnprob_batched = make_sharded_batched_lnprob(
+                walker_mesh, *_lnp_args,
+                axis=walker_mesh.axis_names[0], **_lnp_kwargs)
+        else:
+            lnprob_batched = make_batched_lnprob(*_lnp_args, **_lnp_kwargs)
+    elif walker_mesh is not None:
+        raise ValueError(
+            "walker_mesh requires the on-device likelihood fast path "
+            "(algo=pca_annulus without radial_gradient/custom "
+            "algo_options); got a host-fallback configuration")
     else:
         def _lnprob_one(p):
             return lnprob(tuple(p), bounds, cube, angs, psfn, fwhm,
