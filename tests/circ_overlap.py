@@ -22,12 +22,15 @@ def _quadrant_corner_area(x, y, r):
     corner_in = x * x + y * y <= r * r
 
     def antideriv(t):
+        # (r-t)(r+t) and atan2 avoid the catastrophic cancellation of
+        # r^2 - t^2 / arcsin(t/r) near t = r (a ~1e-8 area error at
+        # tangent pixels otherwise — caught by test_oracle_stubs)
         t = np.clip(t, -r, r)
-        return 0.5 * (t * np.sqrt(np.maximum(r * r - t * t, 0.0))
-                      + r * r * np.arcsin(np.clip(t / r, -1.0, 1.0)))
+        s = np.sqrt(np.maximum((r - t) * (r + t), 0.0))
+        return 0.5 * (t * s + r * r * np.arctan2(t, s))
 
     # crossing point where circle height equals y (only meaningful y < r)
-    tstar = np.sqrt(np.maximum(r * r - y * y, 0.0))
+    tstar = np.sqrt(np.maximum((r - y) * (r + y), 0.0))
     xe = np.minimum(x, r)
     # region 1: 0..min(x, tstar) capped at height y
     a1 = y * np.minimum(xe, tstar)

@@ -71,6 +71,35 @@ def input_checksum(ds):
     return h.hexdigest()
 
 
+def input_dataset_cached():
+    """Prepared golden inputs, loaded from the committed cache when present.
+
+    gen_golden.py commits the oracle-prepared injected cube alongside
+    meta.npz (inputs.npz); sessions then skip the ~17 s reference-oracle
+    normalize_psf+injection re-run. The sha256 over (cube, angles, psfn) is
+    recomputed from the cached arrays and must equal the committed checksum,
+    so a stale/corrupt cache can never silently detach the goldens from the
+    inputs they were generated with. Falls back to the live oracle when the
+    cache file is absent.
+    """
+    inputs_path = os.path.join(GOLDEN_DIR, "inputs.npz")
+    meta_path = os.path.join(GOLDEN_DIR, "meta.npz")
+    if not (os.path.exists(inputs_path) and os.path.exists(meta_path)):
+        return input_dataset()
+    meta = np.load(meta_path)
+    inputs = np.load(inputs_path)
+    ds = dict(cube=inputs["cube"], angles=meta["angles"],
+              psfn=meta["psfn"], fwhm=float(meta["fwhm"]),
+              planet_yx=tuple(map(float, meta["planet_yx"])),
+              injected_yx=tuple(map(float, meta["injected_yx"])))
+    want = bytes(meta["checksum"]).hex()
+    if input_checksum(ds) != want:
+        raise AssertionError(
+            "tests/golden/inputs.npz does not match the committed checksum "
+            "-- rerun tests/gen_golden.py and commit the refreshed snapshots")
+    return ds
+
+
 def psfsub_configs(ds):
     """(name, module, func, kwargs, save_frame) tuples, snapshot_psfsub.py
     order."""
@@ -184,6 +213,8 @@ def main(with_snrmap=False):
              injected_yx=np.array(ds["injected_yx"]),
              checksum=np.frombuffer(
                  bytes.fromhex(input_checksum(ds)), dtype=np.uint8))
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "inputs.npz"),
+                        cube=np.asarray(ds["cube"], dtype=np.float64))
 
     import vip_hci.psfsub as ps
     import vip_hci.invprob as ip

@@ -18,7 +18,7 @@ import os
 import numpy as np
 import pytest
 
-from gen_golden import GOLDEN_DIR, input_dataset, input_checksum, \
+from gen_golden import GOLDEN_DIR, input_dataset_cached, input_checksum, \
     psfsub_configs, invprob_configs, SNR_THRESH
 
 pytestmark = pytest.mark.skipif(
@@ -31,7 +31,10 @@ DELTAPIX = 3
 
 @pytest.fixture(scope="session")
 def golden_ds():
-    ds = input_dataset()
+    # input_dataset_cached checksums the committed inputs.npz against
+    # meta.npz (or regenerates via the oracle when the cache is absent),
+    # so drift from the committed goldens still fails loudly.
+    ds = input_dataset_cached()
     meta = np.load(os.path.join(GOLDEN_DIR, "meta.npz"))
     want = bytes(meta["checksum"]).hex()
     got = input_checksum(ds)

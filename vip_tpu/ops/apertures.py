@@ -30,11 +30,14 @@ def _quadrant_corner_area(x, y, r):
     corner_in = x * x + y * y <= r * r
 
     def antideriv(t):
+        # (r-t)(r+t) and atan2 avoid the catastrophic cancellation of
+        # r^2 - t^2 / arcsin(t/r) near t = r (a ~1e-8 area error at
+        # tangent pixels otherwise — caught by tests/test_oracle_stubs)
         t = jnp.clip(t, -r, r)
-        return 0.5 * (t * jnp.sqrt(jnp.maximum(r * r - t * t, 0.0))
-                      + r * r * jnp.arcsin(jnp.clip(t / r, -1.0, 1.0)))
+        s = jnp.sqrt(jnp.maximum((r - t) * (r + t), 0.0))
+        return 0.5 * (t * s + r * r * jnp.arctan2(t, s))
 
-    tstar = jnp.sqrt(jnp.maximum(r * r - y * y, 0.0))
+    tstar = jnp.sqrt(jnp.maximum((r - y) * (r + y), 0.0))
     xe = jnp.minimum(x, r)
     a1 = y * jnp.minimum(xe, tstar)
     hi = jnp.maximum(xe, tstar)
@@ -252,15 +255,16 @@ def _aperture_kernel(r_ap):
     r = float(r_ap)
 
     def antideriv(t):
+        # cancellation-free near t = r (see _quadrant_corner_area)
         t = np.clip(t, -r, r)
-        return 0.5 * (t * np.sqrt(np.maximum(r * r - t * t, 0.0))
-                      + r * r * np.arcsin(np.clip(t / r, -1.0, 1.0)))
+        s = np.sqrt(np.maximum((r - t) * (r + t), 0.0))
+        return 0.5 * (t * s + r * r * np.arctan2(t, s))
 
     def corner(x, y):
         x = np.minimum(x, r)
         y = np.minimum(y, r)
         inside = x * x + y * y <= r * r
-        tstar = np.sqrt(np.maximum(r * r - y * y, 0.0))
+        tstar = np.sqrt(np.maximum((r - y) * (r + y), 0.0))
         a1 = y * np.minimum(x, tstar)
         a2 = antideriv(np.maximum(x, tstar)) - antideriv(tstar)
         return np.where(inside, x * y, a1 + a2)
