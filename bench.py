@@ -218,6 +218,21 @@ def main():
         _emit(f"pca_incremental_{N_FRAMES}x{SIZE}x{SIZE}_batch{inc_batch}",
               N_FRAMES / t_inc, "frames/s", N_FRAMES / t_inc / 2.07)
 
+        # --- the same, streaming a bf16 WIRE format: the workload is
+        # bound by the host->device link (33-44 MB/s on the tunnel;
+        # docs/PROFILING.md out-of-core table), so halving the bytes
+        # halves the wall time; quantization ~4e-3 of the cube's
+        # dynamic range (utils_pca.pca_incremental docstring caveat)
+        def inc_run_bf16():
+            return jnp.asarray(pca_incremental(
+                cube, angles, batch=inc_batch, ncomp=NCOMP, verbose=False,
+                wire_dtype="bfloat16"))
+
+        t_incw = _time(inc_run_bf16, reps=1)
+        _emit(f"pca_incremental_{N_FRAMES}x{SIZE}x{SIZE}_batch{inc_batch}"
+              "_bf16wire",
+              N_FRAMES / t_incw, "frames/s", N_FRAMES / t_incw / 2.07)
+
         # --- NEGFC MCMC walker throughput ---
         from vip_tpu.ops.negfc_model import make_batched_lnprob
 

@@ -70,6 +70,19 @@ def test_pca_incremental_sklearn_parity(fits_cube):
     assert np.abs(ours - theirs).max() < 1e-10
 
 
+def test_pca_incremental_wire_dtype(fits_cube):
+    """bf16 WIRE streaming (docs/PROFILING.md: the workload is
+    host<->device-link-bound) errs at ~bf16 precision of the CUBE's
+    dynamic range — the quantization rides through the projection — so
+    the bound is relative to the input scale, not the residual scale."""
+    path, cube, angs = fits_cube
+    exact = pca_incremental(path, angs, batch=6, ncomp=3, verbose=False)
+    approx = pca_incremental(path, angs, batch=6, ncomp=3, verbose=False,
+                             wire_dtype="bfloat16")
+    scale = np.abs(cube).max()
+    assert np.abs(approx - exact).max() < 1e-2 * scale
+
+
 def test_pca_incremental_return_residuals(fits_cube):
     path, cube, angs = fits_cube
     res = pca_incremental(path, angs, batch=6, ncomp=3, verbose=False,

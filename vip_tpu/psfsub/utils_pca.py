@@ -431,7 +431,7 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                     verbose=True, full_output=False, start_time=None,
                     weights=None, nproc=1, imlib="vip-fft",
                     interpolation="lanczos4", return_residuals=False,
-                    **rot_options):
+                    wire_dtype=None, **rot_options):
     """Incremental (out-of-core) full-frame PCA for cubes larger than
     memory (reference utils_pca.py:431-614).
 
@@ -446,6 +446,17 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     ``batch``: int = frames per batch; float in (0, 1) = fraction of the
     available memory the batch may occupy (reference sizing rule,
     utils_pca.py:536-541).
+
+    ``wire_dtype``: optional reduced-precision host->device WIRE format
+    (e.g. ``"bfloat16"``). The streaming workload is bounded by the
+    host<->device link, not compute (docs/PROFILING.md §out-of-core):
+    casting blocks on the host and upcasting back to the work dtype on
+    device halves the bytes on the wire for ~2x end-to-end throughput.
+    Caveat: the quantization error is ~4e-3 of the CUBE's dynamic range
+    (bf16 keeps 8 mantissa bits) and rides through the projection into
+    the residuals — fine for quicklook or halo-suppressed data, wrong
+    for residuals fainter than ~1e-2 of the stellar peak. Default
+    ``None`` streams the exact work dtype.
     """
     from ..config.mem import get_available_memory
 
@@ -481,10 +492,24 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     # both the host copy and the host->device stream for nothing (the
     # device math runs f32 anyway when x64 is off)
     work_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    if wire_dtype is not None:
+        import ml_dtypes
+
+        wire_np = (np.dtype(ml_dtypes.bfloat16)
+                   if str(wire_dtype) in ("bfloat16", "bf16")
+                   else np.dtype(wire_dtype))
+    else:
+        wire_np = np.dtype(work_dtype)
 
     def read_batch(b):
         blk = cube[b * batch_size:min(n, (b + 1) * batch_size)]
-        return np.asarray(blk, dtype=work_dtype)
+        return np.asarray(blk, dtype=wire_np)
+
+    def to_device(blk):
+        """Ship a host block (in the wire dtype) and upcast on device."""
+        blk_d = jnp.asarray(blk.reshape(-1, npx))
+        return blk_d if blk_d.dtype == work_dtype \
+            else blk_d.astype(work_dtype)
 
     def prefetched_blocks():
         """Yield (index, block) while a host thread reads the next lazy
@@ -531,7 +556,7 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
 
     merge = _merge_svd_jit(k)
     for b, blk in prefetched_blocks():
-        blk_d = jnp.asarray(blk.reshape(-1, npx))
+        blk_d = to_device(blk)
         if cache_on_device:
             dev_blocks.append(blk_d)
         basis, mean, count = merge(basis, blk_d, mean, count)
@@ -562,7 +587,7 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                 yield b, blk_d
         else:
             for b, blk_h in prefetched_blocks():
-                yield b, jnp.asarray(blk_h.reshape(-1, npx))
+                yield b, to_device(blk_h)
 
     for b, blk in pass2_blocks():
         lo = b * batch_size
