@@ -200,5 +200,11 @@ def derotate_collapse(cube, angles, collapse="median", chunk=None,
 @functools.partial(jax.jit, static_argnames=("collapse", "chunk"))
 def median_adi_pipeline(cube, angles, collapse="median", chunk=None):
     """Full-frame median-ADI as a single XLA program."""
-    resid = cube - jnp.median(cube, axis=0)
+    from .pallas_median import nanmedian_axis0, nanmedian_supported
+
+    if nanmedian_supported(cube, 0):
+        model = nanmedian_axis0(cube, propagate=True)
+    else:
+        model = jnp.median(cube, axis=0)
+    resid = cube - model
     return derotate_collapse(resid, angles, collapse=collapse, chunk=chunk)

@@ -17,6 +17,12 @@ def collapse_jax(arr, mode="median", n=50, w=None, ax=0):
     if mode == "mean":
         return jnp.nanmean(arr, axis=ax)
     elif mode == "median":
+        from ..ops.pallas_median import nanmedian_axis0, nanmedian_supported
+
+        if nanmedian_supported(arr, ax):
+            # radix-select Pallas kernel: ~10x over XLA's sort-based
+            # lowering for long frame axes (docs/PROFILING.md)
+            return nanmedian_axis0(arr)
         return jnp.nanmedian(arr, axis=ax)
     elif mode == "sum":
         return jnp.nansum(arr, axis=ax)
