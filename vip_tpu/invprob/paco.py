@@ -311,7 +311,7 @@ class PACO:
                 Cinv[p0[1]][p0[0]] = np.nan
         if valid_patches:
             vp = np.array(valid_patches)
-            mb, cb = _batch_statistics(vp)
+            mb, cb = _batch_statistics_chunked(vp)
             mb = np.array(mb)
             cb = np.array(cb)
             for k, (iy, ix) in enumerate(valid_idx):
@@ -514,7 +514,13 @@ def _stats_one(patch):
     bot = (T + 1.0) * (trS2 - jnp.sum(diag_S**2))
     rho = jnp.clip(top / bot, 0.0, 1.0)
     C = (1.0 - rho) * S + rho * jnp.diag(diag_S)
-    Cinv = jnp.linalg.inv(C)
+    # eigh-based SPD inverse: XLA's LU inverse lowers to a
+    # triangular-solve custom call whose fixed stack buffer busts the
+    # 16 MB scoped-VMEM limit on TPU for 81x81 blocks (batch-size
+    # independent); C is a shrinkage covariance (symmetric PD), so
+    # V diag(1/w) V^T is exact and lowers to the native eigh path
+    w, V = jnp.linalg.eigh(C)
+    Cinv = (V / w[None, :]) @ V.T
     return m, Cinv
 
 
@@ -522,6 +528,31 @@ def _stats_one(patch):
 def _batch_statistics(patches):
     """vmapped patch statistics over pixels: (P, T, A) -> (P, A), (P, A, A)."""
     return vmap(_stats_one)(patches)
+
+
+def _batch_statistics_chunked(patches, chunk=2048):
+    """`_batch_statistics` in fixed-size pixel chunks: XLA's batched
+    triangular-solve custom call busts the 16 MB scoped-VMEM limit on
+    TPU when the whole frame's pixels (~8k x 81 x 81) invert in one
+    call. The last chunk is zero-padded to the chunk size so every
+    dispatch shares one compiled program."""
+    P = patches.shape[0]
+    if P <= chunk:
+        return _batch_statistics(patches)
+    ms, cs = [], []
+    for lo in range(0, P, chunk):
+        blk = patches[lo:lo + chunk]
+        n = blk.shape[0]
+        if n < chunk:
+            pad = jnp.concatenate(
+                [blk, jnp.broadcast_to(blk[-1:], (chunk - n,) + blk.shape[1:])])
+            mb, cb = _batch_statistics(pad)
+            mb, cb = mb[:n], cb[:n]
+        else:
+            mb, cb = _batch_statistics(blk)
+        ms.append(mb)
+        cs.append(cb)
+    return jnp.concatenate(ms), jnp.concatenate(cs)
 
 
 def compute_statistics_at_pixel(patch):
