@@ -123,6 +123,18 @@ def main():
 
     dev = _probe_devices()[0]
     import jax
+
+    # Persistent compilation cache: the annular scale path's batched
+    # QDWH-eigh alone costs ~200 s to compile; caching lets repeat bench
+    # runs (and the driver's end-of-round run on this host) skip it.
+    # No-op if the backend doesn't support serialized executables.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     rng = np.random.default_rng(0)
     cube = rng.standard_normal((N_FRAMES, SIZE, SIZE)).astype(np.float32)
     angles = np.linspace(0.0, 80.0, N_FRAMES).astype(np.float32)

@@ -122,6 +122,58 @@ def test_pca_annular_parity(ref_psfsub, cube_angles, nseg):
     assert np.max(np.abs(ref - got)) < 1e-7
 
 
+@pytest.mark.parametrize("nseg", [1, 4])
+def test_pca_annular_gram_path_parity(ref_psfsub, cube_angles, nseg,
+                                      monkeypatch):
+    """The Gram-space scale path (ops/annular.py
+    batched_pca_patch_residuals_gram, used above 128 frames) must match
+    the reference exactly like the masked path does. radius_int=2 sets
+    rot_options, so this exercises the host-orchestrated gram branch."""
+    from vip_tpu.psfsub import pca_annular
+
+    monkeypatch.setenv("VIP_TPU_ANNULAR_GRAM", "1")
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=3, asize=8, fwhm=4, delta_rot=0.5, n_segments=nseg,
+                  radius_int=2, verbose=False)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+@pytest.mark.parametrize("nseg,collapse", [(1, "median"), (3, "mean")])
+def test_pca_annular_resident_path_parity(ref_psfsub, cube_angles, nseg,
+                                          collapse, monkeypatch):
+    """The device-resident scale path (_pca_adi_resident: device segment
+    gathers + Gram PCA + device derotate/collapse) must match the
+    reference like the host-orchestrated paths do."""
+    from vip_tpu.psfsub import pca_annular
+    from vip_tpu.psfsub.pca_local import _pca_adi_resident  # noqa: F401
+
+    monkeypatch.setenv("VIP_TPU_ANNULAR_GRAM", "1")
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=3, asize=8, fwhm=4, delta_rot=0.2, n_segments=nseg,
+                  collapse=collapse, verbose=False)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    assert np.max(np.abs(ref - got)) < 1e-7
+
+
+def test_pca_annular_resident_full_output_parity(ref_psfsub, cube_angles,
+                                                 monkeypatch):
+    """full_output residual cubes from the resident path equal the
+    reference's (cube_out, cube_der, frame)."""
+    from vip_tpu.psfsub import pca_annular
+
+    monkeypatch.setenv("VIP_TPU_ANNULAR_GRAM", "1")
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=2, asize=10, fwhm=4, delta_rot=0.2, verbose=False,
+                  full_output=True)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    for r, g in zip(ref, got):
+        assert np.max(np.abs(np.asarray(r) - np.asarray(g))) < 1e-7
+
+
 def test_pca_annular_eigen_rdi_parity(ref_psfsub, cube_angles):
     from vip_tpu.psfsub import pca_annular
 
@@ -171,3 +223,20 @@ def test_pca_grid_annular_parity(ref_psfsub, cube_angles):
     ref = ref_psfsub.pca_grid(cube.copy(), angles, **kwargs)
     got = pca_grid(cube.copy(), angles, **kwargs)
     assert np.max(np.abs(np.asarray(ref[0]) - np.asarray(got[0]))) < 1e-7
+
+
+def test_pca_annular_resident_subspace_mode(cube_angles, monkeypatch):
+    """svd_mode='randsvd' maps the resident path to the matmul-only
+    subspace iteration (ops/annular._subspace_topk). With 30 power
+    iterations it should agree with the exact eigh path to float
+    resolution on realistic spectra — assert well past the reference's
+    own randomized-mode expectations."""
+    from vip_tpu.psfsub import pca_annular
+
+    monkeypatch.setenv("VIP_TPU_ANNULAR_GRAM", "1")
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=3, asize=8, fwhm=4, delta_rot=0.2, verbose=False)
+    exact = pca_annular(cube.copy(), angles, **kwargs)
+    rand = pca_annular(cube.copy(), angles, svd_mode="randsvd", **kwargs)
+    scale = np.max(np.abs(exact))
+    assert np.max(np.abs(exact - rand)) < 1e-5 * scale

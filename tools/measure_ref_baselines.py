@@ -40,6 +40,25 @@ def main():
 
     legs = set(sys.argv[1:]) or {"pca_annular", "contrast_curve",
                                  "andro_adi", "fmmf_kl_adi", "fastpaco"}
+
+    if "pca_scale" in legs:
+        # reference full-frame PCA at the bench scale (1000x512x512,
+        # ncomp=10, lapack SVD + vip-fft derotation) — the per-run unit
+        # of contrast_curve's (1 + fc_rad_sep*nbranch) algo invocations
+        from ref_oracle import load_ref
+
+        ps = load_ref("vip_hci.psfsub")
+        rng = np.random.default_rng(0)
+        big = rng.standard_normal((1000, 512, 512)).astype(np.float32)
+        angs = np.linspace(0.0, 80.0, 1000)
+        t0 = time.perf_counter()
+        ps.pca(big, angs, ncomp=10, verbose=False, imlib="vip-fft",
+               interpolation=None, check_memory=False)
+        print(f"pca fullfr 1000x512x512 ncomp=10: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        legs.discard("pca_scale")
+        if not legs:
+            return
     ds = input_dataset_cached()
     cube, angles, psfn, fwhm = (ds["cube"], ds["angles"], ds["psfn"],
                                 ds["fwhm"])

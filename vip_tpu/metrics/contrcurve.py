@@ -245,17 +245,34 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
 
     from ..ops.pipeline import pca_adi_pipeline
 
-    stack = jnp.asarray(np.stack([np.asarray(c, float) for c in cubes_fc]))
-    angs = jnp.asarray(np.asarray(parangles, dtype=stack.dtype))
-
-    def reduce_one(cube_fc):
+    def reduce_one(cube_fc, angs):
         return pca_adi_pipeline(cube_fc, angs, ncomp=int(ncomp),
                                 method=method, collapse=collapse,
                                 scaling=algo_dict.get("scaling"),
                                 rot_mode=rot_mode)
 
-    out = jax.jit(jax.vmap(reduce_one))(stack)
-    return list(np.asarray(out))
+    # HBM-aware pattern chunking: vmapping the whole pattern stack
+    # multiplies the pipeline's working set (cube + residuals + padded
+    # rotation canvases, ~4x the cube) by n_patterns — fine at test
+    # scale, OOM at the 1000x512x512 bench scale. Budget ~6 GB of the
+    # 16 GB HBM for the vmapped batch; each chunk reuses one compiled
+    # program (the tail chunk pads by repeating its last cube).
+    bytes_per = int(np.asarray(cubes_fc[0]).nbytes)
+    if np.asarray(cubes_fc[0]).dtype.itemsize == 8:
+        bytes_per //= 2            # device arrays are f32
+    k = max(1, min(len(cubes_fc), int(6e9 / max(1, 4 * bytes_per))))
+    fn = jax.jit(jax.vmap(reduce_one, in_axes=(0, None)))
+    outs = []
+    for lo in range(0, len(cubes_fc), k):
+        blk = cubes_fc[lo:lo + k]
+        npad = k - len(blk)
+        stack = jnp.asarray(np.stack(
+            [np.asarray(c, float) for c in blk]
+            + [np.asarray(blk[-1], float)] * npad))
+        angs = jnp.asarray(np.asarray(parangles, dtype=stack.dtype))
+        out = np.asarray(fn(stack, angs))
+        outs.extend(list(out if npad == 0 else out[:-npad]))
+    return outs
 
 
 def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,

@@ -463,20 +463,15 @@ def _find_indices_adi(angle_list, frame, thr, nframes=None, out_closest=False,
     threshold. Exact port of derotation.py:410-496; runs on host, producing
     static gather indices for the batched device algorithms."""
     n = angle_list.shape[0]
-    index_prev = 0
-    index_foll = frame
-    for i in range(0, frame):
-        if np.abs(angle_list[frame] - angle_list[i]) < thr:
-            index_prev = i
-            break
-        else:
-            index_prev += 1
-    for k in range(frame, n):
-        if np.abs(angle_list[k] - angle_list[frame]) > thr:
-            index_foll = k
-            break
-        else:
-            index_foll += 1
+    # vectorized first-hit scans (the reference's python loops,
+    # derotation.py:429-441, are O(n) per call — 64k calls at bench
+    # scale): index_prev = first i < frame with |dPA| < thr (else
+    # frame); index_foll = first k >= frame with |dPA| > thr (else n)
+    dpa = np.abs(angle_list - angle_list[frame])
+    below = dpa[:frame] < thr
+    index_prev = int(np.argmax(below)) if below.any() else frame
+    above = dpa[frame:] > thr
+    index_foll = frame + int(np.argmax(above)) if above.any() else n
 
     if out_closest:
         return index_prev, index_foll - 1
@@ -487,16 +482,15 @@ def _find_indices_adi(angle_list, frame, thr, nframes=None, out_closest=False,
         ind2 = index_prev
         ind3 = index_foll
         ind4 = min(index_foll + window, n)
-        indices = np.array(list(range(ind1, ind2)) + list(range(ind3, ind4)),
-                           dtype="int32")
+        indices = np.concatenate([np.arange(ind1, ind2),
+                                  np.arange(ind3, ind4)]).astype("int32")
     else:
-        half1 = range(0, index_prev)
-        half2 = range(index_foll, n)
-        indices = np.array(list(half1) + list(half2), dtype="int32")
+        indices = np.concatenate([np.arange(0, index_prev),
+                                  np.arange(index_foll, n)]).astype("int32")
         if truncate:
             thr_n = min(n - 1, max_frames)
-            all_indices = np.array(list(half1) + list(half2))
-            if len(all_indices) > thr_n:
+            if len(indices) > thr_n:
+                all_indices = indices.astype(np.int64)
                 dPA = np.abs(angle_list[all_indices] - angle_list[frame])
                 sort_indices = all_indices[np.argsort(dPA)]
                 good_indices = sort_indices[:thr_n]

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 from ..config import (Collapse, Imlib, Interpolation, SvdMode,
                       time_ini, timing)
 from ..config.utils_param import resolve_algo_params, setup_parameters
-from ..ops.annular import batched_pca_patch_residuals
+from ..ops.annular import (batched_pca_patch_residuals,
+                           batched_pca_patch_residuals_gram,
+                           resident_annulus_update)
+
 from ..preproc.derotation import (_define_annuli, _find_indices_adi,
                                   cube_derotate)
 from ..preproc.parangles import check_pa_vector
@@ -29,6 +32,151 @@ from ..var.shapes import resolve_n_segments
 from .svd import MODE_TO_METHOD, get_eigenvectors
 
 __all__ = ["pca_annular", "PCA_ANNULAR_Params"]
+
+# Frames threshold above which the Gram-space scale path takes over (the
+# masked path is cubic in frames; see ops/annular.py). Override with
+# VIP_TPU_ANNULAR_GRAM=1/0 to force either path (used by the parity test).
+_GRAM_PATH_MIN_FRAMES = 128
+
+
+def _gram_path_enabled(n):
+    import os
+
+    env = os.environ.get("VIP_TPU_ANNULAR_GRAM")
+    if env is not None:
+        return env == "1"
+    return n >= _GRAM_PATH_MIN_FRAMES
+
+
+def _build_lib_masks(angle_list, pa_thr, n, min_frames_lib, max_frames_lib,
+                     have_ref):
+    """Per-frame library masks for one annulus (reference PA-threshold +
+    dPA-sort truncation, derotation.py:410-496)."""
+    if pa_thr != 0:
+        lib_mask = np.zeros((n, n), dtype=bool)
+        lib_sizes = np.zeros(n, dtype=int)
+        for fr in range(n):
+            idx = _find_indices_adi(angle_list, fr, pa_thr, truncate=True,
+                                    max_frames=max_frames_lib)
+            lib_mask[fr, idx] = True
+            lib_sizes[fr] = len(idx)
+        if not have_ref and lib_sizes.min() < min_frames_lib:
+            raise RuntimeError(
+                "Too few frames left in the PCA library. Accepted "
+                f"indices length ({lib_sizes.min():.0f}) less than "
+                f"{min_frames_lib:.0f}. Try decreasing either delta_rot "
+                "or min_frames_lib.")
+        return lib_mask, lib_sizes
+    return np.ones((n, n), dtype=bool), np.full(n, n)
+
+
+def _pad_lib_arrays(lib_mask, lib_sizes, n, npc_max, max_frames_lib, dtype):
+    """(lib_idx, lib_w) padded to the shared L bucket (see the bucketing
+    note in _pca_adi_rdi)."""
+    L = int(lib_sizes.max())
+    L_pad = 64 * ((L + 63) // 64)
+    if L <= max_frames_lib < L_pad:
+        L_pad = int(max_frames_lib)
+    L_pad = min(n, max(npc_max, L_pad))
+    lib_idx = np.zeros((n, L_pad), dtype=np.int32)
+    lib_w = np.zeros((n, L_pad), dtype=dtype)
+    for fr in range(n):
+        idx = np.flatnonzero(lib_mask[fr])
+        lib_idx[fr, :idx.size] = idx
+        lib_w[fr, :idx.size] = 1.0
+    return lib_idx, lib_w
+
+
+def _pca_adi_resident(array, angle_list, radius_int, fwhm, asize,
+                      n_segments, delta_rot, ncomp, min_frames_lib,
+                      max_frames_lib, collapse, rot_mode, theta_init,
+                      full_output, verbose, start_time, method="eigh"):
+    """Device-resident annular ADI PCA at scale.
+
+    The host-orchestrated loop below ships every segment matrix over the
+    host<->device link twice and derotates through host numpy — at
+    1000x512x512 that wire traffic (~2 GB per run over the bench link)
+    plus the per-frame host library scans dominate the wall time. Here
+    the cube is uploaded ONCE; segment extraction (device gather),
+    per-frame library PCA (ops/annular.py Gram path), residual scatter
+    and the final derotate+collapse all stay on device, so only the
+    final frame (or, with full_output, the residual cubes) crosses back.
+    Numerics are identical to the host path (same Gram kernel, same
+    derotation kernel: tests/test_psfsub_parity.py, tests/test_sharding
+    pipeline-parity)."""
+    import jax
+
+    from ..ops.pipeline import _derotate_frames
+    from ..preproc.subsampling import collapse_jax
+
+    n, y, x = array.shape
+    n_annuli = len(n_segments)
+    cube_dev = jnp.asarray(array)
+    cube_out_dev = jnp.zeros_like(cube_dev)
+
+    if verbose:
+        print(f"N annuli = {n_annuli}, FWHM = {fwhm:.3f}")
+        print("PCA per annulus (or annular sectors) [device-resident]:")
+
+    for ann in range(n_annuli):
+        ncompann = int(ncomp)
+        n_segments_ann = n_segments[ann]
+        pa_thr, inner_radius, ann_center = _define_annuli(
+            angle_list, ann, n_annuli, fwhm, radius_int, asize,
+            delta_rot[ann], n_segments_ann, verbose, True)
+        indices = get_annulus_segments((y, x), inner_radius, asize,
+                                       n_segments_ann, theta_init)
+        lib_mask, lib_sizes = _build_lib_masks(
+            angle_list, pa_thr, n, min_frames_lib, max_frames_lib, False)
+        lib_idx, lib_w = _pad_lib_arrays(lib_mask, lib_sizes, n, ncompann,
+                                         max_frames_lib,
+                                         np.dtype(cube_dev.dtype))
+        k_eff = np.minimum(ncompann, lib_sizes)
+        lib_idx_d = jnp.asarray(lib_idx)
+        lib_w_d = jnp.asarray(lib_w)
+        k_eff_d = jnp.asarray(k_eff)
+
+        for j in range(n_segments_ann):
+            yy, xx = indices[j]
+            p = len(yy)
+            k_seg = np.minimum(k_eff, p)
+            # bucket the segment width so all annuli share a handful of
+            # compiled programs (see resident_annulus_update)
+            p_pad = 1024 * ((p + 1023) // 1024)
+            # out-of-bounds padding: clamped on gather (then zeroed via
+            # colmask), dropped on scatter — see resident_annulus_update
+            yy_pad = np.pad(yy, (0, p_pad - p), constant_values=y)
+            xx_pad = np.pad(xx, (0, p_pad - p), constant_values=x)
+            colmask = np.zeros(p_pad, dtype=np.dtype(cube_dev.dtype))
+            colmask[:p] = 1.0
+            cube_out_dev = resident_annulus_update(
+                cube_dev, cube_out_dev, jnp.asarray(yy_pad),
+                jnp.asarray(xx_pad), jnp.asarray(colmask), lib_idx_d,
+                lib_w_d,
+                jnp.asarray(k_seg) if (k_seg != k_eff).any() else k_eff_d,
+                ncompann, method=method)
+
+        if verbose == 1:
+            print("Done PCA with lapack for current annulus")
+            timing(start_time)
+
+    # chunk the derotation to bound the padded-canvas HBM footprint
+    canvas = (4 * y) ** 2 * 8 if rot_mode == "fft" \
+        else (int(1.25 * y) + 2) ** 2 * 8
+    chunk = int(min(n, 128, max(8, 1.6e9 // canvas)))
+    ang_dev = jnp.asarray(np.asarray(angle_list,
+                                     dtype=np.dtype(cube_dev.dtype)))
+    der_dev = _derotate_frames(cube_out_dev, ang_dev, chunk=chunk,
+                               rot_mode=rot_mode)
+    frame = np.asarray(collapse_jax(der_dev, mode=collapse))
+
+    if verbose:
+        print("Done derotating and combining.")
+        timing(start_time)
+
+    if full_output:
+        return np.asarray(cube_out_dev), np.asarray(der_dev), frame
+    return None, None, frame
 
 
 @dataclass
@@ -81,14 +229,18 @@ def pca_annular(*all_args: List, **all_kwargs: dict):
         start_time = time_ini()
 
     if algo_params.cube.ndim == 3:
-        add_params = {"start_time": time_ini(False), "full_output": True}
+        # pass the USER's full_output down: the device-resident path
+        # (_pca_adi_resident) only ships the residual cubes back over
+        # the link when they are actually requested
+        add_params = {"start_time": time_ini(False),
+                      "full_output": bool(algo_params.full_output)}
         func_params = setup_parameters(params_obj=algo_params,
                                        fkt=_pca_adi_rdi, **add_params)
         res = _pca_adi_rdi(**func_params, **rot_options)
-        cube_out, cube_der, frame = res
         if algo_params.full_output:
+            cube_out, cube_der, frame = res
             return cube_out, cube_der, frame
-        return frame
+        return res[2] if isinstance(res, tuple) else res
 
     elif algo_params.cube.ndim == 4 and algo_params.scale_list is None:
         # per-channel annular ADI + channel collapse (pca_local.py:281-330)
@@ -280,7 +432,12 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
                  cube_ref=None, theta_init=0, weights=None, cube_sig=None,
                  left_eigv=False, start_time=None, **rot_options):
     """Annular ADI/RDI PCA core (reference pca_local.py:594-827)."""
-    array = np.asarray(cube, dtype=float)
+    # a jax-Array cube stays on device until a host-orchestrated branch
+    # actually needs it (the resident path never does — passing a
+    # device-resident cube skips the host round-trip entirely)
+    device_in = isinstance(cube, jnp.ndarray) \
+        and not isinstance(cube, np.ndarray)
+    array = cube if device_in else np.asarray(cube, dtype=float)
     if array.ndim != 3:
         raise TypeError("Input array is not a cube or 3d array")
     if array.shape[0] != np.asarray(angle_list).shape[0]:
@@ -304,6 +461,35 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
         n_segments = [n_segments for _ in range(n_annuli)]
     elif n_segments == "auto":
         n_segments = resolve_n_segments("auto", n_annuli, asize)
+
+    # Device-resident dispatch (see _pca_adi_resident): big-cube ADI
+    # configs with the default FFT derotation never leave the device.
+    imlib_val = str(getattr(imlib, "value", imlib))
+    collapse_val = str(getattr(collapse, "value", collapse))
+    if (_gram_path_enabled(n) and cube_ref is None and cube_sig is None
+            and weights is None and not left_eigv
+            and isinstance(ncomp, (int, np.integer))
+            and scaling is None and not rot_options
+            and imlib_val in ("vip-fft", "vip-fft-small")
+            and not (imlib_val == "vip-fft-small"
+                     and (y != x or x % 2 != 0))
+            and collapse_val in ("median", "mean", "sum")):
+        rot_mode = "fft-small" if imlib_val == "vip-fft-small" else "fft"
+        # exact modes (lapack/eigen/...) share the Gram-eigh kernel; the
+        # randomized modes (reference svd.py:705-840) map to the
+        # matmul-only subspace iteration — ~10x faster per annulus on
+        # TPU at 200-frame libraries (MXU vs QDWH's QR panels)
+        svd_val = str(getattr(svd_mode, "value", svd_mode))
+        res_method = "subspace" if MODE_TO_METHOD.get(svd_val) == "randsvd" \
+            else "eigh"
+        return _pca_adi_resident(
+            array, angle_list, radius_int, fwhm, asize, n_segments,
+            delta_rot, ncomp, min_frames_lib, max_frames_lib,
+            collapse_val, rot_mode, theta_init, full_output, verbose,
+            start_time, method=res_method)
+
+    if device_in:
+        array = np.asarray(cube, dtype=float)
 
     if verbose:
         print(f"N annuli = {n_annuli}, FWHM = {fwhm:.3f}")
@@ -420,12 +606,58 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
                                np.minimum(lib_sizes + n_ref_rows,
                                           matrix_segm.shape[1]))
 
-            res, V_all = batched_pca_patch_residuals(
-                jnp.asarray(matrix_segm), jnp.asarray(matrix_emp),
-                jnp.asarray(lib_mask), npc_max, method=method,
-                matrix_ref=None if matrix_segm_ref is None
-                else jnp.asarray(matrix_segm_ref),
-                k_eff=jnp.asarray(k_eff))
+            # Scale path: the masked formulation re-forms an (n, n) Gram
+            # under every frame's mask (O(n^2 p) PER FRAME) — cubic in
+            # frames. Above _GRAM_PATH_MIN_FRAMES, switch to the
+            # Gram-space path (one segment Gram + per-frame (L, L)
+            # gathers, L = max library size; ops/annular.py) — identical
+            # residuals, tested at 1e-8 (tests/test_psfsub_parity.py).
+            use_gram = (matrix_segm_ref is None
+                        and not isinstance(ncompann, list)
+                        and _gram_path_enabled(n))
+            if use_gram:
+                # Shape bucketing: every annulus has its own segment
+                # width p and max library size L; compiling one program
+                # per annulus costs ~64 XLA compiles at bench scale.
+                # Zero-padded pixel columns leave the Gram — and thus
+                # the residuals — exactly unchanged, and zero-weight
+                # library rows are already the padding contract, so pad
+                # p up to a multiple of 1024 and L to a multiple of 64:
+                # a handful of compiled programs serve all annuli.
+                L = int(lib_sizes.max())
+                L_pad = 64 * ((L + 63) // 64)
+                if L <= max_frames_lib < L_pad:
+                    # the dPA truncation cap is the common max — use it
+                    # as its own bucket instead of rounding past it (the
+                    # eigh cost is cubic in L)
+                    L_pad = int(max_frames_lib)
+                L_pad = min(n, max(npc_max, L_pad))
+                lib_idx = np.zeros((n, L_pad), dtype=np.int32)
+                lib_w = np.zeros((n, L_pad), dtype=matrix_segm.dtype)
+                for fr in range(n):
+                    idx = np.flatnonzero(lib_mask[fr])
+                    lib_idx[fr, :idx.size] = idx
+                    lib_w[fr, :idx.size] = 1.0
+                p = matrix_segm.shape[1]
+                p_pad = 1024 * ((p + 1023) // 1024)
+                if p_pad != p:
+                    pad = ((0, 0), (0, p_pad - p))
+                    m_in = np.pad(matrix_segm, pad)
+                    m_emp_in = np.pad(matrix_emp, pad) \
+                        if matrix_emp is not matrix_segm else m_in
+                else:
+                    m_in, m_emp_in = matrix_segm, matrix_emp
+                res = batched_pca_patch_residuals_gram(
+                    jnp.asarray(m_in), jnp.asarray(m_emp_in),
+                    jnp.asarray(lib_idx), jnp.asarray(lib_w), npc_max,
+                    k_eff=jnp.asarray(k_eff))[:, :p]
+            else:
+                res, V_all = batched_pca_patch_residuals(
+                    jnp.asarray(matrix_segm), jnp.asarray(matrix_emp),
+                    jnp.asarray(lib_mask), npc_max, method=method,
+                    matrix_ref=None if matrix_segm_ref is None
+                    else jnp.asarray(matrix_segm_ref),
+                    k_eff=jnp.asarray(k_eff))
 
             if isinstance(ncompann, list):
                 V_all = np.asarray(V_all)
