@@ -82,11 +82,39 @@ def test_throughput_batched_equals_serial(data):
     kw = dict(nbranch=1, theta=0, inner_rad=1, fc_rad_sep=3, verbose=False,
               ncomp=3)
     th_s, rad_s = throughput(cube.copy(), angles, psf, 4.0, tpu_psfsub.pca,
-                             **kw)
+                             batch_patterns=False, **kw)
     th_b, rad_b = throughput(cube.copy(), angles, psf, 4.0, tpu_psfsub.pca,
                              batch_patterns=True, **kw)
     assert np.allclose(rad_s, rad_b)
     assert np.allclose(th_s, th_b, atol=1e-8)
+
+
+def test_inject_ladder_device_matches_host(data):
+    """ops/inject.py device ladder == repeated cube_inject_companions
+    (fm/fakecomp.py host path), incl. an edge-clipped rung and zero-flux
+    K-padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from vip_tpu.fm.fakecomp import cube_inject_companions
+    from vip_tpu.ops.inject import inject_ladder_adi
+
+    cube, angles, psf = data
+    cube = np.asarray(cube[:10], dtype=float)
+    angles = angles[:10]
+    rads = [6.0, 13.5, 21.0, 27.0]      # 27 px: stamp clips the 61-frame
+    fluxes = [20.0, 8.0, 4.0, 3.0]      # edge at some parangles
+    theta = 57.0
+    host = cube.copy()
+    for r, f in zip(rads, fluxes):
+        host = cube_inject_companions(host, psf, angles, f, rad_dists=[r],
+                                      theta=theta, copy_array=False,
+                                      verbose=False)
+    dev = np.asarray(jax.jit(inject_ladder_adi)(
+        jnp.asarray(cube), jnp.asarray(psf), jnp.asarray(angles),
+        jnp.asarray(np.r_[rads, 0.0]), jnp.asarray(np.r_[fluxes, 0.0]),
+        jnp.asarray(np.deg2rad(theta))))
+    assert np.max(np.abs(host - dev)) < 1e-10
 
 
 def test_contrast_curve_4d_parity(ref_contr):

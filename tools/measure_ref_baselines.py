@@ -19,7 +19,7 @@ reports 1, so serial IS the reference's best on this machine):
     contrast_curve 61x101x101 nbranch=1 pca ncomp=5 27.61 s
     andromeda (golden lsq config)                   12.48 s
     fmmf KLIP (golden config)                       3365.19 s
-    FastPACO run() (golden config, pixscale=1)      see log below
+    FastPACO run() (golden config, pixscale=1)      251.61 s
 
 These constants are the vs_baseline denominators for the corresponding
 bench.py legs (same algorithm shapes as the golden snapshots).
@@ -35,6 +35,8 @@ sys.path.insert(0, os.path.join(
 
 
 def main():
+    import numpy as np
+
     from gen_golden import input_dataset_cached, invprob_configs
     from naco_replica import PLSC
 

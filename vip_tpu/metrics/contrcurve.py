@@ -156,7 +156,7 @@ def _process_patterns(cubes_fc, algo, argl, parangles, fwhm_med, algo_dict,
     ``pattern_mesh`` the pattern axis is laid over the device mesh
     instead (metrics.sharded.sharded_pattern_frames)."""
     if pattern_mesh is not None:
-        parsed = _parse_batchable_pca(cubes_fc, algo, algo_dict)
+        parsed = _parse_batchable_pca(cubes_fc[0].shape, algo, algo_dict)
         if parsed is not None and parsed["scaling"] is None:
             from .sharded import sharded_pattern_frames
 
@@ -201,13 +201,14 @@ _BATCHABLE_PCA_KEYS = {"ncomp", "scaling", "collapse", "svd_mode", "imlib",
                        "nproc", "interpolation"}
 
 
-def _parse_batchable_pca(cubes_fc, algo, algo_dict):
+def _parse_batchable_pca(cube_shape, algo, algo_dict):
     """Eligibility + parameter parse shared by the vmapped and sharded
-    pattern fast paths; None when not batchable."""
+    pattern fast paths; None when not batchable. ``cube_shape`` is the
+    shape tuple of one injected cube."""
     if getattr(algo, "__name__", "") != "pca" \
             or not getattr(algo, "__module__", "").startswith("vip_tpu"):
         return None
-    if cubes_fc[0].ndim != 3:
+    if len(cube_shape) != 3:
         return None
     if not set(algo_dict) <= _BATCHABLE_PCA_KEYS:
         return None
@@ -225,7 +226,7 @@ def _parse_batchable_pca(cubes_fc, algo, algo_dict):
     if imlib not in ("vip-fft", "vip-fft-small"):
         return None        # interpolation backends -> serial fallback
     rot_mode = "fft-small" if imlib == "vip-fft-small" else "fft"
-    ny, nx = cubes_fc[0].shape[-2:]
+    ny, nx = cube_shape[-2:]
     if rot_mode == "fft-small" and (nx % 2 != 0 or ny != nx):
         rot_mode = "fft"   # same even-square guard as cube_derotate
     return dict(ncomp=int(ncomp), method=method, collapse=collapse,
@@ -235,7 +236,7 @@ def _parse_batchable_pca(cubes_fc, algo, algo_dict):
 def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     """All injection patterns through one vmapped full-frame PCA program.
     Returns None when the algo/params combination is not batchable."""
-    parsed = _parse_batchable_pca(cubes_fc, algo, algo_dict)
+    parsed = _parse_batchable_pca(cubes_fc[0].shape, algo, algo_dict)
     if parsed is None:
         return None
     ncomp, method = parsed["ncomp"], parsed["method"]
@@ -271,6 +272,68 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
             + [np.asarray(blk[-1], float)] * npad))
         angs = jnp.asarray(np.asarray(parangles, dtype=stack.dtype))
         out = np.asarray(fn(stack, angs))
+        outs.extend(list(out if npad == 0 else out[:-npad]))
+    return outs
+
+
+def _batched_pca_frames_lazy(base_cube, psf_stamp, parangles, specs, algo,
+                             algo_dict):
+    """Injection patterns built ON DEVICE and reduced in one vmapped
+    program per chunk.
+
+    Instead of materializing each injected cube on host and shipping it
+    over the link (~cube-size per pattern; the tunnel runs at 33-44 MB/s,
+    docs/PROFILING.md), the base cube crosses once and every pattern is
+    rebuilt inside the jitted program from its ``(rads, fluxes, theta)``
+    ladder spec via :func:`vip_tpu.ops.inject.inject_ladder_adi` (exact
+    parity with the host injector). ``specs`` is a list of
+    ``(rads, fluxes, ang_rad)`` per pattern; ladders are zero-flux padded
+    to a common length (an exact no-op). Returns None when the
+    algo/params are not batchable."""
+    parsed = _parse_batchable_pca(tuple(base_cube.shape), algo, algo_dict)
+    if parsed is None:
+        return None
+
+    import jax
+
+    from ..ops.inject import inject_ladder_adi
+    from ..ops.pipeline import pca_adi_pipeline
+
+    n_pat = len(specs)
+    kmax = max(len(s[0]) for s in specs)
+    rads = np.zeros((n_pat, kmax))
+    flxs = np.zeros((n_pat, kmax))
+    angp = np.zeros(n_pat)
+    for i, (r, f, a) in enumerate(specs):
+        rads[i, :len(r)] = r
+        flxs[i, :len(f)] = f
+        angp[i] = a
+
+    base = jnp.asarray(np.asarray(base_cube, dtype=float))
+    stamp = jnp.asarray(np.asarray(psf_stamp, dtype=float))
+    angs = jnp.asarray(np.asarray(parangles, dtype=base.dtype))
+
+    def reduce_one(r, f, a, base, stamp, angs):
+        cube_fc = inject_ladder_adi(base, stamp, angs, r, f, a)
+        return pca_adi_pipeline(cube_fc, angs, ncomp=int(parsed["ncomp"]),
+                                method=parsed["method"],
+                                collapse=parsed["collapse"],
+                                scaling=parsed["scaling"],
+                                rot_mode=parsed["rot_mode"])
+
+    fn = jax.jit(jax.vmap(reduce_one, in_axes=(0, 0, 0, None, None, None)))
+    # same HBM budget as _batched_pca_frames (~4x the cube per pattern)
+    k = max(1, min(n_pat, int(6e9 / max(1, 4 * base.nbytes))))
+    outs = []
+    for lo in range(0, n_pat, k):
+        sl = slice(lo, min(lo + k, n_pat))
+        npad = k - (sl.stop - sl.start)
+        pad = ((0, npad), (0, 0))
+        out = np.asarray(fn(
+            jnp.asarray(np.pad(rads[sl], pad, mode="edge")),
+            jnp.asarray(np.pad(flxs[sl], pad, mode="edge")),
+            jnp.asarray(np.pad(angp[sl], pad[:1], mode="edge")),
+            base, stamp, angs))
         outs.extend(list(out if npad == 0 else out[:-npad]))
     return outs
 
@@ -385,6 +448,15 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
 
     y, x = array.shape[-2:]
     angle_branch = angular_range / nbranch
+    # Device-resident injection fast path (ops/inject.py): eligible for
+    # the same algo/params as the batched reducer, 3D cubes, the exact
+    # FFT shift backend and a stamp that fits the frame. Injected cubes
+    # are then never materialized on host.
+    lazy = (batch_patterns and pattern_mesh is None and cube.ndim == 3
+            and imlib == "vip-fft" and psf_template.ndim == 2
+            and psf_template.shape[-1] <= min(y, x)
+            and _parse_batchable_pca(tuple(array.shape), algo,
+                                     algo_dict) is not None)
     thruput_arr = np.zeros((nbranch, noise.shape[0]))
     frame_fc_all = np.zeros((nbranch * fc_rad_sep, y, x))
     if cube.ndim == 3:
@@ -407,18 +479,19 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                                   360 // len(radvec)))
         else:
             thetavec = [theta] * len(radvec)
-        cube_fc = array.copy()
+        cube_fc = None if lazy else array.copy()
         fc_map = np.ones_like(fc_map_all[0]) * 1e-6
         fcy, fcx, fluxes = [], [], []
         for i, rad in enumerate(radvec):
             flux = fc_snr * noise_noscal[irad + i * fc_rad_sep]
             inj_theta = thetavec[i] if cube.ndim == 4 \
                 else br * angle_branch + thetavec[i]
-            cube_fc = cube_inject_companions(
-                cube_fc, psf_template, parangles, flux, rad_dists=[rad],
-                theta=inj_theta, nproc=nproc, imlib=imlib,
-                interpolation=interpolation, copy_array=False,
-                verbose=False)
+            if not lazy:
+                cube_fc = cube_inject_companions(
+                    cube_fc, psf_template, parangles, flux, rad_dists=[rad],
+                    theta=inj_theta, nproc=nproc, imlib=imlib,
+                    interpolation=interpolation, copy_array=False,
+                    verbose=False)
             ang = np.deg2rad(br * angle_branch + thetavec[i])
             yi = cy + rad * np.sin(ang)
             xi = cx + rad * np.cos(ang)
@@ -427,6 +500,11 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
             fcy.append(yi)
             fcx.append(xi)
             fluxes.append(flux)
+        if lazy:
+            spec = (np.asarray(radvec, dtype=float),
+                    np.asarray(fluxes, dtype=float),
+                    float(np.deg2rad(br * angle_branch + theta)))
+            return spec, fc_map, fcy, fcx
         return cube_fc, fc_map, fcy, fcx
 
     patterns = [(br, irad) for br in range(nbranch)
@@ -439,9 +517,19 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
                   f"(pattern {irad + 1}/{fc_rad_sep})")
             timing(start_time)
 
-    frames_fc = _process_patterns(
-        [b[0] for b in built], algo, argl, parangles, fwhm_med, algo_dict,
-        batch_patterns, verbose, start_time, pattern_mesh=pattern_mesh)
+    if lazy:
+        frames_fc = _batched_pca_frames_lazy(
+            array, psf_template, parangles, [b[0] for b in built], algo,
+            algo_dict)
+        if verbose:
+            print(f"{len(built)} patterns injected on device and processed "
+                  "in one batched program")
+            timing(start_time)
+    else:
+        frames_fc = _process_patterns(
+            [b[0] for b in built], algo, argl, parangles, fwhm_med,
+            algo_dict, batch_patterns, verbose, start_time,
+            pattern_mesh=pattern_mesh)
 
     # annulus-wise throughput of every pattern; photometry of ALL
     # patterns batches into a constant number of device dispatches
