@@ -15,6 +15,9 @@ The derived total is recorded as the documented vs_baseline denominator
 for bench.py's pca_annular leg.
 
 Run on an idle host: python tools/measure_ref_annular_unit.py
+
+Measured 2026-08-19 on this host: t(p) = -2.86 ms + 22.84 us*p;
+extrapolated total for 1000x512x512 (64 annuli, 1-segment): 4520 s.
 """
 
 import os

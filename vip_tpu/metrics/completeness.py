@@ -168,7 +168,7 @@ def _run_batch_device(a, bs, level, n_fc, cube, psf, angle_list, fwhm, algo,
                       algo_dict, snrmap_empty, starphot, approximated):
     """One-vmapped-program evaluation of all azimuthal positions at once.
     Returns None when the algo/params are not batchable."""
-    from .contrcurve import _batched_pca_frames
+    from .contrcurve import _batched_pca_frames, _batched_pca_frames_lazy
 
     if cube.ndim != 3 or len(bs) == 0:
         return None
@@ -183,12 +183,23 @@ def _run_batch_device(a, bs, level, n_fc, cube, psf, angle_list, fwhm, algo,
         run_dict["fwhm"] = fwhm_med
     probe = {k: v for k, v in run_dict.items()
              if k not in ("verbose", "fwhm")}
-    cubes_fc = [cube_inject_companions(cube, psf, angle_list,
-                                       flevel=level * starphot, plsc=0.1,
-                                       rad_dists=a, theta=b / n_fc * 360,
-                                       n_branches=1, verbose=False)
-                for b in bs]
-    frames = _batched_pca_frames(cubes_fc, angle_list, algo, probe)
+    psf_np = np.asarray(psf)
+    frames = None
+    if psf_np.ndim == 2 and psf_np.shape[-1] <= min(cube.shape[-2:]):
+        # device-resident injection (ops/inject.py): one base-cube
+        # upload, every azimuthal position rebuilt inside the reducer
+        specs = [(np.atleast_1d(np.asarray(a, dtype=float)),
+                  np.atleast_1d(np.asarray(level * starphot, dtype=float)),
+                  float(np.deg2rad(b / n_fc * 360))) for b in bs]
+        frames = _batched_pca_frames_lazy(cube, psf_np, angle_list, specs,
+                                          algo, probe)
+    if frames is None:
+        cubes_fc = [cube_inject_companions(cube, psf, angle_list,
+                                           flevel=level * starphot, plsc=0.1,
+                                           rad_dists=a, theta=b / n_fc * 360,
+                                           n_branches=1, verbose=False)
+                    for b in bs]
+        frames = _batched_pca_frames(cubes_fc, angle_list, algo, probe)
     if frames is None:
         return None
     return [(_margin_from_frame(np.asarray(fr, dtype=float), a, b, n_fc,

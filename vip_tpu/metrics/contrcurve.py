@@ -233,6 +233,20 @@ def _parse_batchable_pca(cube_shape, algo, algo_dict):
                 rot_mode=rot_mode, scaling=algo_dict.get("scaling"))
 
 
+def _auto_rot_chunk(n_frames, sz, k_patterns, rot_mode):
+    """Derotation frame-chunk bounding the FFT shear canvas to ~2 GB
+    across the ``k_patterns`` vmapped patterns: the exact mode shears on
+    a 4x-padded complex canvas ((4*sz)^2 * 8 B per frame), fft-small on
+    a 1.25x one. None (no chunking) when the whole cube fits — small
+    test cubes keep their unchunked compiled programs."""
+    fac = 4.0 if rot_mode == "fft" else 1.25
+    per_frame = (fac * sz) ** 2 * 8
+    c = int(2e9 / max(1.0, k_patterns * per_frame))
+    if c >= n_frames:
+        return None
+    return max(1, c)
+
+
 def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     """All injection patterns through one vmapped full-frame PCA program.
     Returns None when the algo/params combination is not batchable."""
@@ -250,7 +264,7 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
         return pca_adi_pipeline(cube_fc, angs, ncomp=int(ncomp),
                                 method=method, collapse=collapse,
                                 scaling=algo_dict.get("scaling"),
-                                rot_mode=rot_mode)
+                                chunk=rot_chunk, rot_mode=rot_mode)
 
     # HBM-aware pattern chunking: vmapping the whole pattern stack
     # multiplies the pipeline's working set (cube + residuals + padded
@@ -262,6 +276,8 @@ def _batched_pca_frames(cubes_fc, parangles, algo, algo_dict):
     if np.asarray(cubes_fc[0]).dtype.itemsize == 8:
         bytes_per //= 2            # device arrays are f32
     k = max(1, min(len(cubes_fc), int(6e9 / max(1, 4 * bytes_per))))
+    n_fr, sz = cubes_fc[0].shape[0], cubes_fc[0].shape[-1]
+    rot_chunk = _auto_rot_chunk(n_fr, sz, k, rot_mode)
     fn = jax.jit(jax.vmap(reduce_one, in_axes=(0, None)))
     outs = []
     for lo in range(0, len(cubes_fc), k):
@@ -309,9 +325,18 @@ def _batched_pca_frames_lazy(base_cube, psf_stamp, parangles, specs, algo,
         flxs[i, :len(f)] = f
         angp[i] = a
 
-    base = jnp.asarray(np.asarray(base_cube, dtype=float))
+    if isinstance(base_cube, jax.Array) and not isinstance(base_cube,
+                                                           np.ndarray):
+        base = base_cube           # already device-resident: upload once
+    else:
+        base = jnp.asarray(np.asarray(base_cube, dtype=float))
     stamp = jnp.asarray(np.asarray(psf_stamp, dtype=float))
     angs = jnp.asarray(np.asarray(parangles, dtype=base.dtype))
+
+    # same HBM budget as _batched_pca_frames (~4x the cube per pattern)
+    k = max(1, min(n_pat, int(6e9 / max(1, 4 * base.nbytes))))
+    rot_chunk = _auto_rot_chunk(base.shape[0], base.shape[-1], k,
+                                parsed["rot_mode"])
 
     def reduce_one(r, f, a, base, stamp, angs):
         cube_fc = inject_ladder_adi(base, stamp, angs, r, f, a)
@@ -319,11 +344,10 @@ def _batched_pca_frames_lazy(base_cube, psf_stamp, parangles, specs, algo,
                                 method=parsed["method"],
                                 collapse=parsed["collapse"],
                                 scaling=parsed["scaling"],
+                                chunk=rot_chunk,
                                 rot_mode=parsed["rot_mode"])
 
     fn = jax.jit(jax.vmap(reduce_one, in_axes=(0, 0, 0, None, None, None)))
-    # same HBM budget as _batched_pca_frames (~4x the cube per pattern)
-    k = max(1, min(n_pat, int(6e9 / max(1, 4 * base.nbytes))))
     outs = []
     for lo in range(0, n_pat, k):
         sl = slice(lo, min(lo + k, n_pat))
@@ -397,7 +421,33 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
     start_time = time_ini(verbose) if verbose else None
 
     argl = _check_algo(algo, algo_class)
-    if "fwhm" in argl:
+    # Algo/params eligibility for the device-resident fast paths (the
+    # psf-stamp conditions are checked after normalize_psf below). When
+    # eligible, the EMPTY reduction also runs through the device reducer
+    # (a zero-flux ladder on the already-uploaded base cube) instead of
+    # the black-box call — one cube-sized transfer instead of two, and
+    # the fused pipeline instead of the host-routed public path. The
+    # batched==serial contract (tests/test_metrics_contrcurve.py) pins
+    # the equivalence.
+    lazy_algo = (batch_patterns and pattern_mesh is None and cube.ndim == 3
+                 and algo_dict.get("imlib", "vip-fft") == "vip-fft"
+                 and algo_dict.get("scaling") is None
+                 and _parse_batchable_pca(tuple(array.shape), algo,
+                                          algo_dict) is not None)
+    base_dev = None
+    if lazy_algo:
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(array, jax.Array) and not isinstance(array,
+                                                           np.ndarray):
+            base_dev = array
+        else:
+            base_dev = jnp.asarray(np.asarray(array, dtype=float))
+        frame_nofc = np.asarray(_batched_pca_frames_lazy(
+            base_dev, np.zeros((1, 1)), parangles,
+            [(np.zeros(1), np.zeros(1), 0.0)], algo, algo_dict)[0])
+    elif "fwhm" in argl:
         frame_nofc = algo(cube=array, angle_list=parangles, fwhm=fwhm_med,
                           verbose=False, **algo_dict)
     else:
@@ -519,8 +569,8 @@ def throughput(cube, angle_list, psf_template, fwhm, algo, nbranch=1,
 
     if lazy:
         frames_fc = _batched_pca_frames_lazy(
-            array, psf_template, parangles, [b[0] for b in built], algo,
-            algo_dict)
+            array if base_dev is None else base_dev, psf_template,
+            parangles, [b[0] for b in built], algo, algo_dict)
         if verbose:
             print(f"{len(built)} patterns injected on device and processed "
                   "in one batched program")
