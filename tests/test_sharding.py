@@ -264,3 +264,40 @@ def test_sharded_pca_sdi_single_matches_public_pca(crop_ifs):
                                    crop_ifs=crop_ifs)
     assert single.shape == multi.shape
     assert np.max(np.abs(single - multi)) < 1e-5
+
+
+def test_sharded_pca_incremental_matches_single_device():
+    """P6 workload: out-of-core streaming PCA with the pixel axis sharded
+    (psum'd Gram merges, all_to_all pass-2 reshard) must reproduce the
+    single-device pca_incremental — including a ragged tail batch
+    (30 = 4x7 + 2) and a non-mesh-divisible pixel count (45^2 = 2025)."""
+    from jax.sharding import Mesh
+
+    from vip_tpu.psfsub.utils_pca import pca_incremental
+
+    rng = np.random.default_rng(7)
+    n, sz = 30, 45
+    cube = rng.standard_normal((n, sz, sz))
+    ang = np.linspace(0, 50, n)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("px",))
+
+    for col in ("median", "mean"):
+        single = pca_incremental(cube, ang, batch=7, ncomp=3, collapse=col,
+                                 verbose=False)
+        multi = pca_incremental(cube, ang, batch=7, ncomp=3, collapse=col,
+                                verbose=False, pixel_mesh=mesh)
+        assert np.max(np.abs(single - multi)) < 1e-8, col
+
+    # full_output principal components agree up to sign
+    _, _, pcs_s, meds_s = pca_incremental(cube, ang, batch=7, ncomp=3,
+                                          verbose=False, full_output=True)
+    _, _, pcs_m, meds_m = pca_incremental(cube, ang, batch=7, ncomp=3,
+                                          verbose=False, full_output=True,
+                                          pixel_mesh=mesh)
+    assert np.max(np.abs(np.abs(pcs_s) - np.abs(pcs_m))) < 1e-8
+    assert np.max(np.abs(meds_s - meds_m)) < 1e-8
+
+    # host-fallback configurations must refuse the mesh loudly
+    with pytest.raises(ValueError, match="pixel_mesh"):
+        pca_incremental(cube, ang, batch=7, ncomp=3, pixel_mesh=mesh,
+                        imlib="skimage", verbose=False)

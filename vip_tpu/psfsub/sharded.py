@@ -30,7 +30,9 @@ from ..preproc.derotation import rotate_fft_pruned_batch
 __all__ = ["sharded_pca_adi", "make_sharded_pca_adi",
            "make_sharded_median_adi", "make_sharded_pca_annular",
            "sharded_pca_annular", "make_sharded_pca_sdi_single",
-           "sharded_pca_sdi_single"]
+           "sharded_pca_sdi_single", "make_sharded_incremental_merge",
+           "make_sharded_incremental_normalize",
+           "make_sharded_incremental_pass2"]
 
 
 def make_sharded_pca_adi(mesh, ncomp, axis="frames", collapse="mean"):
@@ -444,3 +446,119 @@ def sharded_pca_sdi_single(cube, angles, scal_list, ncomp=2, mesh=None,
     sh = functools.partial(shard_cube, mesh=mesh)
     return np.asarray(fn(sh(big), jnp.asarray(np.asarray(angles, float)),
                          sh(A), sh(gA), sh(hA), sh(B), sh(gB), sh(hB)))
+
+
+# ---------------------------------------------------------------------------
+# P6: sharded out-of-core incremental PCA (SURVEY.md §2.c P6)
+# ---------------------------------------------------------------------------
+# The reference's out-of-core engine is a single-host memmap +
+# sklearn.IncrementalPCA loop (utils_pca.py:431-614). The TPU-native
+# multi-chip layout shards the PIXEL axis: every streamed block is
+# device_put split across the mesh (parallel host->device links on a
+# real pod), each device holds 1/n_dev of every block, the basis and the
+# running mean, and the only cross-device traffic in the streaming merge
+# is one psum of the small (k+m+1)^2 Gram per block. Pass 2 reshards the
+# residual block pixel->frame (all_to_all over ICI) so the FFT
+# derotation stays frame-local, then collapses with a validity mask so
+# ragged tail batches need no separate program. Zero-padding the pixel
+# axis to a mesh multiple is numerically exact everywhere (zero pixels
+# contribute nothing to Gram, mean, or projection).
+
+
+def make_sharded_incremental_merge(mesh, keep, m_pad, axis=None):
+    """One pixel-sharded merge-and-truncate step of the streaming SVD.
+
+    Inputs (global shapes): basis (keep, npx_pad) sharded on the pixel
+    axis, blk (m_pad, npx_pad) pixel-sharded with zero rows past
+    ``nvalid``, mean (npx_pad,) sharded, count/nvalid replicated
+    scalars. Numerics match ``utils_pca._incremental_merge_svd`` (the
+    single-device step) up to float reduction order.
+    """
+    if axis is None:
+        axis = mesh.axis_names[0]
+
+    def step(basis_loc, blk_loc, mean_loc, count, nvalid):
+        new_count = count + nvalid
+        blk_mean = blk_loc.sum(axis=0) / nvalid     # pad rows are zero
+        mean_corr = jnp.sqrt(count * nvalid / new_count) \
+            * (blk_mean - mean_loc)
+        valid = (jnp.arange(m_pad) < nvalid)[:, None]
+        centered = jnp.where(valid, blk_loc - blk_mean, 0.0)
+        stack = jnp.vstack([basis_loc, centered, mean_corr[None, :]])
+        G = jax.lax.psum(stack @ stack.T, axis)     # (q, q), q small
+        _, U = jnp.linalg.eigh(G)                   # replicated
+        top = U[:, -1:-(keep + 1):-1]               # top-keep, descending
+        new_basis = top.T @ stack                   # local pixel slab
+        new_mean = (count * mean_loc + nvalid * blk_mean) / new_count
+        return new_basis, new_mean, new_count
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(), P()),
+        out_specs=(P(None, axis), P(axis), P()), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_incremental_normalize(mesh, axis=None):
+    """Row-normalize the pixel-sharded basis (psum of local sumsq)."""
+    if axis is None:
+        axis = mesh.axis_names[0]
+
+    def step(basis_loc):
+        n2 = jax.lax.psum(jnp.sum(basis_loc ** 2, axis=1), axis)
+        norms = jnp.sqrt(n2)[:, None]
+        return basis_loc / jnp.where(norms == 0, 1.0, norms)
+
+    sharded = shard_map(step, mesh=mesh, in_specs=(P(None, axis),),
+                        out_specs=P(None, axis), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_incremental_pass2(mesh, shape, npx, collapse="median",
+                                   axis=None):
+    """Pass-2 per-block step: pixel-sharded project/subtract, all_to_all
+    reshard to frame-local FFT derotation, masked collapse.
+
+    ``shape`` is the (y, x) frame shape; ``npx`` the true pixel count
+    before mesh padding. The returned fn maps
+    (blk, mean, V, angles_pad, nvalid) -> collapsed (y, x) frame, where
+    blk/mean/V are pixel-sharded and angles_pad is replicated with
+    padding entries past ``nvalid``. Padded frames carry garbage through
+    the rotation and are masked out of the collapse.
+    """
+    if axis is None:
+        axis = mesh.axis_names[0]
+    y, x = shape
+    if collapse not in ("median", "mean", "sum"):
+        raise ValueError("sharded pass-2 collapse supports "
+                         "'median'/'mean'/'sum'")
+
+    def step(blk_loc, mean_loc, V_loc, angles_pad, nvalid):
+        M = blk_loc - mean_loc
+        coef = jax.lax.psum(M @ V_loc.T, axis)          # (m_pad, k)
+        resid_loc = M - coef @ V_loc                    # (m_pad, pl)
+        # reshard pixels -> frames: each device derotates m_pad/n_dev
+        # full frames locally
+        resid_f = jax.lax.all_to_all(resid_loc, axis, split_axis=0,
+                                     concat_axis=1, tiled=True)
+        frames = resid_f[:, :npx].reshape(-1, y, x)
+        m_loc = frames.shape[0]
+        idx = jax.lax.axis_index(axis)
+        ang_loc = jax.lax.dynamic_slice_in_dim(angles_pad, idx * m_loc,
+                                               m_loc, 0)
+        der = rotate_fft_pruned_batch(frames, -ang_loc)
+        # masked collapse across the full batch (replicated: one small
+        # (m_pad, y, x) gather; the batch median needs all frames/pixel)
+        der_all = jax.lax.all_gather(der, axis, tiled=True)
+        valid = (jnp.arange(der_all.shape[0]) < nvalid)[:, None, None]
+        if collapse == "median":
+            return jnp.nanmedian(jnp.where(valid, der_all, jnp.nan),
+                                 axis=0)
+        s = jnp.sum(jnp.where(valid, der_all, 0.0), axis=0)
+        return s if collapse == "sum" else s / nvalid
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(None, axis), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)

@@ -431,7 +431,7 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                     verbose=True, full_output=False, start_time=None,
                     weights=None, nproc=1, imlib="vip-fft",
                     interpolation="lanczos4", return_residuals=False,
-                    wire_dtype=None, **rot_options):
+                    wire_dtype=None, pixel_mesh=None, **rot_options):
     """Incremental (out-of-core) full-frame PCA for cubes larger than
     memory (reference utils_pca.py:431-614).
 
@@ -457,9 +457,30 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
     the residuals — fine for quicklook or halo-suppressed data, wrong
     for residuals fainter than ~1e-2 of the stellar peak. Default
     ``None`` streams the exact work dtype.
+
+    ``pixel_mesh``: optional 1-D ``jax.sharding.Mesh`` — the multi-chip
+    out-of-core path (SURVEY.md §2.c P6). Every streamed block is split
+    over the mesh along the PIXEL axis (parallel host->device links on
+    a pod; per-device HBM holds 1/n_dev of every block/basis), the
+    streaming merge communicates one small psum'd Gram per block, and
+    pass 2 reshards pixel->frame over ICI for the local FFT derotation
+    (see ``psfsub.sharded.make_sharded_incremental_merge``). Requires
+    the device-resident tail (``imlib='vip-fft'``, no weights or
+    rot_options, collapse median/mean/sum, ``return_residuals=False``)
+    — host-fallback configurations refuse the mesh loudly, mirroring
+    ``mcmc_negfc_sampling(walker_mesh=)``.
     """
     from ..config.mem import get_available_memory
 
+    if pixel_mesh is not None and (
+            return_residuals or imlib != "vip-fft" or weights is not None
+            or rot_options or str(collapse) not in ("median", "mean",
+                                                    "sum")):
+        raise ValueError(
+            "pixel_mesh requires the device-resident tail: imlib='vip-fft',"
+            " no weights/rot_options, collapse in ('median','mean','sum')"
+            " and return_residuals=False — drop pixel_mesh to use the"
+            " host-fallback path")
     if isinstance(cube, str):
         from ..fits import open_fits
 
@@ -523,6 +544,12 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
                 if b + 1 < n_batches:
                     nxt = pool.submit(read_batch, b + 1)
                 yield b, blk
+
+    if pixel_mesh is not None:
+        return _run_incremental_sharded(
+            pixel_mesh, prefetched_blocks, angle_list, y, x, npx,
+            batch_size, n_batches, int(ncomp), work_dtype, str(collapse),
+            verbose, start_time, full_output)
 
     # pass 1 — streaming mean + merge-and-truncate incremental SVD of the
     # centered data (equivalent subspace to IncrementalPCA for k << batch)
@@ -629,5 +656,99 @@ def pca_incremental(cube, angle_list, batch=0.25, ncomp=1, collapse="median",
         timing(start_time)
     if full_output:
         pcs = reshape_matrix(np.asarray(V), y, x)
+        return frame, None, pcs, np.array(medians)
+    return frame
+
+
+def _run_incremental_sharded(mesh, blocks, angle_list, y, x, npx,
+                             batch_size, n_batches, k, work_dtype,
+                             collapse, verbose, start_time, full_output):
+    """Multi-chip out-of-core PCA (P6): the pixel-sharded streaming
+    merge + resharded pass 2 of ``pca_incremental(pixel_mesh=...)``.
+
+    ``blocks`` is the prefetching generator factory over host wire
+    blocks; it is re-invoked for pass 2 when the HBM cache is off. All
+    blocks are zero-padded to a fixed (m_pad, npx_pad) mesh-divisible
+    shape — exact (zero rows/pixels are masked or contribute nothing)
+    and single-program (the ragged tail reuses the compiled step with a
+    smaller ``nvalid``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharded import (make_sharded_incremental_merge,
+                          make_sharded_incremental_normalize,
+                          make_sharded_incremental_pass2)
+
+    n_dev = len(mesh.devices.ravel())
+    axis = mesh.axis_names[0]
+    npx_pad = -(-npx // n_dev) * n_dev
+    m_pad = -(-batch_size // n_dev) * n_dev
+    blk_sh = NamedSharding(mesh, P(None, axis))
+    vec_sh = NamedSharding(mesh, P(axis))
+    wdt = jnp.asarray(np.zeros(0, work_dtype)).dtype
+
+    def put_block(blk):
+        """Pad to the mesh-divisible shape and split over the devices'
+        host->device links in the wire dtype; upcast on device."""
+        m_b = blk.shape[0]
+        buf = np.zeros((m_pad, npx_pad), dtype=blk.dtype)
+        buf[:m_b, :npx] = blk.reshape(m_b, -1)
+        blk_d = jax.device_put(buf, blk_sh)
+        if blk_d.dtype != wdt:
+            blk_d = blk_d.astype(wdt)
+        return blk_d, m_b
+
+    basis = jax.device_put(np.zeros((k, npx_pad), work_dtype), blk_sh)
+    mean = jax.device_put(np.zeros(npx_pad, work_dtype), vec_sh)
+    count = jnp.zeros((), wdt)
+
+    # HBM block cache as in the single-chip path, scaled by the mesh:
+    # each device holds 1/n_dev of every cached block
+    try:
+        from ..config.mem import get_available_hbm
+
+        hbm_budget = 0.25 * get_available_hbm() * n_dev
+    except Exception:
+        hbm_budget = 0.0
+    cache_on_device = (n_batches * m_pad * npx_pad
+                       * np.dtype(work_dtype).itemsize) <= hbm_budget
+    cache = []
+
+    merge = make_sharded_incremental_merge(mesh, k, m_pad, axis=axis)
+    for b, blk in blocks():
+        blk_d, m_b = put_block(blk)
+        if cache_on_device:
+            cache.append((blk_d, m_b))
+        basis, mean, count = merge(basis, blk_d, mean, count,
+                                   jnp.asarray(float(m_b), wdt))
+        if verbose:
+            print(f"Batch {b + 1}/{n_batches} processed")
+
+    V = make_sharded_incremental_normalize(mesh, axis=axis)(basis)
+
+    pass2 = make_sharded_incremental_pass2(mesh, (y, x), npx,
+                                           collapse=collapse, axis=axis)
+
+    def pass2_blocks():
+        if cache_on_device:
+            yield from enumerate(cache)
+        else:
+            for b, blk in blocks():
+                yield b, put_block(blk)
+
+    medians = []
+    for b, (blk_d, m_b) in pass2_blocks():
+        lo = b * batch_size
+        ang = np.zeros(m_pad, np.float64)
+        ang[:m_b] = np.asarray(angle_list[lo:lo + m_b], float)
+        medians.append(pass2(blk_d, mean, V, jnp.asarray(ang, wdt),
+                             jnp.asarray(float(m_b), wdt)))
+
+    medians = [np.asarray(m) for m in medians]
+    frame = np.median(np.array(medians), axis=0)
+    if verbose:
+        timing(start_time)
+    if full_output:
+        pcs = reshape_matrix(np.asarray(V)[:, :npx], y, x)
         return frame, None, pcs, np.array(medians)
     return frame
