@@ -10,7 +10,14 @@ Also emitted (one JSON line each, before the headline):
   - pca_adi in the reference-exact 'fft' mode (4x-padded flux-preserving)
   - cube_derotate throughput [frames/s] in both rotation modes
   - snrmap throughput [px/s] (polar device engine)
+  - bad-pixel correction throughput [frames/s]
+  - out-of-core pca_incremental [frames/s], f32 and bf16 wire
   - NEGFC MCMC throughput [walker-lnprob evals/s]
+  - at-scale pca_annular and end-to-end contrast_curve wall times
+    [seconds] (VERDICT r3 #3; vs_baseline = same-host reference
+    measurements documented inline)
+  - invprob wall times [seconds]: andromeda / FMMF-KLIP / FastPACO at
+    the golden-snapshot configs (vs same-host reference, nproc=1)
 
 Every line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 vs_baseline = target/measured for times (>1 beats target), measured
@@ -55,6 +62,21 @@ def _time(fn, reps=REPS):
         once()
         times.append(time.perf_counter() - t0)
     return min(times)
+
+
+def _time_once(fn):
+    """One timed run (for the expensive at-scale legs, where a warmup
+    pass would double the bench budget). The persistent XLA compile
+    cache (.xla_cache, populated by earlier runs on this host) keeps
+    compile time out of steady-state driver runs."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    out = fn()
+    val = float(jnp.sum(out))   # force materialization (remote backend)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val)
+    return dt
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -356,6 +378,99 @@ def main():
         t_s = time.perf_counter() - t0
         _emit(f"completeness_curve_batched_speedup_{n_cc}x{sz_cc}x{sz_cc}"
               f"_nfc{nfc}", t_s / t_b, "x_vs_serial", t_s / t_b)
+
+    # --- at-scale annular PCA (VERDICT r3 #3): the device-resident Gram
+    # path (psfsub/pca_local._pca_adi_resident) — one upload, per-frame
+    # library PCA in Gram space, on-device derotate+collapse.
+    # vs_baseline: the reference's unit of work at this scale is one
+    # LAPACK SVD per (annulus, frame) patch (reference
+    # pca_local.py:830-909): 64,000 patches for 512^2/asize=4.
+    # tools/measure_ref_annular_unit.py times the reference's OWN
+    # do_pca_patch at the real segment widths, fits t(p)=a+b*p and sums
+    # the bench geometry: ANN_REF_S seconds on this host (2026-08-19).
+    if FULL:
+        from vip_tpu.psfsub import pca_annular
+
+        ANN_REF_S = 3495.0
+
+        def ann_run():
+            return jnp.asarray(pca_annular(
+                cube_d, angles, fwhm=4.0, asize=4, ncomp=NCOMP,
+                delta_rot=(0.1, 1), n_segments=1, verbose=False))
+
+        t_ann = _time_once(ann_run)
+        _emit(f"pca_annular_{N_FRAMES}x{SIZE}x{SIZE}_ncomp{NCOMP}",
+              t_ann, "seconds", ANN_REF_S / t_ann)
+
+        # --- at-scale end-to-end contrast curve (VERDICT r3 #3): empty
+        # reduction + nbranch*fc_rad_sep device-injected pattern cubes
+        # (ops/inject.py) reduced in HBM-sized vmapped chunks + batched
+        # photometry. vs_baseline: the reference runs (1 + 9) full
+        # algorithm passes (reference contrcurve.py:584-1096) — 10 x
+        # the measured same-host reference pca at this scale
+        # (tools/measure_ref_baselines.py pca_scale: PCA_SCALE_REF_S),
+        # ignoring its injection/noise stages (conservative).
+        from vip_tpu.metrics import contrast_curve
+        from vip_tpu.psfsub import pca as _pca_full
+
+        PCA_SCALE_REF_S = 347.0
+        yy, xx = np.mgrid[:19, :19]
+        psf_cc = np.exp(-((yy - 9.0) ** 2 + (xx - 9.0) ** 2)
+                        / (2 * (4 / 2.355) ** 2))
+
+        def cc_scale():
+            cc = contrast_curve(cube, angles, psf_cc, 4.0, pxscale=0.027,
+                                starphot=1e6, algo=_pca_full, nbranch=3,
+                                ncomp=NCOMP, verbose=False, plot=False)
+            return jnp.asarray(np.asarray(cc["sensitivity_student"]))
+
+        t_cc = _time_once(cc_scale)
+        _emit(f"contrast_curve_{N_FRAMES}x{SIZE}x{SIZE}_nbranch3",
+              t_cc, "seconds", 10 * PCA_SCALE_REF_S / t_cc)
+
+        # --- invprob absolute wall times at the golden-snapshot configs
+        # (VERDICT r3 #3). vs_baseline: the reference measured on THIS
+        # host at the same configs, nproc=1 (single physical core —
+        # serial IS its best here), tools/measure_ref_baselines.py:
+        # andromeda 12.48 s, FastPACO 176.60 s, fmmf(min_r=26,max_r=30)
+        # FMMF_SMALL_REF_S (the golden 26-34 window costs the reference
+        # 3365 s; the bench uses the narrower window to fit the driver's
+        # budget and the baseline is re-measured at the same shape).
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from gen_golden import input_dataset_cached, invprob_configs
+
+        import vip_tpu.invprob as _ip
+
+        FMMF_SMALL_REF_S = 1632.0
+        ds = input_dataset_cached()
+        g_cube, g_ang, g_psfn, g_fwhm = (ds["cube"], ds["angles"],
+                                         ds["psfn"], ds["fwhm"])
+        cfgs = {name: kw for name, _, kw, _ in invprob_configs(ds)}
+
+        t_an = _time_once(lambda: jnp.asarray(_ip.andromeda(
+            cube=g_cube.copy(), angle_list=g_ang, psf=g_psfn,
+            **cfgs["andro_adi"])[0]))
+        _emit("andromeda_61x101x101_lsq", t_an, "seconds", 12.48 / t_an)
+
+        kw_fm = dict(cfgs["fmmf_kl_adi"], max_r=30, verbose=False)
+        t_fm = _time_once(lambda: jnp.asarray(_ip.fmmf(
+            cube=g_cube.copy(), angle_list=g_ang, psf=g_psfn,
+            **kw_fm)[0]))
+        _emit("fmmf_klip_61x101x101_r26-30", t_fm, "seconds",
+              FMMF_SMALL_REF_S / t_fm)
+
+        def paco_run():
+            algo = _ip.FastPACO(cube=g_cube.copy(), angles=g_ang,
+                                psf=g_psfn, fwhm=g_fwhm, pixscale=1.0,
+                                verbose=False)
+            a, _b = algo.run(cpu=1)
+            # PACO leaves the sub-iwa / border region NaN by design —
+            # nan_to_num so _time_once's finite materialization holds
+            return jnp.nan_to_num(jnp.asarray(a))
+
+        t_pc = _time_once(paco_run)
+        _emit("fastpaco_61x101x101", t_pc, "seconds", 176.60 / t_pc)
 
     # --- headline: PCA-ADI in the benchmarked speed mode (LAST line) ---
     t_head = _time(pca_run(ROT_MODE))
