@@ -87,3 +87,25 @@ def test_dft_registration_recovers_known_shift():
         # registration returns the shift needed to go target->ref
         assert abs(est[0] + dy) < 0.011
         assert abs(est[1] + dx) < 0.011
+
+
+def test_fourier_shift_np_matches_jitted():
+    """frame_shift's host path (fourier_shift_np) is the exact numpy twin
+    of the jitted fourier_shift: same pad-to-square/pad-to-even geometry,
+    same sign-dependent odd->even placement, same phase ramp. Pinned so
+    the eager host path (which exists to avoid one device compile per
+    distinct shift magnitude) can never drift from the device kernel."""
+    import jax.numpy as jnp
+
+    from vip_tpu.ops.fft import fourier_shift, fourier_shift_np
+
+    rng = np.random.default_rng(11)
+    for shape in [(64, 64), (65, 65), (64, 66), (67, 64), (101, 101)]:
+        frame = rng.standard_normal(shape)
+        for sy, sx in [(0.3, -0.7), (5.2, 3.9), (-220.4, 110.2),
+                       (0.0, 0.0), (-0.5, 0.5), (1.0, -3.0)]:
+            npad = int(np.ceil(max(abs(sy), abs(sx))))
+            dev = np.asarray(fourier_shift(jnp.asarray(frame), sy, sx,
+                                           npad))
+            host = fourier_shift_np(frame, sy, sx, npad)
+            assert np.abs(dev - host).max() < 1e-9, (shape, sy, sx)

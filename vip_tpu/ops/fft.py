@@ -229,6 +229,60 @@ def rotate_fft_exact_pruned(frames, angles, pad_y, py0, px0, cy0, cy1,
 # ---------------------------------------------------------------------------
 # Fourier sub-pixel shift
 # ---------------------------------------------------------------------------
+def fourier_shift_np(array, shift_y, shift_x, npad):
+    """Host-numpy twin of :func:`fourier_shift` (same geometry, float64
+    FFTs like the reference's recentering.py:126-189).
+
+    Exists because the jitted version compiles one program PER padded
+    canvas size: eager big-shift callers (``frame_shift`` on full frames,
+    where ``npad = ceil(max|shift|)`` varies per call) would pay a fresh
+    multi-minute tunnel compile for every distinct shift magnitude —
+    27 such compiles dominated the at-scale ``contrast_curve`` wall time.
+    On host data the numpy FFT is bit-closer to the reference anyway
+    (both run float64; the device path computes in f32 when x64 is off).
+    """
+    ny_ori, nx_ori = array.shape
+    cy_ori, cx_ori = _frame_center_static(ny_ori, nx_ori)
+    new_y = ny_ori + 2 * npad
+    new_x = nx_ori + 2 * npad
+    cy, cx = _frame_center_static(new_y, new_x)
+    y0 = int(cy - cy_ori)
+    x0 = int(cx - cx_ori)
+
+    npix = max(new_y, new_x)
+    if new_y > new_x:
+        sq_x0 = int(cy - cx)
+        sq_y0 = 0
+    elif new_x > new_y:
+        sq_y0 = int(cx - cy)
+        sq_x0 = 0
+    else:
+        sq_y0 = sq_x0 = 0
+
+    odd = npix % 2
+    npix_f = npix + 1 if odd else npix
+    if odd:
+        off_y = 0 if shift_y > 0 else 1
+        off_x = 0 if shift_x > 0 else 1
+    else:
+        off_y = off_x = 0
+
+    canvas = np.zeros((npix_f, npix_f), dtype=np.float64)
+    canvas[sq_y0 + y0 + off_y:sq_y0 + y0 + off_y + ny_ori,
+           sq_x0 + x0 + off_x:sq_x0 + x0 + off_x + nx_ori] = array
+    p_y0 = npad + sq_y0 + off_y
+    p_x0 = npad + sq_x0 + off_x
+
+    ramp = np.arange(npix_f, dtype=np.float64) - npix_f / 2
+    rx = np.broadcast_to(ramp, (npix_f, npix_f))
+    tilt = (-2 * np.pi / npix_f) * (shift_x * rx + shift_y * rx.T)
+    fact = np.fft.fftshift(np.cos(tilt) + 1j * np.sin(tilt))
+
+    shifted = np.fft.ifft2(np.fft.fft2(canvas) * fact).real
+    out = shifted[p_y0:p_y0 + ny_ori, p_x0:p_x0 + nx_ori]
+    return out.astype(np.asarray(array).dtype, copy=False)
+
+
 @functools.partial(jax.jit, static_argnames=("npad",))
 def fourier_shift(array, shift_y, shift_x, npad):
     """Shift a 2-d array by (shift_y, shift_x) pixels via an FFT phase ramp.

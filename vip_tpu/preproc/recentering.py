@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config.utils_conf import check_array
-from ..ops.fft import fourier_shift, fourier_shift_batch
+from ..ops.fft import fourier_shift, fourier_shift_batch, fourier_shift_np
 from ..var.coords import frame_center
 
 __all__ = ["frame_shift", "cube_shift", "frame_center_radon",
@@ -36,8 +36,11 @@ def frame_shift(array, shift_y, shift_x, imlib="vip-fft",
 
     if imlib == "vip-fft":
         npad = int(np.ceil(np.amax(np.abs([shift_y, shift_x]))))
-        return np.asarray(fourier_shift(jnp.asarray(array), shift_y, shift_x,
-                                        npad))
+        # host numpy path: eager per-call pads (ceil(max|shift|)) would
+        # compile one device program PER distinct canvas size — see
+        # fourier_shift_np's docstring. Same geometry, float64 like the
+        # reference (recentering.py:126-189).
+        return fourier_shift_np(array, shift_y, shift_x, npad)
     elif imlib == "ndimage-fourier":
         from scipy.ndimage import fourier_shift as sp_fourier_shift
 
