@@ -280,7 +280,13 @@ def fourier_shift_np(array, shift_y, shift_x, npad):
 
     shifted = np.fft.ifft2(np.fft.fft2(canvas) * fact).real
     out = shifted[p_y0:p_y0 + ny_ori, p_x0:p_x0 + nx_ori]
-    return out.astype(np.asarray(array).dtype, copy=False)
+    # keep float output for non-float input (the reference's frame_shift
+    # always returns float64; casting back to an integer dtype would
+    # silently truncate the fractional shifted values — ADVICE r4)
+    in_dtype = np.asarray(array).dtype
+    if not np.issubdtype(in_dtype, np.floating):
+        return out
+    return out.astype(in_dtype, copy=False)
 
 
 @functools.partial(jax.jit, static_argnames=("npad",))

@@ -80,6 +80,11 @@ def cube_shift(cube, shift_y, shift_x, imlib="vip-fft",
     shift itself is identical; only the zero-pad halo differs, which for
     per-frame margins matches the reference to ~machine precision of the
     wrap-around leakage.
+
+    Precision note (ADVICE r4): ``frame_shift`` computes on host in
+    float64 while this batched path runs the device kernel, which is
+    float32 unless ``jax_enable_x64`` is on — a scalar and a batched
+    shift of the same frame can differ by ~1e-6 in f32 production runs.
     """
     check_array(cube, dim=3)
     cube = np.asarray(cube)
