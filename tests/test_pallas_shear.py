@@ -16,8 +16,11 @@ from vip_tpu.ops.pallas_shear import (rotate_fft_exact_fused,
                                       fused_shear_supported)
 
 
+@pytest.mark.parametrize("impl", ["fused", "fused3"])
 @pytest.mark.parametrize("y", [64, 128])
-def test_fused_rotation_matches_pruned(y):
+def test_fused_rotation_matches_pruned(y, impl):
+    from vip_tpu.ops.pallas_shear import rotate_fft_exact_fused3
+
     pad_y, _pad_x, py0, px0, cy0, cy1, cx0, cx1 = _fft_rotate_geometry(y, y)
     geom = (pad_y, py0, px0, cy0, cy1, cx0, cx1)
     assert fused_shear_supported(y, pad_y)
@@ -27,8 +30,10 @@ def test_fused_rotation_matches_pruned(y):
 
     ref = rotate_fft_exact_pruned(
         jnp.asarray(frames), jnp.asarray(angles), *geom)
-    fused = rotate_fft_exact_fused(
-        jnp.asarray(frames), jnp.asarray(angles), *geom, interpret=True)
+    fn = rotate_fft_exact_fused if impl == "fused" else \
+        rotate_fft_exact_fused3
+    fused = fn(jnp.asarray(frames), jnp.asarray(angles), *geom,
+               interpret=True)
 
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(ref - fused))) < 3e-5 * max(scale, 1.0)
@@ -86,4 +91,11 @@ def test_fused_small_matches_exact_chain():
                                    jnp.asarray(angles), interpret=True)
     scale = float(np.max(np.abs(ref)))
     assert float(jnp.max(jnp.abs(jnp.asarray(ref) - fused))) \
+        < 3e-5 * max(scale, 1.0)
+
+    from vip_tpu.ops.pallas_shear import rotate_fft_small_fused3
+
+    fused3 = rotate_fft_small_fused3(jnp.asarray(frames),
+                                     jnp.asarray(angles), interpret=True)
+    assert float(jnp.max(jnp.abs(jnp.asarray(ref) - fused3))) \
         < 3e-5 * max(scale, 1.0)

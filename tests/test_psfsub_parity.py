@@ -225,6 +225,42 @@ def test_pca_grid_annular_parity(ref_psfsub, cube_angles):
     assert np.max(np.abs(np.asarray(ref[0]) - np.asarray(got[0]))) < 1e-7
 
 
+def test_gather_lib_grams_exact():
+    """The double-row-gather formulation of the per-frame library Grams
+    (ops/annular._gather_lib_grams — two major-axis gathers + transpose,
+    replacing the per-element two-axis gather) is bit-identical to the
+    naive gather, including the ragged chunk tail."""
+    import jax.numpy as jnp
+
+    from vip_tpu.ops.annular import _gather_lib_grams
+
+    rng = np.random.default_rng(3)
+    n, L = 130, 24
+    G0 = rng.standard_normal((n, n))
+    G = jnp.asarray(G0 + G0.T)
+    lib_idx = jnp.asarray(rng.integers(0, n, size=(n, L)), jnp.int32)
+    got = _gather_lib_grams(G, lib_idx, chunk=48)      # 130 = 2*48 + 34
+    ref = G[lib_idx[:, :, None], lib_idx[:, None, :]]
+    assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+
+
+def test_pca_annular_resident_forced_subspace_parity(ref_psfsub, cube_angles,
+                                                     monkeypatch):
+    """Forcing the scale default (VIP_TPU_ANNULAR_METHOD=subspace — what
+    the resident path auto-selects above _SUBSPACE_MIN_FRAMES) must
+    still match the reference end to end."""
+    from vip_tpu.psfsub import pca_annular
+
+    monkeypatch.setenv("VIP_TPU_ANNULAR_GRAM", "1")
+    monkeypatch.setenv("VIP_TPU_ANNULAR_METHOD", "subspace")
+    cube, angles = cube_angles
+    kwargs = dict(ncomp=3, asize=8, fwhm=4, delta_rot=0.2, verbose=False)
+    ref = ref_psfsub.pca_annular(cube.copy(), angles, **kwargs)
+    got = pca_annular(cube.copy(), angles, **kwargs)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(ref - got)) < 1e-5 * scale
+
+
 def test_pca_annular_resident_subspace_mode(cube_angles, monkeypatch):
     """svd_mode='randsvd' maps the resident path to the matmul-only
     subspace iteration (ops/annular._subspace_topk). With 30 power

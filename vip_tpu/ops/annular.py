@@ -173,9 +173,10 @@ def batched_pca_patch_residuals_gram(matrix, matrix_emp, lib_idx, lib_w,
         k_eff = jnp.full(n, ncomp)
 
     G = matrix_emp @ matrix_emp.T                      # (n, n), n^2 p
+    Gm_all = _gather_lib_grams(G, lib_idx)             # (n, L, L)
 
-    def coeffs(idx, w, f, k):
-        Gm = G[idx[:, None], idx[None, :]] * (w[:, None] * w[None, :])
+    def coeffs(Gm_raw, idx, w, f, k):
+        Gm = Gm_raw * (w[:, None] * w[None, :])
         if method == "subspace":
             e_top, U_top = _subspace_topk(Gm, ncomp)
         else:
@@ -194,11 +195,41 @@ def batched_pca_patch_residuals_gram(matrix, matrix_emp, lib_idx, lib_w,
         # reconstructed = sum_k t_k V_k = lib.T @ (U/s @ t)
         return (U_top / s[None, :]) @ t                # (L,) row weights
 
-    c_all = jax.vmap(coeffs)(lib_idx, lib_w,
+    c_all = jax.vmap(coeffs)(Gm_all, lib_idx, lib_w,
                              jnp.arange(n), k_eff)     # (n, L)
     C = jnp.zeros((n, n), matrix.dtype)
     C = C.at[jnp.arange(n)[:, None], lib_idx].add(c_all)
     return matrix - C @ matrix_emp
+
+
+def _gather_lib_grams(G, lib_idx, chunk=256):
+    """All per-frame library Grams ``Gm[f] = G[idx_f][:, idx_f]`` as one
+    batched (n, L, L) tensor.
+
+    The obvious two-axis gather ``G[idx[:, None], idx[None, :]]`` lowers
+    to per-element loads on TPU (~0.5 s at n=1000, L=200 on v5e — the
+    dominant non-eigh cost of the whole annulus). ``G`` is symmetric, so
+    the same tensor is two MAJOR-AXIS row gathers with a transpose in
+    between — all three layout-friendly block copies:
+
+        R  = G[idx_f]                  # (L, n)  rows of G
+        Gm = (R.T)[idx_f]              # (L, L)  rows of R.T = cols of R
+
+    Chunked over frames to bound the (chunk*L, n) intermediate.
+    """
+    n, L = lib_idx.shape
+    chunk = min(chunk, n)
+    nch = -(-n // chunk)
+    pad = nch * chunk - n
+    idx_p = jnp.pad(lib_idx, ((0, pad), (0, 0)))
+
+    def one_chunk(idx_c):                                  # (c, L)
+        R = jnp.take(G, idx_c.reshape(-1), axis=0)         # (c*L, n)
+        RT = jnp.swapaxes(R.reshape(-1, L, G.shape[0]), 1, 2)   # (c, n, L)
+        return jnp.take_along_axis(RT, idx_c[:, :, None], axis=1)
+
+    out = jax.lax.map(one_chunk, idx_p.reshape(nch, chunk, L))
+    return out.reshape(nch * chunk, L, L)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("ncomp", "method"),

@@ -57,6 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["rotate_fft_exact_fused", "rotate_fft_small_fused",
+           "rotate_fft_exact_fused3", "rotate_fft_small_fused3",
            "fused_shear_supported", "fused_small_supported"]
 
 _Q = 128          # inner fold length (lane-friendly)
@@ -610,6 +611,270 @@ def rotate_fft_exact_fused(frames, angles, pad_y, py0, px0, cy0, cy1,
     c_off = cx0 - ox2lo * _Q
     out = jax.lax.slice_in_dim(s3r, c_off, c_off + (cx1 - cx0), axis=2)
     return out.astype(frames.dtype)
+
+
+# ---------------------------------------------------------------------------
+# canvas-resident fused 3-shear rotation (one kernel, zero intermediate HBM)
+# ---------------------------------------------------------------------------
+class _Val:
+    """Concrete-value stand-in for the bodies' ref protocol."""
+
+    def __init__(self, v):
+        self._v = v
+        self.shape = v.shape
+
+    def __getitem__(self, idx):
+        return self._v if idx == slice(None) else self._v[idx]
+
+
+class _View:
+    """Static-slice view of a (possibly leading-1) VMEM ref."""
+
+    def __init__(self, ref, rs, cs, lead=None, shape=None):
+        self._ref, self._rs, self._cs, self._lead = ref, rs, cs, lead
+        self.shape = shape
+
+    def __getitem__(self, idx):
+        assert idx == slice(None)
+        if self._lead is None:
+            return self._ref[self._rs, self._cs]
+        return self._ref[self._lead, self._rs, self._cs]
+
+    def __setitem__(self, idx, val):
+        assert idx == slice(None)
+        if self._lead is None:
+            self._ref[self._rs, self._cs] = val
+        else:
+            self._ref[self._lead, self._rs, self._cs] = val
+
+
+class _PartialRows:
+    """Leading-rows view of a scratch ref (ragged last row block)."""
+
+    def __init__(self, ref, n):
+        self._ref, self._n = ref, n
+        self.shape = (n,) + tuple(ref.shape[1:])
+
+    def _fix(self, idx):
+        if idx == slice(None):
+            return slice(0, self._n)
+        if isinstance(idx, tuple):
+            assert idx[0] == slice(None)
+            return (slice(0, self._n),) + tuple(idx[1:])
+        return idx
+
+    def __getitem__(self, idx):
+        return self._ref[self._fix(idx)]
+
+    def __setitem__(self, idx, val):
+        self._ref[self._fix(idx)] = val
+
+
+def _stage_consts(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out):
+    """(ordered arrays, views builder) for one shear geometry."""
+    cst = _consts(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out)
+    arrs = [cst["sfw_r"], cst["sfw_i"], *cst["hw"], cst["t_r"], cst["t_i"],
+            cst["siw_r"]]
+    if not real_out:
+        arrs.append(cst["siw_i"])
+    arrs += [cst["idxp"], cst["idxq"]]
+    return arrs
+
+
+def _coords_val(start, size, center):
+    """(size, 1) f32 row coordinates start+i-center via iota (exact:
+    integer-valued f32 below 2^24)."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (size, 1), 0)
+    return _Val(i + jnp.float32(start - center))
+
+
+def _fused3_call(work, acoef, bcoef, N, bands, out_h, out_w, interpret=False):
+    """One Pallas kernel running all three shears of the [LAR97] rotation
+    with the canvas bands resident in VMEM — intermediates never touch
+    HBM (the two per-shear HBM round-trips of the split kernels are
+    ~84 MB/frame at the 512^2 exact geometry).
+
+    work : (B, in_h, in_w) f32 — the occupied input row/col band.
+    bands = (rn2lo, rn2hi, cn2lo, cn2hi, on2lo, on2hi, ox2lo, ox2hi, cy0)
+    out : (B, out_h, out_w) f32 — rows [cy0, cy0+out_h) x col fold band
+    [ox2lo*Q, ox2hi*Q) of the rotated canvas (caller slices columns).
+    """
+    B, in_h, in_w = work.shape
+    (rn2lo, rn2hi, cn2lo, cn2hi, on2lo, on2hi, ox2lo, ox2hi, cy0) = bands
+    P = N // _Q
+    c_n2sel = cn2hi - cn2lo
+    r_n2sel = rn2hi - rn2lo
+    ob_h = (on2hi - on2lo) * _Q
+    r_off = cy0 - on2lo * _Q
+
+    rb1 = 128
+    cb = 256 if N % 256 == 0 else _Q
+    rb3 = 128
+    n_rb1 = -(-in_h // rb1)
+    assert in_h % rb1 == 0, (in_h, rb1)   # band heights are Q-multiples
+    n_cb = N // cb
+    row3 = [(i * rb3, min(rb3, out_h - i * rb3))
+            for i in range(-(-out_h // rb3))]
+
+    c1 = _stage_consts(N, cn2lo, cn2hi, 0, P, True, False)
+    c2 = _stage_consts(N, rn2lo, rn2hi, on2lo, on2hi, False, False)
+    c3 = _stage_consts(N, 0, P, ox2lo, ox2hi, False, True)
+    consts = [jnp.asarray(a) for a in (*c1, *c2, *c3)]
+    const_specs = [pl.BlockSpec(a.shape, lambda *_, _nd=a.ndim: (0,) * _nd,
+                                memory_space=pltpu.VMEM) for a in consts]
+    n1, n2, n3 = len(c1), len(c2), len(c3)
+
+    def kernel(aref, bref, *refs):
+        cw1 = [_Loaded(r) for r in refs[:n1]]
+        cw2 = [_Loaded(r) for r in refs[n1:n1 + n2]]
+        cw3 = [_Loaded(r) for r in refs[n1 + n2:n1 + n2 + n3]]
+        cw3.insert(n3 - 2, None)                     # siw_i slot (real_out)
+        (in_ref, out_ref, C1r, C1i, C2r, C2i,
+         sA, sB, sC, sD, sE, sF) = refs[n1 + n2 + n3:]
+
+        g = pl.program_id(0)
+        a = aref[g, 0]
+        bc = bref[g, 0]
+
+        # stage 1: x-shear of the input band rows -> C1 (full width)
+        for i in range(n_rb1):
+            rs = slice(i * rb1, (i + 1) * rb1)
+            _shear_rows_body(
+                a, _coords_val(rn2lo * _Q + i * rb1, rb1, N / 2), *cw1,
+                _View(in_ref, rs, slice(None), lead=0, shape=(rb1, in_w)),
+                None,
+                _View(C1r, rs, slice(None)), _View(C1i, rs, slice(None)),
+                sA, sB,
+                N=N, n2lo=cn2lo, n2hi=cn2hi, m2lo=0, m2hi=P)
+
+        # stage 2: y-shear of C1 column blocks -> C2 (crop fold band)
+        for i in range(n_cb):
+            cs = slice(i * cb, (i + 1) * cb)
+            ic = jax.lax.broadcasted_iota(jnp.float32, (1, cb), 1)
+            _shear_cols_body(
+                bc, _Val(ic + jnp.float32(i * cb - N / 2)), *cw2,
+                _View(C1r, slice(None), cs, shape=(in_h, cb)),
+                _View(C1i, slice(None), cs, shape=(in_h, cb)),
+                _View(C2r, slice(None), cs), _View(C2i, slice(None), cs),
+                sC, sD,
+                N=N, n2lo=rn2lo, n2hi=rn2hi, m2lo=on2lo, m2hi=on2hi)
+
+        # stage 3: x-shear of the crop rows -> real output col band
+        for r0, rb in row3:
+            rs = slice(r_off + r0, r_off + r0 + rb)
+            sE_v = sE if rb == rb3 else _PartialRows(sE, rb)
+            sF_v = sF if rb == rb3 else _PartialRows(sF, rb)
+            _shear_rows_body(
+                a, _coords_val(cy0 + r0, rb, N / 2), *cw3,
+                _View(C2r, rs, slice(None), shape=(rb, N)),
+                _View(C2i, rs, slice(None), shape=(rb, N)),
+                _View(out_ref, slice(r0, r0 + rb), slice(None), lead=0),
+                None,
+                sE_v, sF_v,
+                N=N, n2lo=0, n2hi=P, m2lo=ox2lo, m2hi=ox2hi)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *const_specs,
+        pl.BlockSpec((1, in_h, in_w), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, out_h, out_w), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.VMEM((in_h, N), jnp.float32),          # C1r
+        pltpu.VMEM((in_h, N), jnp.float32),          # C1i
+        pltpu.VMEM((ob_h, N), jnp.float32),          # C2r
+        pltpu.VMEM((ob_h, N), jnp.float32),          # C2i
+        pltpu.VMEM((rb1, 3 * c_n2sel, _Q), jnp.bfloat16),   # sA
+        pltpu.VMEM((rb1, 6 * P, _Q), jnp.bfloat16),         # sB
+        pltpu.VMEM((6 * r_n2sel, cb, _Q), jnp.bfloat16),    # sC
+        pltpu.VMEM((6 * P, cb, _Q), jnp.bfloat16),          # sD
+        pltpu.VMEM((rb3, 6 * P, _Q), jnp.bfloat16),         # sE
+        pltpu.VMEM((rb3, 6 * P, _Q), jnp.bfloat16),         # sF
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B, out_h, out_w), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(acoef.reshape(B, 1).astype(jnp.float32),
+      bcoef.reshape(B, 1).astype(jnp.float32), *consts, work)
+
+
+def rotate_fft_exact_fused3(frames, angles, pad_y, py0, px0, cy0, cy1,
+                            cx0, cx1, interpret=False):
+    """Canvas-resident single-kernel variant of
+    :func:`rotate_fft_exact_fused`: the three shears run back-to-back in
+    VMEM, so the complex intermediates never round-trip HBM."""
+    frames = jnp.asarray(frames, jnp.float32)
+    B, y, x = frames.shape
+    N = pad_y
+    if not fused_shear_supported(y, N):
+        raise ValueError("unsupported geometry for the fused shear path")
+
+    from .fft import decompose_rotation, quad_rot90
+
+    k, dangle = decompose_rotation(angles)
+    rot = jax.vmap(quad_rot90)(k, frames)
+    dy = jnp.asarray([0, 1, 1, 0])[k]
+    dx = jnp.asarray([0, 0, 1, 1])[k]
+
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)
+    b = -jnp.sin(jnp.deg2rad(dangle))
+
+    rn2lo, rn2hi = py0 // _Q, -(-(py0 + y + 1) // _Q)
+    cn2lo, cn2hi = px0 // _Q, -(-(px0 + y + 1) // _Q)
+    on2lo, on2hi = cy0 // _Q, -(-cy1 // _Q)
+    ox2lo, ox2hi = cx0 // _Q, -(-cx1 // _Q)
+
+    band_h = (rn2hi - rn2lo) * _Q
+    band_w = (cn2hi - cn2lo) * _Q
+
+    slab = jnp.zeros((B, band_h, band_w), jnp.float32)
+
+    def _place(sl, fr, dyi, dxi):
+        return jax.lax.dynamic_update_slice(
+            sl, fr, (py0 - rn2lo * _Q + dyi, px0 - cn2lo * _Q + dxi))
+
+    work = jax.vmap(_place)(slab, rot, dy, dx)
+
+    bands = (rn2lo, rn2hi, cn2lo, cn2hi, on2lo, on2hi, ox2lo, ox2hi, cy0)
+    out = _fused3_call(work, a, b, N, bands, cy1 - cy0,
+                       (ox2hi - ox2lo) * _Q, interpret=interpret)
+    c_off = cx0 - ox2lo * _Q
+    out = jax.lax.slice_in_dim(out, c_off, c_off + (cx1 - cx0), axis=2)
+    return out.astype(frames.dtype)
+
+
+def rotate_fft_small_fused3(cube, angles, interpret=False):
+    """Canvas-resident single-kernel variant of
+    :func:`rotate_fft_small_fused` (speed mode, full canvas bands)."""
+    cube = jnp.asarray(cube, jnp.float32)
+    B, N, _x = cube.shape
+    if not fused_small_supported(N):
+        raise ValueError("unsupported canvas for the fused small path")
+    P = N // _Q
+
+    from .fft import decompose_rotation, quad_rot90
+
+    k, dangle = decompose_rotation(angles)
+    ext = jnp.zeros((B, N + 1, N + 1), cube.dtype).at[:, :-1, :-1].set(cube)
+    work = jax.vmap(quad_rot90)(k, ext)[:, :-1, :-1]
+
+    a = jnp.tan(jnp.deg2rad(dangle) / 2)
+    b = -jnp.sin(jnp.deg2rad(dangle))
+
+    bands = (0, P, 0, P, 0, P, 0, P, 0)
+    return _fused3_call(work, a, b, N, bands, N, N,
+                        interpret=interpret).astype(cube.dtype)
 
 
 def fused_small_supported(pad_to):

@@ -110,21 +110,29 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
 
         # On TPU at float32, run the three shears as fused Pallas
         # matmul-DFT kernels (same math, ~equal f32 accuracy, no HBM
-        # canvas); jnp.fft path for CPU/x64 parity and as env override
-        # (VIP_EXACT_SHEAR=pruned).
+        # canvas). Default "auto" = the canvas-resident single-kernel
+        # variant (rotate_fft_exact_fused3: intermediates stay in VMEM,
+        # saving ~84 MB/frame of HBM round-trips at 512^2); "fused" =
+        # the per-shear kernels; "pruned" = the jnp.fft path (CPU/x64
+        # parity). Env override VIP_EXACT_SHEAR.
         import os
 
         from .pallas_shear import (fused_shear_supported,
-                                   rotate_fft_exact_fused)
+                                   rotate_fft_exact_fused,
+                                   rotate_fft_exact_fused3)
 
+        shear_impl = os.environ.get("VIP_EXACT_SHEAR", "auto")
         use_fused = (
-            os.environ.get("VIP_EXACT_SHEAR", "auto") != "pruned"
+            shear_impl != "pruned"
             and cube.dtype == jnp.float32
             and fused_shear_supported(y, pad_y)
             and jax.default_backend() not in ("cpu",)
         )
 
         def _rot_exact(frames, angs):
+            if use_fused and shear_impl != "fused":
+                return rotate_fft_exact_fused3(frames, angs, pad_y, py0,
+                                               px0, cy0, cy1, cx0, cx1)
             if use_fused:
                 return rotate_fft_exact_fused(frames, angs, pad_y, py0,
                                               px0, cy0, cy1, cx0, cx1)

@@ -38,6 +38,26 @@ __all__ = ["pca_annular", "PCA_ANNULAR_Params"]
 # VIP_TPU_ANNULAR_GRAM=1/0 to force either path (used by the parity test).
 _GRAM_PATH_MIN_FRAMES = 128
 
+# Frames threshold above which the resident path switches from the exact
+# per-frame (L, L) eigh to the matmul-dominated subspace iteration
+# (ops/annular._subspace_topk) — ~3.5x faster per annulus at 1000
+# frames / L=200 (docs/PROFILING.md annular table; QDWH eigh's QR
+# panels are the cost) and converged to float resolution on the
+# decaying spectra PCA libraries produce. Force either with
+# VIP_TPU_ANNULAR_METHOD=eigh|subspace.
+_SUBSPACE_MIN_FRAMES = 512
+
+
+def _resident_method(n, svd_val):
+    import os
+
+    env = os.environ.get("VIP_TPU_ANNULAR_METHOD")
+    if env in ("eigh", "subspace"):
+        return env
+    if MODE_TO_METHOD.get(svd_val) == "randsvd":
+        return "subspace"
+    return "subspace" if n >= _SUBSPACE_MIN_FRAMES else "eigh"
+
 
 def _gram_path_enabled(n):
     import os
@@ -475,13 +495,12 @@ def _pca_adi_rdi(cube, angle_list, radius_int=0, fwhm=4, asize=2,
                      and (y != x or x % 2 != 0))
             and collapse_val in ("median", "mean", "sum")):
         rot_mode = "fft-small" if imlib_val == "vip-fft-small" else "fft"
-        # exact modes (lapack/eigen/...) share the Gram-eigh kernel; the
-        # randomized modes (reference svd.py:705-840) map to the
-        # matmul-only subspace iteration — ~10x faster per annulus on
-        # TPU at 200-frame libraries (MXU vs QDWH's QR panels)
+        # per-frame (L, L) Gram eigh below _SUBSPACE_MIN_FRAMES; above
+        # it (and for the reference's randomized modes, svd.py:705-840)
+        # the QR-reorthonormalized subspace iteration — converged to
+        # float resolution on PCA spectra (see _resident_method)
         svd_val = str(getattr(svd_mode, "value", svd_mode))
-        res_method = "subspace" if MODE_TO_METHOD.get(svd_val) == "randsvd" \
-            else "eigh"
+        res_method = _resident_method(n, svd_val)
         return _pca_adi_resident(
             array, angle_list, radius_int, fwhm, asize, n_segments,
             delta_rot, ncomp, min_frames_lib, max_frames_lib,
