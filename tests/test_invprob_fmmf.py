@@ -59,3 +59,22 @@ def test_fmmf_var_fm_parity(data):
     for o, t in zip(ours, theirs):
         scale = max(np.abs(t).max(), 1e-12)
         assert np.max(np.abs(o - t)) / scale < 1e-6
+
+
+def test_fmmf_batched_equals_serial(data, monkeypatch):
+    """The batched per-pixel engine (fmmf._pixels_fm_batched) must equal
+    the serial loop bit-for-bit up to summation order: both go through
+    the same injection/rotation/crop helpers."""
+    cube, angs, psf = data
+    kwargs = dict(fwhm=4.0, min_r=6, max_r=8, model="KLIP", var="FR",
+                  param={"ncomp": 4, "tolerance": 5e-3, "delta_rot": 0.25},
+                  crop=5, nproc=1, verbose=False)
+    monkeypatch.setenv("VIP_TPU_FMMF_BATCHED", "1")
+    fb = fmmf(cube=cube.copy(), angle_list=angs.copy(), psf=psf.copy(),
+              **kwargs)
+    monkeypatch.setenv("VIP_TPU_FMMF_BATCHED", "0")
+    fs = fmmf(cube=cube.copy(), angle_list=angs.copy(), psf=psf.copy(),
+              **kwargs)
+    for b, s in zip(fb, fs):
+        scale = max(np.abs(s).max(), 1e-12)
+        assert np.max(np.abs(b - s)) / scale < 1e-10

@@ -147,6 +147,14 @@ def _snr_contrast_esti(ann_center, cube, angle_list, psf, fwhm, model, var,
     ann_ind = get_annulus_segments(
         cube[0], ann_center - int(round(fwhm) / 2), int(round(fwhm)), 1)
 
+    if _fmmf_batched_enabled():
+        return _pixels_fm_batched(
+            ann_center, cube, angle_list, psf, fwhm, model, var,
+            ncomp, pa_threshold, crop, imlib, interpolation, verbose,
+            mcube, indicesy, indicesx, var_f, ann_ind, evals_matrix,
+            evecs_matrix, KL_basis_matrix, refs_mean_sub_matrix,
+            sci_mean_sub_matrix, ind_ref_list, coef_list)
+
     for i in range(len(indicesy)):
         poscenty = indicesy[i]
         poscentx = indicesx[i]
@@ -214,6 +222,158 @@ def _snr_contrast_esti(ann_center, cube, angle_list, psf, fwhm, model, var,
         flux_esti[i] = sum(num) / np.sqrt(sum(denom))
         prob_esti[i] = sum(num) / sum(denom)
 
+    if verbose:
+        print("Radial distance " + "{}".format(ann_center) + " done!")
+    return prob_esti, flux_esti, ann_center
+
+
+def _fmmf_batched_enabled():
+    """Batched per-pixel engine on accelerators, serial loop on CPU.
+
+    The rotation count is identical either way (P x n frame rotations);
+    on CPU the serial loop wins (~35%) because its per-pixel dispatches
+    overlap XLA's threadpool with host prep, while on TPU the batched
+    form turns P x n tunnel dispatches into n batched ones and runs the
+    perturbation algebra as large matmuls. VIP_TPU_FMMF_BATCHED=0/1
+    forces either (the equality test pins batched == serial)."""
+    import os
+
+    import jax
+
+    env = os.environ.get("VIP_TPU_FMMF_BATCHED")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pixels_fm_batched(ann_center, cube, angle_list, psf, fwhm, model, var,
+                       ncomp, pa_threshold, crop, imlib, interpolation,
+                       verbose, mcube, indicesy, indicesx, var_f, ann_ind,
+                       evals_matrix, evecs_matrix, KL_basis_matrix,
+                       refs_mean_sub_matrix, sci_mean_sub_matrix,
+                       ind_ref_list, coef_list):
+    """The per-pixel loop of :func:`_snr_contrast_esti`, batched.
+
+    The serial form (mirroring reference fmmf.py:249-486) runs, for EVERY
+    annulus pixel, n forward-model perturbations and n full-frame
+    derotations — ~190 x 61 FFT rotations per annulus, the entire cost
+    of FMMF. Here the loop nest is inverted: for each FRAME, the
+    perturbation linear algebra runs as one batched matmul over all
+    pixels and the derotation runs as ONE batched ``cube_derotate`` call
+    (same per-frame kernel, so results are identical —
+    tests/test_invprob_parity.py pins batched == serial). The
+    injections, crops and KLIP/LOCI eigenbases go through the exact same
+    host helpers as the serial path.
+    """
+    n, y, x = cube.shape
+    P = len(indicesy)
+    ceny, cenx = frame_center(cube[0])
+    band_y, band_x = ann_ind[0][0], ann_ind[0][1]
+    band = band_y.shape[0]
+    cw = int(2 * round(fwhm) + 1)
+
+    # --- unit-companion model matrices, band-restricted (host, cheap) ---
+    models = np.empty((P, n, band))
+    for i in range(P):
+        an_dist = np.sqrt((indicesy[i] - ceny) ** 2 +
+                          (indicesx[i] - cenx) ** 2)
+        theta = np.degrees(np.arctan2(indicesy[i] - ceny,
+                                      indicesx[i] - cenx))
+        mm = cube_inject_companions(
+            np.zeros_like(cube), psf, angle_list, flevel=1,
+            rad_dists=an_dist, theta=theta, n_branches=1, verbose=False,
+            imlib=imlib, interpolation=interpolation)
+        models[i] = mm[:, band_y, band_x]
+
+    if pa_threshold != 0:
+        idx_lists = [_find_indices_adi(angle_list, j, pa_threshold,
+                                       truncate=False) for j in range(n)]
+    else:
+        idx_lists = [np.arange(n) for _ in range(n)]
+
+    if model == "LOCI":
+        # residual band values for ALL frames first: the global mean of
+        # each pixel's model cube couples the frames
+        res_fc = np.empty((P, n, band))
+        for j in range(n):
+            c = np.asarray(coef_list[j])
+            refs = models[:, ind_ref_list[j], :]          # (P, K, band)
+            res_fc[:, j] = models[:, j] - np.einsum("k,pkb->pb", c, refs)
+        mean_fc = res_fc.reshape(P, -1).sum(axis=1) / (n * y * x)
+
+    num = np.zeros((P, n))
+    denom = np.zeros((P, n))
+    h = crop // 2
+
+    for j in range(n):
+        if model == "KLIP":
+            idx = idx_lists[j]
+            refs_mean_sub = refs_mean_sub_matrix[j]       # (K, band)
+            sci_mean_sub = sci_mean_sub_matrix[j]         # (band,)
+            KL_basis = KL_basis_matrix[j]                 # (mb, band)
+            evals = evals_matrix[j]
+            V = evecs_matrix[j]                           # (K, mb)
+            mb = KL_basis.shape[0]
+
+            models_ref = models[:, idx, :]                # (P, K, band)
+            m_mean = np.nanmean(models_ref, axis=2, keepdims=True)
+            models_msub = np.nan_to_num(models_ref - m_mean)
+            sci_m = np.nanmean(models[:, j, :], axis=1, keepdims=True)
+            model_sci_msub = np.nan_to_num(models[:, j, :] - sci_m)
+
+            proj = np.matmul(models_msub, refs_mean_sub.T)    # (P, K, K)
+            C = np.matmul(np.matmul(V.T, proj), V)            # (P, mb, mb)
+            sqrt_e = np.sqrt(evals[:mb])
+            de = evals[:mb, None] - evals[None, :mb]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                W = (sqrt_e[None, None, :] / de[None]) \
+                    * (C + C.transpose(0, 2, 1))
+            dg = np.arange(mb)
+            W[:, dg, dg] = -C[:, dg, dg] / sqrt_e[None, :]
+            delta_KL = (np.matmul(W, KL_basis)
+                        + np.matmul(V.T, models_msub)) / sqrt_e[None, :,
+                                                                None]
+
+            ip_over = np.matmul(model_sci_msub, KL_basis.T)   # (P, mb)
+            s1 = np.einsum("b,pmb->pm", sci_mean_sub, delta_KL)
+            s2 = KL_basis @ sci_mean_sub                      # (mb,)
+            klipped_oversub = np.matmul(ip_over, KL_basis)
+            klipped_selfsub = np.matmul(s1, KL_basis) \
+                + np.einsum("m,pmb->pb", s2, delta_KL)
+            band_vals = models[:, j, :] - klipped_oversub - klipped_selfsub
+            band_vals = band_vals - band_vals.mean(axis=1, keepdims=True)
+            frames_p = np.zeros((P, y, x))
+            frames_p[:, band_y, band_x] = band_vals
+        else:                                             # LOCI
+            frames_p = np.zeros((P, y, x))
+            frames_p[:, band_y, band_x] = res_fc[:, j]
+            frames_p -= mean_fc[:, None, None]
+
+        rot = np.asarray(cube_derotate(
+            frames_p, np.full(P, angle_list[j]), imlib=imlib,
+            interpolation=interpolation))
+
+        if var in ("FR", VarEstim.FR):
+            svar = np.full(P, var_f[j])
+        else:
+            svar = var_f[:, j]
+
+        for i in range(P):
+            py, px = int(indicesy[i]), int(indicesx[i])
+            tmp = frame_crop(rot[i], cw, xy=(px, py), verbose=False)
+            if tmp.shape[-1] == crop:
+                psfm = tmp
+            else:
+                psfm = frame_crop(tmp, crop,
+                                  xy=[int(tmp.shape[-1] / 2),
+                                      int(tmp.shape[-1] / 2)],
+                                  verbose=False)
+            mc = frame_crop(mcube[j], crop, xy=(px, py), verbose=False)
+            num[i, j] = np.multiply(mc, psfm).sum() / svar[i]
+            denom[i, j] = np.multiply(psfm, psfm).sum() / svar[i]
+
+    flux_esti = num.sum(axis=1) / np.sqrt(denom.sum(axis=1))
+    prob_esti = num.sum(axis=1) / denom.sum(axis=1)
     if verbose:
         print("Radial distance " + "{}".format(ann_center) + " done!")
     return prob_esti, flux_esti, ann_center

@@ -116,8 +116,7 @@ def _subspace_topk(Gm, ncomp, n_iter=30, oversample=8):
         return Q
 
     B = orth(A @ R)
-    for _ in range(n_iter):
-        B = orth(A @ B)
+    B = jax.lax.fori_loop(0, n_iter, lambda _, b: orth(A @ b), B)
     T = B.T @ (A @ B)
     T = 0.5 * (T + T.T)
     e, W = jnp.linalg.eigh(T)                   # (m, m) — tiny
@@ -234,22 +233,29 @@ def _gather_lib_grams(G, lib_idx, chunk=256):
 
 @functools.partial(jax.jit, static_argnames=("ncomp", "method"),
                    donate_argnames=("cube_out",))
-def resident_annulus_update(cube, cube_out, yy, xx, colmask, lib_idx,
+def resident_annulus_update(cube, cube_out, flat_idx, colmask, lib_idx,
                             lib_w, k_eff, ncomp, method="eigh"):
     """One annulus segment of the device-resident annular PCA: gather
     the segment pixels, run the Gram-path per-frame PCA, scatter the
     residuals — a single compiled program per (p_pad, L_pad) bucket.
 
-    ``yy``/``xx`` are padded to the bucket width with OUT-OF-BOUNDS
-    indices: the gather clamps them (and ``colmask`` zeroes the clamped
-    columns so they cannot contribute to the Gram) while the scatter
-    drops them (mode="drop"). The scatter uses ``set`` because the
-    reference's last annulus overlaps the previous one
-    (derotation.py:507-539 widens it to reach the frame edge) and the
-    host path's assignment semantics let the later annulus win.
+    ``flat_idx`` holds FLATTENED pixel indices (yy * x + xx) padded to
+    the bucket width with OUT-OF-BOUNDS values: the gather clamps them
+    (and ``colmask`` zeroes the clamped columns so they cannot
+    contribute to the Gram) while the scatter drops them (mode="drop").
+    Flat 1-D indexing instead of the 2-D fancy ``cube[:, yy, xx]`` is a
+    compile-time necessity: XLA lowers the 2-D form pathologically on
+    TPU (~187 s to compile at 1000x512x512 vs 0.8 s flat — measured
+    2026-08-20; it is also ~1.5x faster at runtime). The scatter uses
+    ``set`` because the reference's last annulus overlaps the previous
+    one (derotation.py:507-539 widens it to reach the frame edge) and
+    the host path's assignment semantics let the later annulus win.
     """
-    seg = cube[:, yy, xx] * colmask[None, :]
+    n, y, x = cube.shape
+    seg = jnp.take(cube.reshape(n, y * x), flat_idx, axis=1,
+                   mode="clip") * colmask[None, :]
     res = batched_pca_patch_residuals_gram(seg, seg, lib_idx, lib_w,
                                            ncomp, k_eff=k_eff,
                                            method=method)
-    return cube_out.at[:, yy, xx].set(res, mode="drop")
+    out = cube_out.reshape(n, y * x).at[:, flat_idx].set(res, mode="drop")
+    return out.reshape(n, y, x)

@@ -628,7 +628,8 @@ class _Val:
 
 
 class _View:
-    """Static-slice view of a (possibly leading-1) VMEM ref."""
+    """Slice view of a (possibly leading-1) VMEM ref. ``rs``/``cs`` may
+    be static slices or ``pl.ds`` dynamic slices (sublane-dim loops)."""
 
     def __init__(self, ref, rs, cs, lead=None, shape=None):
         self._ref, self._rs, self._cs, self._lead = ref, rs, cs, lead
@@ -683,9 +684,11 @@ def _stage_consts(N, n2lo, n2hi, m2lo, m2hi, real_in, real_out):
 
 def _coords_val(start, size, center):
     """(size, 1) f32 row coordinates start+i-center via iota (exact:
-    integer-valued f32 below 2^24)."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (size, 1), 0)
-    return _Val(i + jnp.float32(start - center))
+    integer-valued f32 below 2^24; Mosaic only supports integer iota).
+    ``start`` may be a traced scalar (fori-loop block offset)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    off = jnp.asarray(start, jnp.float32) - jnp.float32(center)
+    return _Val(i.astype(jnp.float32) + off)
 
 
 def _fused3_call(work, acoef, bcoef, N, bands, out_h, out_w, interpret=False):
@@ -707,14 +710,19 @@ def _fused3_call(work, acoef, bcoef, N, bands, out_h, out_w, interpret=False):
     ob_h = (on2hi - on2lo) * _Q
     r_off = cy0 - on2lo * _Q
 
+    # block sizes chosen to keep the PROGRAM small (the remote Mosaic
+    # compiler OOMs past ~a dozen shear-body instantiations): stages 1/3
+    # run ONE body inside a fori_loop over dynamic sublane blocks; stage
+    # 2 (lane blocks — dynamic lane offsets are not sliceable) unrolls
+    # statically at a wide cb
     rb1 = 128
-    cb = 256 if N % 256 == 0 else _Q
+    cb = 512 if N % 512 == 0 else (256 if N % 256 == 0 else _Q)
     rb3 = 128
-    n_rb1 = -(-in_h // rb1)
+    n_rb1 = in_h // rb1
     assert in_h % rb1 == 0, (in_h, rb1)   # band heights are Q-multiples
     n_cb = N // cb
-    row3 = [(i * rb3, min(rb3, out_h - i * rb3))
-            for i in range(-(-out_h // rb3))]
+    n_rb3 = out_h // rb3
+    tail3 = out_h - n_rb3 * rb3
 
     c1 = _stage_consts(N, cn2lo, cn2hi, 0, P, True, False)
     c2 = _stage_consts(N, rn2lo, rn2hi, on2lo, on2hi, False, False)
@@ -736,41 +744,66 @@ def _fused3_call(work, acoef, bcoef, N, bands, out_h, out_w, interpret=False):
         a = aref[g, 0]
         bc = bref[g, 0]
 
-        # stage 1: x-shear of the input band rows -> C1 (full width)
-        for i in range(n_rb1):
-            rs = slice(i * rb1, (i + 1) * rb1)
+        # stage 1: x-shear of the input band rows -> C1 (full width);
+        # ONE body instantiation, fori over dynamic sublane blocks
+        def stage1(i, carry):
+            r0 = i * rb1
+            rs = pl.ds(r0, rb1)
             _shear_rows_body(
-                a, _coords_val(rn2lo * _Q + i * rb1, rb1, N / 2), *cw1,
+                a, _coords_val(rn2lo * _Q + r0, rb1, N / 2), *cw1,
                 _View(in_ref, rs, slice(None), lead=0, shape=(rb1, in_w)),
                 None,
                 _View(C1r, rs, slice(None)), _View(C1i, rs, slice(None)),
                 sA, sB,
                 N=N, n2lo=cn2lo, n2hi=cn2hi, m2lo=0, m2hi=P)
+            return carry
 
-        # stage 2: y-shear of C1 column blocks -> C2 (crop fold band)
+        jax.lax.fori_loop(0, n_rb1, stage1, 0)
+
+        # stage 2: y-shear of C1 column blocks -> C2 (crop fold band);
+        # lane-dim blocks cannot use dynamic offsets, so unroll at a
+        # wide cb
         for i in range(n_cb):
             cs = slice(i * cb, (i + 1) * cb)
-            ic = jax.lax.broadcasted_iota(jnp.float32, (1, cb), 1)
+            ic = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
             _shear_cols_body(
-                bc, _Val(ic + jnp.float32(i * cb - N / 2)), *cw2,
+                bc, _Val(ic.astype(jnp.float32) + jnp.float32(i * cb - N / 2)),
+                *cw2,
                 _View(C1r, slice(None), cs, shape=(in_h, cb)),
                 _View(C1i, slice(None), cs, shape=(in_h, cb)),
                 _View(C2r, slice(None), cs), _View(C2i, slice(None), cs),
                 sC, sD,
                 N=N, n2lo=rn2lo, n2hi=rn2hi, m2lo=on2lo, m2hi=on2hi)
 
-        # stage 3: x-shear of the crop rows -> real output col band
-        for r0, rb in row3:
-            rs = slice(r_off + r0, r_off + r0 + rb)
-            sE_v = sE if rb == rb3 else _PartialRows(sE, rb)
-            sF_v = sF if rb == rb3 else _PartialRows(sF, rb)
+        # stage 3: x-shear of the crop rows -> real output col band;
+        # fori over full blocks + one static ragged tail
+        def stage3(i, carry):
+            r0 = i * rb3
             _shear_rows_body(
-                a, _coords_val(cy0 + r0, rb, N / 2), *cw3,
-                _View(C2r, rs, slice(None), shape=(rb, N)),
-                _View(C2i, rs, slice(None), shape=(rb, N)),
-                _View(out_ref, slice(r0, r0 + rb), slice(None), lead=0),
+                a, _coords_val(cy0 + r0, rb3, N / 2), *cw3,
+                _View(C2r, pl.ds(r_off + r0, rb3), slice(None),
+                      shape=(rb3, N)),
+                _View(C2i, pl.ds(r_off + r0, rb3), slice(None),
+                      shape=(rb3, N)),
+                _View(out_ref, pl.ds(r0, rb3), slice(None), lead=0),
                 None,
-                sE_v, sF_v,
+                sE, sF,
+                N=N, n2lo=0, n2hi=P, m2lo=ox2lo, m2hi=ox2hi)
+            return carry
+
+        if n_rb3 > 0:                 # fori bodies trace even for 0 trips
+            jax.lax.fori_loop(0, n_rb3, stage3, 0)
+        if tail3:
+            r0 = n_rb3 * rb3
+            _shear_rows_body(
+                a, _coords_val(cy0 + r0, tail3, N / 2), *cw3,
+                _View(C2r, slice(r_off + r0, r_off + r0 + tail3),
+                      slice(None), shape=(tail3, N)),
+                _View(C2i, slice(r_off + r0, r_off + r0 + tail3),
+                      slice(None), shape=(tail3, N)),
+                _View(out_ref, slice(r0, r0 + tail3), slice(None), lead=0),
+                None,
+                _PartialRows(sE, tail3), _PartialRows(sF, tail3),
                 N=N, n2lo=0, n2hi=P, m2lo=ox2lo, m2hi=ox2hi)
 
     in_specs = [

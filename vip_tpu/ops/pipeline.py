@@ -110,10 +110,13 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
 
         # On TPU at float32, run the three shears as fused Pallas
         # matmul-DFT kernels (same math, ~equal f32 accuracy, no HBM
-        # canvas). Default "auto" = the canvas-resident single-kernel
-        # variant (rotate_fft_exact_fused3: intermediates stay in VMEM,
-        # saving ~84 MB/frame of HBM round-trips at 512^2); "fused" =
-        # the per-shear kernels; "pruned" = the jnp.fft path (CPU/x64
+        # canvas). Default "auto" = the per-shear kernels ("fused").
+        # "fused3" = the canvas-resident single-kernel variant
+        # (rotate_fft_exact_fused3): intermediates stay in VMEM, saving
+        # ~84 MB/frame of HBM round-trips at 512^2 — but the Mosaic
+        # compile of the 3-stage kernel runs >1 h on the remote
+        # compiler (measured 2026-08-20), so it is opt-in until the
+        # program size is tamed. "pruned" = the jnp.fft path (CPU/x64
         # parity). Env override VIP_EXACT_SHEAR.
         import os
 
@@ -130,7 +133,7 @@ def _derotate_frames(cube, angles, chunk=None, rot_mode="fft",
         )
 
         def _rot_exact(frames, angs):
-            if use_fused and shear_impl != "fused":
+            if use_fused and shear_impl == "fused3":
                 return rotate_fft_exact_fused3(frames, angs, pad_y, py0,
                                                px0, cy0, cy1, cx0, cx1)
             if use_fused:

@@ -26,6 +26,74 @@ from ..var.shapes import resolve_n_segments
 __all__ = ["nmf_annular", "NMF_ANNULAR_Params"]
 
 
+def _nmf_batched_enabled():
+    import os
+
+    return os.environ.get("VIP_TPU_NMF_BATCHED", "1") == "1"
+
+
+def _nmf_patches_batched(matrix_segm, angle_list, pa_thr, ncomp, max_iter,
+                         init_svd, min_frames_lib, max_frames_lib,
+                         handle_neg):
+    """All per-frame NMF patches of one segment in ONE batched program
+    (ops/nmf.nmf_patch_batched) instead of n serial sklearn-style fits —
+    and, as important on CPU, ONE compile per segment shape instead of
+    one per distinct per-frame library size.
+
+    Libraries are built with the reference's PA-threshold + dPA
+    truncation host logic, handle_neg applied per frame on the unpadded
+    rows, then zero-row-padded to a shared L (exactly neutral — see
+    ops/nmf._nndsvd_init_masked). Returns (residuals (n, p),
+    recon (n, p), H_frame0 (k, p))."""
+    from ..ops.nmf import nmf_patch_batched
+
+    n, p = matrix_segm.shape
+    libs = []
+    msg = ("Too few frames left in the PCA library. Accepted indices "
+           "length ({:.0f}) less than {:.0f}. Try decreasing either "
+           "delta_rot or min_frames_lib.")
+    for fr in range(n):
+        if pa_thr != 0:
+            idx = _find_indices_adi(angle_list, fr, pa_thr, truncate=True,
+                                    max_frames=max_frames_lib)
+            if len(idx) < min_frames_lib:
+                raise RuntimeError(msg.format(len(idx), min_frames_lib))
+            libs.append(np.asarray(idx))
+        else:
+            libs.append(np.arange(n))
+
+    L = max(len(i) for i in libs)
+    L_pad = 16 * ((L + 15) // 16)
+    X = np.zeros((n, L_pad, p))
+    row_valid = np.zeros((n, L_pad))
+    curr = np.array(matrix_segm, dtype=float)
+    for fr, idx in enumerate(libs):
+        data_ref = np.array(matrix_segm[idx], dtype=float)
+        if np.median(data_ref) < 0:
+            raise ValueError("Mostly negative values in the cube")
+        if handle_neg == "null":
+            data_ref[data_ref < 0] = 0
+        elif handle_neg == "subtr_min":
+            data_ref -= np.amin(data_ref)
+        X[fr, :len(idx)] = data_ref
+        row_valid[fr, :len(idx)] = 1.0
+    if handle_neg == "null":
+        curr[curr < 0] = 0
+    elif handle_neg == "subtr_min":
+        curr -= np.amin(curr, axis=1, keepdims=True)
+    # 'mask': the segment was pre-filtered to all-positive pixels, so the
+    # per-frame mask logic of do_nmf_patch is a no-op here
+
+    import jax.numpy as jnp
+
+    recon, H_all = nmf_patch_batched(
+        jnp.asarray(X), jnp.asarray(row_valid), jnp.asarray(curr),
+        int(ncomp), max_iter=int(max_iter), variant=str(init_svd))
+    recon = np.asarray(recon)
+    residuals = np.asarray(matrix_segm, dtype=float) - recon
+    return residuals, recon, np.asarray(H_all[0])
+
+
 @dataclass
 class NMF_ANNULAR_Params:
     """Parameters of ``nmf_annular`` (reference nmf_local.py:25-57)."""
@@ -141,6 +209,23 @@ def nmf_annular(*all_args: List, **all_kwargs: dict):
             matrix_sig_segm = algo_params.cube_sig[:, yy, xx] \
                 if algo_params.cube_sig is not None else None
 
+            batched = (matrix_sig_segm is None and matrix_segm_ref is None
+                       and str(init_svd).startswith("nndsvd")
+                       and not algo_params.nmf_args
+                       and _nmf_batched_enabled())
+            if batched:
+                res_b, recon_b, H0 = _nmf_patches_batched(
+                    matrix_segm, angle_list, pa_thr, ncompann,
+                    algo_params.max_iter, init_svd,
+                    algo_params.min_frames_lib, algo_params.max_frames_lib,
+                    handle_neg)
+                for fr in range(n):
+                    cube_out[fr][yy, xx] = res_b[fr]
+                    cube_recon[fr][yy, xx] = recon_b[fr]
+                for pp in range(int(np.max(algo_params.ncomp))):
+                    if pp < H0.shape[0]:
+                        H_comps[pp][yy, xx] = H0[pp]
+                continue
             for fr in range(n):
                 res = do_nmf_patch(
                     matrix_segm, fr, angle_list, algo_params.fwhm, pa_thr,

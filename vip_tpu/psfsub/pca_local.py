@@ -165,14 +165,14 @@ def _pca_adi_resident(array, angle_list, radius_int, fwhm, asize,
             p_pad = 1024 * ((p + 1023) // 1024)
             # out-of-bounds padding: clamped on gather (then zeroed via
             # colmask), dropped on scatter — see resident_annulus_update
-            yy_pad = np.pad(yy, (0, p_pad - p), constant_values=y)
-            xx_pad = np.pad(xx, (0, p_pad - p), constant_values=x)
+            flat = np.asarray(yy, np.int64) * x + np.asarray(xx, np.int64)
+            flat_pad = np.pad(flat, (0, p_pad - p),
+                              constant_values=y * x).astype(np.int32)
             colmask = np.zeros(p_pad, dtype=np.dtype(cube_dev.dtype))
             colmask[:p] = 1.0
             cube_out_dev = resident_annulus_update(
-                cube_dev, cube_out_dev, jnp.asarray(yy_pad),
-                jnp.asarray(xx_pad), jnp.asarray(colmask), lib_idx_d,
-                lib_w_d,
+                cube_dev, cube_out_dev, jnp.asarray(flat_pad),
+                jnp.asarray(colmask), lib_idx_d, lib_w_d,
                 jnp.asarray(k_seg) if (k_seg != k_eff).any() else k_eff_d,
                 ncompann, method=method)
 
