@@ -291,6 +291,15 @@ def _pixels_fm_batched(ann_center, cube, angle_list, psf, fwhm, model, var,
     else:
         idx_lists = [np.arange(n) for _ in range(n)]
 
+    import jax
+
+    import jax.numpy as jnp
+
+    # f32 on accelerators (the TPU-native precision of every other hot
+    # path; f64 is software-emulated on TPU), input dtype on CPU
+    dt = jnp.float32 if jax.default_backend() not in ("cpu",) \
+        else jnp.asarray(models[:1, :1, :1]).dtype
+
     if model == "LOCI":
         # residual band values for ALL frames first: the global mean of
         # each pixel's model cube couples the frames
@@ -300,77 +309,151 @@ def _pixels_fm_batched(ann_center, cube, angle_list, psf, fwhm, model, var,
             refs = models[:, ind_ref_list[j], :]          # (P, K, band)
             res_fc[:, j] = models[:, j] - np.einsum("k,pkb->pb", c, refs)
         mean_fc = res_fc.reshape(P, -1).sum(axis=1) / (n * y * x)
+        res_fc_d = jnp.asarray(res_fc, dt)
+        mean_fc_d = jnp.asarray(mean_fc, dt)
+    else:
+        # zero-row-padded per-frame library stacks: padded rows are
+        # exactly neutral (their per-row means are 0, they carry zero
+        # V/refs rows, so every contraction ignores them)
+        K_pad = max(len(i) for i in idx_lists)
+        mbs = {KL_basis_matrix[j].shape[0] for j in range(n)}
+        mb = max(mbs)
+        idx_pad = np.zeros((n, K_pad), np.int32)
+        refs_pad = np.zeros((n, K_pad, band))
+        V_pad = np.zeros((n, K_pad, mb))
+        KL_pad = np.zeros((n, mb, band))
+        ev_pad = np.zeros((n, mb))
+        sci_ms = np.zeros((n, band))
+        for j in range(n):
+            k = len(idx_lists[j])
+            mbj = KL_basis_matrix[j].shape[0]
+            idx_pad[j, :k] = idx_lists[j]
+            refs_pad[j, :k] = refs_mean_sub_matrix[j]
+            V_pad[j, :k, :mbj] = evecs_matrix[j][:, :mbj]
+            KL_pad[j, :mbj] = KL_basis_matrix[j]
+            # pad eigenvalues with distinct POSITIVE values above the
+            # real spectrum: sqrt stays finite and the W divisor
+            # (e_k - e_j) never hits 0 on padding; every padded
+            # contribution is annihilated by the zero V/KL rows
+            top = float(np.max(np.abs(evals_matrix[j][:mbj]))) + 1.0
+            ev_pad[j] = top * np.arange(2.0, mb + 2)
+            ev_pad[j, :mbj] = evals_matrix[j][:mbj]
+            sci_ms[j] = sci_mean_sub_matrix[j]
+        idx_pad_d = jnp.asarray(idx_pad)
+        refs_d = jnp.asarray(refs_pad, dt)
+        V_d = jnp.asarray(V_pad, dt)
+        KL_d = jnp.asarray(KL_pad, dt)
+        ev_d = jnp.asarray(ev_pad, dt)
+        sci_d = jnp.asarray(sci_ms, dt)
 
-    num = np.zeros((P, n))
-    denom = np.zeros((P, n))
-    h = crop // 2
+    models_d = jnp.asarray(models, dt)                    # (P, n, band)
+    bflat = jnp.asarray((band_y.astype(np.int64) * x
+                         + band_x.astype(np.int64)).astype(np.int32))
 
-    for j in range(n):
-        if model == "KLIP":
-            idx = idx_lists[j]
-            refs_mean_sub = refs_mean_sub_matrix[j]       # (K, band)
-            sci_mean_sub = sci_mean_sub_matrix[j]         # (band,)
-            KL_basis = KL_basis_matrix[j]                 # (mb, band)
-            evals = evals_matrix[j]
-            V = evecs_matrix[j]                           # (K, mb)
-            mb = KL_basis.shape[0]
+    # crop windows replicating the serial path's exact get_square
+    # arithmetic (cosmetics.frame_crop two-stage incl. the parity size
+    # bumps of var/shapes.get_square — an odd crop on an even frame
+    # grows by one and shifts, so direct centered windows are WRONG on
+    # even frames)
+    def _adjust(n_init, size):
+        if n_init % 2 == 0 and size % 2 != 0:
+            return size + 1
+        if n_init % 2 != 0 and size % 2 == 0:
+            return size + 1
+        return size
 
-            models_ref = models[:, idx, :]                # (P, K, band)
-            m_mean = np.nanmean(models_ref, axis=2, keepdims=True)
-            models_msub = np.nan_to_num(models_ref - m_mean)
-            sci_m = np.nanmean(models[:, j, :], axis=1, keepdims=True)
-            model_sci_msub = np.nan_to_num(models[:, j, :] - sci_m)
+    cw1 = _adjust(x, cw)
+    wing1 = (cw1 - 1) / 2
+    if cw1 == crop:
+        i0, S = 0, cw1
+    else:
+        S = _adjust(cw1, crop)
+        i0 = int(int(cw1 / 2) - (S - 1) / 2)
+    cm = _adjust(x, crop)
+    assert cm == S, (cm, S)
+    wingm = (cm - 1) / 2
+    sy = np.array([int(py - wing1) + i0 for py in indicesy])
+    sx = np.array([int(px - wing1) + i0 for px in indicesx])
+    my0 = np.array([int(py - wingm) for py in indicesy])
+    mx0 = np.array([int(px - wingm) for px in indicesx])
+    assert sy.min() >= 0 and sx.min() >= 0 and my0.min() >= 0
+    assert sy.max() + S <= y and sx.max() + S <= x
+    assert my0.max() + S <= y and mx0.max() + S <= x
+    offs = (np.mgrid[0:S, 0:S][0] * x + np.mgrid[0:S, 0:S][1]).reshape(-1)
+    win = jnp.asarray(((sy * x + sx)[:, None]
+                       + offs[None, :]).astype(np.int32))
+    mwin = jnp.asarray(((my0 * x + mx0)[:, None]
+                        + offs[None, :]).astype(np.int32))
+    mcube_d = jnp.asarray(mcube, dt).reshape(n, y * x)
+    mc_all = jnp.take(mcube_d, mwin.reshape(-1), axis=1,
+                      mode="clip").reshape(n, P, S * S)
 
-            proj = np.matmul(models_msub, refs_mean_sub.T)    # (P, K, K)
-            C = np.matmul(np.matmul(V.T, proj), V)            # (P, mb, mb)
-            sqrt_e = np.sqrt(evals[:mb])
-            de = evals[:mb, None] - evals[None, :mb]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                W = (sqrt_e[None, None, :] / de[None]) \
-                    * (C + C.transpose(0, 2, 1))
-            dg = np.arange(mb)
-            W[:, dg, dg] = -C[:, dg, dg] / sqrt_e[None, :]
-            delta_KL = (np.matmul(W, KL_basis)
-                        + np.matmul(V.T, models_msub)) / sqrt_e[None, :,
-                                                                None]
+    if var in ("FR", VarEstim.FR):
+        svar_d = jnp.broadcast_to(jnp.asarray(var_f, dt)[None, :], (P, n))
+    else:
+        svar_d = jnp.asarray(var_f, dt)
 
-            ip_over = np.matmul(model_sci_msub, KL_basis.T)   # (P, mb)
-            s1 = np.einsum("b,pmb->pm", sci_mean_sub, delta_KL)
-            s2 = KL_basis @ sci_mean_sub                      # (mb,)
-            klipped_oversub = np.matmul(ip_over, KL_basis)
-            klipped_selfsub = np.matmul(s1, KL_basis) \
-                + np.einsum("m,pmb->pb", s2, delta_KL)
-            band_vals = models[:, j, :] - klipped_oversub - klipped_selfsub
-            band_vals = band_vals - band_vals.mean(axis=1, keepdims=True)
-            frames_p = np.zeros((P, y, x))
-            frames_p[:, band_y, band_x] = band_vals
-        else:                                             # LOCI
-            frames_p = np.zeros((P, y, x))
-            frames_p[:, band_y, band_x] = res_fc[:, j]
-            frames_p -= mean_fc[:, None, None]
+    @jax.jit
+    def _klip_band_vals(j, md, idxj, refsj, Vj, KLj, evj, scij):
+        models_ref = jnp.take(md, idxj, axis=1)           # (P, K, band)
+        m_mean = jnp.nanmean(models_ref, axis=2, keepdims=True)
+        models_msub = jnp.nan_to_num(models_ref - m_mean)
+        sci_m = jnp.nanmean(md[:, j, :], axis=1, keepdims=True)
+        model_sci_msub = jnp.nan_to_num(md[:, j, :] - sci_m)
 
-        rot = np.asarray(cube_derotate(
-            frames_p, np.full(P, angle_list[j]), imlib=imlib,
-            interpolation=interpolation))
+        proj = jnp.matmul(models_msub, refsj.T)           # (P, K, K)
+        C = jnp.matmul(jnp.matmul(Vj.T, proj), Vj)        # (P, mb, mb)
+        sqrt_e = jnp.sqrt(evj)
+        de = evj[:, None] - evj[None, :]
+        de = jnp.where(de == 0, 1e-300 if dt == jnp.float64 else 1e-30,
+                       de)
+        W = (sqrt_e[None, None, :] / de[None]) * (C + C.transpose(0, 2, 1))
+        dg = jnp.arange(W.shape[-1])
+        W = W.at[:, dg, dg].set(-C[:, dg, dg] / sqrt_e[None, :])
+        delta_KL = (jnp.matmul(W, KLj)
+                    + jnp.matmul(Vj.T, models_msub)) / sqrt_e[None, :,
+                                                              None]
+        ip_over = jnp.matmul(model_sci_msub, KLj.T)       # (P, mb)
+        s1 = jnp.einsum("b,pmb->pm", scij, delta_KL)
+        s2 = KLj @ scij
+        oversub = jnp.matmul(ip_over, KLj)
+        selfsub = jnp.matmul(s1, KLj) + jnp.einsum("m,pmb->pb", s2,
+                                                   delta_KL)
+        bv = md[:, j, :] - oversub - selfsub
+        return bv - bv.mean(axis=1, keepdims=True)
 
-        if var in ("FR", VarEstim.FR):
-            svar = np.full(P, var_f[j])
-        else:
-            svar = var_f[:, j]
+    @jax.jit
+    def _scatter_frames(bv_all, sub_all):
+        fr = jnp.zeros((n * P, y * x), dt)
+        fr = fr.at[:, bflat].set(bv_all.reshape(n * P, band))
+        return (fr - sub_all.reshape(n * P)[:, None]).reshape(n * P, y, x)
 
-        for i in range(P):
-            py, px = int(indicesy[i]), int(indicesx[i])
-            tmp = frame_crop(rot[i], cw, xy=(px, py), verbose=False)
-            if tmp.shape[-1] == crop:
-                psfm = tmp
-            else:
-                psfm = frame_crop(tmp, crop,
-                                  xy=[int(tmp.shape[-1] / 2),
-                                      int(tmp.shape[-1] / 2)],
-                                  verbose=False)
-            mc = frame_crop(mcube[j], crop, xy=(px, py), verbose=False)
-            num[i, j] = np.multiply(mc, psfm).sum() / svar[i]
-            denom[i, j] = np.multiply(psfm, psfm).sum() / svar[i]
+    @jax.jit
+    def _filter_all(rot):
+        rt = jax.vmap(lambda r: jnp.take_along_axis(r, win, axis=1))(
+            rot.reshape(n, P, y * x))                     # (n, P, S^2)
+        num = jnp.einsum("npc,npc->pn", mc_all, rt) / svar_d
+        den = jnp.einsum("npc,npc->pn", rt, rt) / svar_d
+        return num, den
+
+    if model == "KLIP":
+        bv_all = jnp.stack([
+            _klip_band_vals(j, models_d, idx_pad_d[j], refs_d[j],
+                            V_d[j], KL_d[j], ev_d[j], sci_d[j])
+            for j in range(n)])                           # (n, P, band)
+        sub_all = jnp.zeros((n, P), dt)
+    else:                                                 # LOCI
+        bv_all = jnp.swapaxes(res_fc_d, 0, 1)             # (n, P, band)
+        sub_all = jnp.broadcast_to(mean_fc_d[None, :], (n, P))
+
+    frames_all = _scatter_frames(bv_all, sub_all)
+    # one derotation dispatch for the whole annulus (n x P frames; the
+    # device path lax.maps HBM-sized chunks inside a single program)
+    rot = cube_derotate(frames_all, np.repeat(np.asarray(angle_list), P),
+                        imlib=imlib, interpolation=interpolation)
+    num_d, den_d = _filter_all(jnp.asarray(rot, dt))
+    num = np.asarray(num_d, dtype=float)
+    denom = np.asarray(den_d, dtype=float)
 
     flux_esti = num.sum(axis=1) / np.sqrt(denom.sum(axis=1))
     prob_esti = num.sum(axis=1) / denom.sum(axis=1)

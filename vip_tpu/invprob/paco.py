@@ -286,37 +286,75 @@ class PACO:
             y.append((dy.start + dy.stop - 1) / 2)
         return np.array(list(zip(x, y)))
 
+    def _statistics_flat(self):
+        """Device-resident per-pixel statistics in the dense layout's FLAT
+        index space.
+
+        Cell ``f = r*W + c`` of the dense arrays holds the patch of IMAGE
+        pixel (row=c, col=r) (the historical transposed storage of
+        ``compute_statistics``, mirrored from the reference's index
+        plumbing) — preserved here so track lookups
+        ``Cinv[ang0, ang1]`` keep meaning ``flat = ang0*W + ang1``.
+
+        Returns device arrays (patches (n, HW, A), m (HW, A),
+        Cinv (HW, A, A)); invalid (border) cells are NaN. Nothing is
+        shipped to the host — at 101^2 x 61 the dense f64 materialization
+        alone is ~1.3 GB over the device link.
+        """
+        n, H, W = self.cube.shape
+        A = self.patch_area_pixels
+        k = int(self.patch_width / 2)
+        k2 = k + 1 if self.patch_width % 2 != 0 else k
+
+        # circular-mask offsets from an interior template
+        cpix = (H // 2, W // 2)
+        tmpl = create_boolean_circular_mask((H, W), radius=self.fwhm,
+                                            center=cpix)
+        oy, ox = np.nonzero(tmpl)
+        oy = oy - cpix[0]
+        ox = ox - cpix[1]
+        assert oy.shape[0] == A
+
+        f = np.arange(H * W)
+        row_img = f % W                      # cell (r, c) -> image (c, r)
+        col_img = f // W
+        valid = ((row_img - k >= 0) & (row_img + k2 <= H)
+                 & (col_img - k >= 0) & (col_img + k2 <= W))
+        # clamp invalid centers so the gather stays in bounds; NaN after
+        rc = np.clip(row_img, k, H - k2)
+        cc = np.clip(col_img, k, W - k2)
+        img_flat = (rc[:, None] + oy[None, :]) * W + (cc[:, None]
+                                                      + ox[None, :])
+
+        cube_flat = jnp.asarray(self.cube).reshape(n, H * W)
+        patches = jnp.take(cube_flat, jnp.asarray(img_flat.reshape(-1)),
+                           axis=1, mode="clip").reshape(n, H * W, A)
+        valid_d = jnp.asarray(valid)
+        patches = jnp.where(valid_d[None, :, None], patches, jnp.nan)
+
+        # zeros (not NaN) into the covariance/eigh pipeline — NaN inputs
+        # can derail the SPD inverse; invalid cells are NaN-masked after
+        vp = jnp.swapaxes(jnp.nan_to_num(patches), 0, 1)   # (HW, n, A)
+        m, Cinv = _batch_statistics_chunked(vp)
+        m = jnp.where(valid_d[:, None], m, jnp.nan)
+        Cinv = jnp.where(valid_d[:, None, None], Cinv, jnp.nan)
+        return patches, m, Cinv
+
     def compute_statistics(self, phi0s):
         """Mean + inverse shrinkage covariance for each pixel's patch column
-        (reference paco.py:821-878), batched on device."""
+        (reference paco.py:821-878), batched on device. Returns the dense
+        host layouts (Cinv (H, W, A, A), m (H, W, A), patch (H, W, n, A));
+        the run path uses :meth:`_statistics_flat` to avoid materializing
+        them."""
         if self.verbose:
             print("Precomputing Statistics...")
-        patch = np.zeros((self.width, self.height, self.num_frames,
-                          self.patch_area_pixels))
-        m = np.zeros((self.height, self.width, self.patch_area_pixels))
-        Cinv = np.zeros((self.height, self.width, self.patch_area_pixels,
-                         self.patch_area_pixels))
-
-        # gather patches on host (cheap), batch the covariance + inverse
-        valid_idx = []
-        valid_patches = []
-        for p0 in phi0s:
-            apatch = self.get_patch(p0)
-            patch[p0[1]][p0[0]] = apatch
-            if not np.any(np.isnan(apatch)):
-                valid_idx.append((p0[1], p0[0]))
-                valid_patches.append(apatch)
-            else:
-                m[p0[1]][p0[0]] = np.nan
-                Cinv[p0[1]][p0[0]] = np.nan
-        if valid_patches:
-            vp = np.array(valid_patches)
-            mb, cb = _batch_statistics_chunked(vp)
-            mb = np.array(mb)
-            cb = np.array(cb)
-            for k, (iy, ix) in enumerate(valid_idx):
-                m[iy][ix] = mb[k]
-                Cinv[iy][ix] = cb[k]
+        n, H, W = self.cube.shape
+        A = self.patch_area_pixels
+        patches, m, Cinv = self._statistics_flat()
+        patch = np.asarray(jnp.swapaxes(patches, 0, 1),
+                           dtype=float).reshape(H, W, n, A)
+        m = np.asarray(m, dtype=float).reshape(H, W, A)
+        Cinv = np.asarray(Cinv, dtype=float).reshape(H, W, A, A)
         return Cinv, m, patch
 
 
@@ -334,6 +372,7 @@ def _subpixel_psf_bank(psf, angs, mask, chunk=8192):
     sx = (angs[..., 0] - angs[..., 0].astype(int)).ravel()
     K = sy.shape[0]
     psf_j = jnp.asarray(psf)
+    mask_d = jnp.asarray(mask)
     pieces = []
     for k0 in range(0, K, chunk):
         n_k = min(chunk, K - k0)
@@ -344,9 +383,10 @@ def _subpixel_psf_bank(psf, angs, mask, chunk=8192):
         block = fourier_shift_batch(
             jnp.broadcast_to(psf_j, (chunk, *psf.shape)),
             jnp.asarray(sy_k), jnp.asarray(sx_k), 1)
-        # mask per chunk: keeps peak host memory at the masked size
-        pieces.append(np.asarray(block)[:n_k][:, mask])
-    bank = np.concatenate(pieces, axis=0)
+        # mask per chunk on device (device-resident bank: the run path's
+        # a/b einsums consume it without a host round-trip)
+        pieces.append(block[:n_k][:, mask_d])
+    bank = jnp.concatenate(pieces, axis=0)
     return bank.reshape(nv, nf, -1)
 
 
@@ -355,14 +395,22 @@ class FastPACO(PACO):
     the patch statistics once, then evaluate every rotation track."""
 
     def PACOCalc(self, phi0s, use_subpixel_psf_astrometry=True, cpu=1):
-        """Fast PACO (a, b) maps (reference paco.py:886-990)."""
+        """Fast PACO (a, b) maps (reference paco.py:886-990).
+
+        Fully device-resident: patch statistics (``_statistics_flat``),
+        the subpixel PSF bank, the per-track gathers and the a/b
+        einsums all stay on device; only the final (a, b) maps cross
+        back. The host form of this loop shipped ~1.3 GB of statistics
+        to the host and ran ~8k pixels x n_frames of per-pixel numpy —
+        105 s of transfers + 37 s of host algebra at the 61x101x101
+        golden config (profiled 2026-08-20)."""
         npx = len(phi0s)
         dim = self.width / 2
         a = np.zeros(npx)
         b = np.zeros(npx)
         phi0s = np.array([phi0s[:, 1], phi0s[:, 0]]).T
 
-        Cinv, m, patches = self.compute_statistics(phi0s)
+        patches_d, m_d, Cinv_d = self._statistics_flat()
 
         normalised_psf = normalize_psf(
             self.psf, fwhm="fit", size=None, threshold=None, mask_core=None,
@@ -375,37 +423,69 @@ class FastPACO(PACO):
         if self.verbose:
             print("Running Fast PACO...")
 
-        # pass 1: rotation-track geometry + validity for every pixel
+        # pass 1: rotation-track geometry + validity, vectorized over
+        # pixels (same math as get_rotated_pixel_coords per pixel)
         n_f = len(self.angles)
-        tracks = np.zeros((npx, n_f, 2))
-        valid = np.zeros(npx, dtype=bool)
-        for i, p0 in enumerate(phi0s):
-            angles_px = get_rotated_pixel_coords(x, y, p0, self.angles)
-            tracks[i] = angles_px
-            valid[i] = (int(np.max(angles_px.flatten())) < self.width
-                        and int(np.min(angles_px.flatten())) >= 0)
+        px_x = x[phi0s[:, 0].astype(int), phi0s[:, 1].astype(int)]
+        px_y = y[phi0s[:, 0].astype(int), phi0s[:, 1].astype(int)]
+        rad = np.sqrt(px_x**2 + px_y**2)
+        # replicate get_rotated_pixel_coords' exact deg round-trip so the
+        # int() cell assignments match bit-for-bit
+        theta_deg = np.rad2deg(np.arctan2(px_y, px_x))
+        ang_r = np.deg2rad(-np.asarray(self.angles)[None, :]
+                           + theta_deg[:, None])
+        half = int(x.shape[0] / 2)
+        tracks = np.stack([rad[:, None] * np.cos(ang_r) + half,
+                           rad[:, None] * np.sin(ang_r) + half], axis=-1)
+        tmin = np.min(tracks.reshape(npx, -1), axis=1)
+        tmax = np.max(tracks.reshape(npx, -1), axis=1)
+        valid = (tmax.astype(int) < self.width) & (tmin.astype(int) >= 0)
         a[~valid] = np.nan
         b[~valid] = np.nan
 
         # pass 2: batched subpixel PSF bank for all valid tracks
         vidx = np.where(valid)[0]
-        if use_subpixel_psf_astrometry and len(vidx):
+        nv = len(vidx)
+        if use_subpixel_psf_astrometry and nv:
             bank = _subpixel_psf_bank(normalised_psf, tracks[vidx],
-                                      psf_mask)
+                                      psf_mask)                # (nv, n, A)
         else:
-            bank = None
-        base_psf = normalised_psf[psf_mask]
+            bank = jnp.broadcast_to(
+                jnp.asarray(normalised_psf[psf_mask]),
+                (nv, n_f, int(psf_mask.sum())))
 
-        # pass 3: per-pixel ML estimates (host linear algebra)
-        for k, i in enumerate(vidx):
-            Cinlst, mlst, hlst, patch = [], [], [], []
-            for ll, ang in enumerate(tracks[i]):
-                Cinlst.append(Cinv[int(ang[0]), int(ang[1])])
-                mlst.append(m[int(ang[0]), int(ang[1])])
-                hlst.append(bank[k, ll] if bank is not None else base_psf)
-                patch.append(patches[int(ang[0]), int(ang[1]), ll])
-            a[i] = self.al(hlst, Cinlst)
-            b[i] = self.bl(hlst, Cinlst, patch, mlst)
+        # pass 3: chunked device gathers + ML einsums
+        flat_t = (tracks[vidx, :, 0].astype(np.int32) * self.width
+                  + tracks[vidx, :, 1].astype(np.int32))       # (nv, n)
+        patches_nA = patches_d                                  # (n, HW, A)
+        A = self.patch_area_pixels
+
+        @jit
+        def _ab_chunk(ft, h, Cinv_a, m_a, patches_a):
+            C = Cinv_a[ft]                                     # (c, n, A, A)
+            mt = m_a[ft]                                       # (c, n, A)
+            rt = jnp.swapaxes(
+                vmap(lambda pl, fl: jnp.take(pl, fl, axis=0, mode="clip"),
+                     in_axes=(0, 1))(patches_a, ft), 0, 1)
+            av = jnp.einsum("pla,plab,plb->p", h, C, h)
+            bv = jnp.einsum("pla,plab,plb->p", h, C, rt - mt)
+            return av, bv
+
+        chunk = 1024
+        av_all = np.zeros(nv)
+        bv_all = np.zeros(nv)
+        for lo in range(0, nv, chunk):
+            hi = min(lo + chunk, nv)
+            ft = np.full((chunk, n_f), 0, np.int32)
+            ft[:hi - lo] = flat_t[lo:hi]
+            hk = jnp.zeros((chunk, n_f, A), bank.dtype)
+            hk = hk.at[:hi - lo].set(bank[lo:hi])
+            av, bv = _ab_chunk(jnp.asarray(ft), hk, Cinv_d, m_d,
+                               patches_nA)
+            av_all[lo:hi] = np.asarray(av)[:hi - lo]
+            bv_all[lo:hi] = np.asarray(bv)[:hi - lo]
+        a[vidx] = av_all
+        b[vidx] = bv_all
         if self.verbose:
             print("Done")
         return a, b
