@@ -352,8 +352,13 @@ def main():
         # --- batched-injection contrast throughput (SURVEY §3.3): all
         # nbranch x fc_rad_sep injected cubes through ONE vmapped PCA
         # program vs the serial per-pattern loop, at a small shape that
-        # fits the budget (the serial leg's host-looped stages pay ~30 ms
-        # tunnel latency per dispatch). Disable with BENCH_THROUGHPUT=0.
+        # fits the budget. HONESTY NOTE (r5): the serial path's stages
+        # are now themselves device-resident, so at this toy shape the
+        # two run at parity (~0.7-1.1x run-to-run) — the batching claim
+        # that matters is carried by the AT-SCALE contrast_curve leg
+        # below (one device-injected batched program, ~14x the
+        # reference's serial-rerun pattern). Disable with
+        # BENCH_THROUGHPUT=0.
         if os.environ.get("BENCH_THROUGHPUT", "1") == "1":
             def leg_tp():
                 from vip_tpu.metrics.contrcurve import throughput
