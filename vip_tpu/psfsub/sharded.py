@@ -104,7 +104,7 @@ def sharded_pca_adi(cube, angles, ncomp=5, mesh=None):
 
 def make_sharded_pca_annular(mesh, segments, ncomp, axis="frames",
                              collapse="median", method="eigen",
-                             scaling=None):
+                             scaling=None, frame_shape=None):
     """Sharded annular PCA (the reference's P2 workload: per-frame SVDs
     over annulus segments, pca_local.py:726-742).
 
@@ -125,13 +125,23 @@ def make_sharded_pca_annular(mesh, segments, ncomp, axis="frames",
     if scaling not in (None, "temp-mean", "temp-standard"):
         raise ValueError("sharded annular PCA supports scaling in "
                          "(None, 'temp-mean', 'temp-standard')")
-    seg_idx = [(jnp.asarray(yy), jnp.asarray(xx)) for yy, xx in segments]
+    # flat 1-D indices: the 2-D fancy gather costs ~187 s of XLA compile
+    # per shape on TPU (docs/PROFILING.md annular table)
+    if frame_shape is None:
+        fx = int(max(int(np.max(xx)) for _yy, xx in segments)) + 1
+    else:
+        fx = int(frame_shape[1])
+    seg_idx = [jnp.asarray(np.asarray(yy, np.int64) * fx
+                           + np.asarray(xx, np.int64), jnp.int32)
+               for yy, xx in segments]
 
     def step(cube_loc, angles_loc, masks_loc, keff_loc):
-        n_loc = cube_loc.shape[0]
-        resid_loc = jnp.zeros_like(cube_loc)
-        for s, (yy, xx) in enumerate(seg_idx):
-            seg_loc = cube_loc[:, yy, xx]                     # (n_loc, p)
+        n_loc, ny, nx = cube_loc.shape
+        resid_loc = jnp.zeros_like(cube_loc).reshape(n_loc, ny * nx)
+        cube_flat = cube_loc.reshape(n_loc, ny * nx)
+        for s, flat in enumerate(seg_idx):
+            seg_loc = jnp.take(cube_flat, flat, axis=1,
+                               mode="clip")                   # (n_loc, p)
             if scaling is not None:
                 # distributed temporal moments over the frame axis
                 n_tot = n_loc * jax.lax.psum(jnp.ones(()), axis)
@@ -151,7 +161,8 @@ def make_sharded_pca_annular(mesh, segments, ncomp, axis="frames",
                 return curr - (curr @ V.T) @ V
 
             res = jax.vmap(one)(masks_loc[s], seg_loc, keff_loc[s])
-            resid_loc = resid_loc.at[:, yy, xx].set(res)
+            resid_loc = resid_loc.at[:, seg_idx[s]].set(res)
+        resid_loc = resid_loc.reshape(n_loc, ny, nx)
         der = rotate_fft_pruned_batch(resid_loc, -angles_loc)
         # pca_annular's mask_val=0 rot_option: pixels that are zero
         # before rotation are reset to zero afterwards
@@ -216,7 +227,8 @@ def sharded_pca_annular(cube, angles, ncomp=5, fwhm=4.0, asize=4,
 
     fn = make_sharded_pca_annular(mesh, segments, ncomp,
                                   collapse=collapse, method=method,
-                                  scaling=scaling)
+                                  scaling=scaling,
+                                  frame_shape=cube.shape[1:])
     cube_sh = shard_cube(np.asarray(cube, float), mesh)
     ang_sh = shard_cube(np.asarray(angles, float), mesh)
     masks_sh = shard_cube(np.stack(masks), mesh, spec=P(None, "frames"))
